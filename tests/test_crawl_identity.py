@@ -1,0 +1,93 @@
+"""North-rule gate: the Spark wave-loop crawl must be bit-identical to the
+single-threaded reference-semantics oracle — same visit ordering, same final
+URL-seen set — for the same seed list, maxPages, maxDepth, politeness budget.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from web_crawler_spark.oracle import crawl_all
+from web_crawler_spark.plans.crawl import CrawlConfig, CrawlDriver
+from web_crawler_spark.synthetic.web import SyntheticWeb
+
+WEB = SyntheticWeb(n_hosts=4, pages_per_host=40, seed=42)
+
+
+def _spark_results(driver):
+    frontier = driver.frontier_tbl.read(driver.spark)
+    rows = frontier.orderBy("seed_host", "enqueue_seq").collect()
+    by_seed: dict[str, dict] = {}
+    for r in rows:
+        d = by_seed.setdefault(r["seed_host"], {"discovered": [], "visits": []})
+        d["discovered"].append(r["url"])
+        if r["status"] in ("visited", "error"):
+            d["visits"].append((r["visit_seq"], r["url"]))
+    for d in by_seed.values():
+        d["visits"] = [u for _, u in sorted(d["visits"])]
+    return by_seed
+
+
+@pytest.mark.parametrize("host_budget", [None, 3])
+def test_bit_identical_order_and_seen_set(spark, tmp_path, host_budget):
+    cfg = CrawlConfig(max_pages=25, max_depth=3, host_wave_budget=host_budget,
+                      use_bloom=False)
+    driver = CrawlDriver(spark, WEB, str(tmp_path / f"crawl_{host_budget}"), cfg)
+    driver.run(max_waves=60)
+    got = _spark_results(driver)
+
+    want = crawl_all(WEB, max_pages=25, max_depth=3)
+    for seed, res in want.items():
+        seed_host = seed.split("//", 1)[1].split("/", 1)[0]
+        g = got[seed_host]
+        # final URL-seen set: bit-identical
+        assert set(g["discovered"]) == res.seen_set, seed
+        # discovery (enqueue) order: bit-identical
+        assert g["discovered"] == res.discovered, seed
+        # visit order: bit-identical (host budget only adds wave boundaries)
+        assert g["visits"] == res.visit_order, seed
+
+
+def test_priority_bucket_sort_matches_oracle(spark, tmp_path):
+    cfg = CrawlConfig(max_pages=25, max_depth=2, use_bloom=False)
+    driver = CrawlDriver(spark, WEB, str(tmp_path / "crawl_prio"), cfg)
+    driver.run(max_waves=30)
+    pr = driver.prioritized()
+    rows = pr.orderBy("seed_host", "priority_rank").collect()
+    got: dict[str, list[str]] = {}
+    for r in rows:
+        got.setdefault(r["seed_host"], []).append(r["url"])
+
+    want = crawl_all(WEB, max_pages=25, max_depth=2)
+    for seed, res in want.items():
+        seed_host = seed.split("//", 1)[1].split("/", 1)[0]
+        assert got[seed_host] == res.prioritized, seed
+
+
+def test_resume_reproduces_uninterrupted_state(spark, tmp_path):
+    cfg = CrawlConfig(max_pages=20, max_depth=3, use_bloom=False)
+    full = CrawlDriver(spark, WEB, str(tmp_path / "full"), cfg)
+    full.run(max_waves=60)
+
+    part = CrawlDriver(spark, WEB, str(tmp_path / "part"), cfg)
+    part.run(max_waves=2)  # "kill" after wave 2
+    resumed = CrawlDriver(spark, WEB, str(tmp_path / "part"), cfg)
+    resumed.run(resume=True, max_waves=60)
+
+    a = _spark_results(full)
+    b = _spark_results(resumed)
+    assert a == b
+
+
+def test_bloom_pre_prune_is_lossless(spark, tmp_path):
+    base = CrawlDriver(
+        spark, WEB, str(tmp_path / "nobloom"),
+        CrawlConfig(max_pages=20, max_depth=2, use_bloom=False),
+    )
+    base.run(max_waves=30)
+    bloomed = CrawlDriver(
+        spark, WEB, str(tmp_path / "bloom"),
+        CrawlConfig(max_pages=20, max_depth=2, use_bloom=True),
+    )
+    bloomed.run(max_waves=30)
+    assert _spark_results(base) == _spark_results(bloomed)

@@ -1,0 +1,146 @@
+"""URL kernels: canonicalization, exclusion, same-domain, scheme, priority.
+
+Re-expresses (does not copy) the semantics of
+``site-crawler.service.js`` (shouldExcludeUrl :52-79, prioritizeUrls
+:84-124, canonicalization :30, same-domain :28, scheme filter :17) as pure
+Spark column expressions, plus exact Python mirrors used by the
+single-threaded oracle in tests.
+
+All predicates are deterministic built-ins, so Catalyst pushes them below
+shuffles and ahead of the (expensive, nondeterministic-looking) fetch UDF —
+the Spark analogue of the reference's "filter before enqueue" heuristic.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 25 excluded file extensions (site-crawler.service.js:55-58)
+FILE_EXTENSIONS = [
+    ".jpg", ".jpeg", ".png", ".gif", ".svg", ".webp", ".ico", ".pdf",
+    ".zip", ".rar", ".tar", ".gz", ".exe", ".dmg",
+    ".mp4", ".avi", ".mov", ".mp3", ".wav",
+    ".css", ".js", ".json", ".xml", ".txt",
+]
+
+# 18+1 excluded path substrings (site-crawler.service.js:63-74)
+EXCLUDE_PATTERNS = [
+    "/login", "/signin", "/signup", "/register",
+    "/cart", "/checkout", "/payment",
+    "/search", "/filter",
+    "/admin", "/wp-admin", "/dashboard",
+    "/blog", "/news", "/article", "/post",
+    "/product", "/item", "/category",
+    "/privacy", "/terms", "/cookie",
+    "/careers/job", "/jobs/", "/apply",
+    "/download", "/upload",
+    "#",
+]
+
+# priority tiers (site-crawler.service.js:91-114). Tier 1 also matches
+# the /locations?$ regex; tier order inside each list is irrelevant
+# (bucket membership only — the sort is a stable bucket sort).
+HIGH_SUBSTRINGS = [
+    "/contact", "/location", "/office", "/store", "/branch",
+    "/find", "/where", "/address", "/about/us",
+]
+MEDIUM_SUBSTRINGS = [
+    "/about", "/company", "/corporate", "/headquarter", "/facility", "/site",
+]
+
+_EXT_RE = "(" + "|".join(re.escape(e) for e in FILE_EXTENSIONS) + ")$"
+_PAT_RE = "(" + "|".join(re.escape(p) for p in EXCLUDE_PATTERNS) + ")"
+_HIGH_RE = "(" + "|".join(re.escape(p) for p in HIGH_SUBSTRINGS) + "|/locations?$)"
+_MED_RE = "(" + "|".join(re.escape(p) for p in MEDIUM_SUBSTRINGS) + ")"
+_SCHEME_RE = "^(javascript:|mailto:|tel:)"
+
+
+# ---------------------------------------------------------------- columns --
+def canonicalize(url: Column | str) -> Column:
+    """origin + pathname: strip query + fragment (site-crawler.service.js:30).
+
+    This canonical form IS the dedup key of the URL-seen set (north_rule).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, r"^(https?://[^?#]+)", 1)
+
+
+def normalize_host(host: Column | str) -> Column:
+    """www-stripped lowercase host (same-domain check, :28)."""
+    c = F.col(host) if isinstance(host, str) else host
+    return F.regexp_replace(F.lower(c), r"^www\.", "")
+
+
+def host_of(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, r"^https?://([^/?#]+)", 1))
+
+
+def path_of(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, r"^https?://[^/?#]+(/[^?#]*)", 1)
+
+
+def is_excluded(url: Column | str) -> Column:
+    """True if URL hits an excluded extension or path pattern (:52-79)."""
+    c = F.lower(F.col(url) if isinstance(url, str) else url)
+    return c.rlike(_EXT_RE) | c.contains("#") | c.rlike(_PAT_RE)
+
+
+def bad_scheme(href: Column | str) -> Column:
+    c = F.col(href) if isinstance(href, str) else href
+    return c.rlike(_SCHEME_RE)
+
+
+def same_domain(url: Column | str, base_host: Column | str) -> Column:
+    b = F.col(base_host) if isinstance(base_host, str) else base_host
+    return normalize_host(host_of(url)) == normalize_host(b)
+
+
+def priority_tier(url: Column | str) -> Column:
+    """1=high, 2=medium, 3=low (site-crawler.service.js:84-124)."""
+    c = F.lower(F.col(url) if isinstance(url, str) else url)
+    return (
+        F.when(c.rlike(_HIGH_RE), F.lit(1))
+        .when(c.rlike(_MED_RE), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+
+# ----------------------------------------------------- python mirrors -----
+def py_canonicalize(url: str) -> str:
+    m = re.match(r"^(https?://[^?#]+)", url)
+    return m.group(1) if m else ""
+
+
+def py_is_excluded(url: str) -> bool:
+    u = url.lower()
+    if any(u.endswith(e) for e in FILE_EXTENSIONS):
+        return True
+    return any(p in u for p in EXCLUDE_PATTERNS)
+
+
+def py_bad_scheme(href: str) -> bool:
+    return href.startswith(("javascript:", "mailto:", "tel:"))
+
+
+def py_same_domain(url: str, base_host: str) -> bool:
+    try:
+        h = urlparse(url).hostname or ""
+    except ValueError:
+        return False
+    strip = lambda x: re.sub(r"^www\.", "", x.lower())  # noqa: E731
+    return strip(h) == strip(base_host)
+
+
+def py_priority_tier(url: str) -> int:
+    u = url.lower()
+    if any(p in u for p in HIGH_SUBSTRINGS) or re.search(r"/locations?$", u):
+        return 1
+    if any(p in u for p in MEDIUM_SUBSTRINGS):
+        return 2
+    return 3

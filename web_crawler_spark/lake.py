@@ -1,0 +1,152 @@
+"""Snapshot-based lake tables: Iceberg-shaped checkpointing on parquet.
+
+The north_rule requires "resumable checkpoints carrying per-partition
+lineage and fetch/dedup metrics into Iceberg snapshot metadata". This
+container has no Iceberg runtime jar, so this module implements the same
+contract on plain parquet + JSON snapshot manifests:
+
+- every commit creates ``snap-{n}.json`` with: parent snapshot id, the
+  data files added, per-partition lineage (row counts per partition key),
+  and an arbitrary ``summary`` metrics dict — exactly what Iceberg's
+  snapshot ``summary`` carries;
+- reads resolve the latest (or any historical) snapshot's file list —
+  time travel;
+- appends are atomic at the manifest level (data written first, manifest
+  renamed into place last).
+
+When a real Iceberg catalog is configured (``spark.sql.catalog.*``), the
+same call sites can be pointed at ``df.writeTo(...)`` — the interface is
+deliberately Iceberg-like (append / overwrite / snapshots / summary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """An append/overwrite table with Iceberg-style snapshot metadata."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ snapshots
+    def snapshots(self) -> list[dict]:
+        snaps = []
+        for f in sorted(os.listdir(self.meta_dir)):
+            if f.startswith("snap-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    snaps.append(json.load(fh))
+        return sorted(snaps, key=lambda s: s["snapshot_id"])
+
+    def current(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    # ------------------------------------------------------------ write ---
+    def _write_files(self, df: DataFrame, partition_by: list[str] | None) -> str:
+        rel = f"files-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.data_dir, rel)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        return rel
+
+    def _lineage(self, df: DataFrame, lineage_key: str | None) -> dict:
+        """Per-partition lineage: row counts keyed by the partition column."""
+        if lineage_key is None or lineage_key not in df.columns:
+            return {}
+        rows = df.groupBy(lineage_key).count().collect()
+        return {str(r[lineage_key]): r["count"] for r in rows}
+
+    def _commit(
+        self,
+        mode: str,
+        added: list[str],
+        summary: dict,
+        lineage: dict,
+    ) -> dict:
+        cur = self.current()
+        if mode == "append" and cur:
+            files = cur["files"] + added
+        else:
+            files = added
+        snap = {
+            "snapshot_id": (cur["snapshot_id"] + 1) if cur else 0,
+            "parent_id": cur["snapshot_id"] if cur else None,
+            "operation": mode,
+            "files": files,
+            "added_files": added,
+            "partition_lineage": lineage,
+            "summary": summary,
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        os.replace(tmp, os.path.join(self.meta_dir, f"snap-{snap['snapshot_id']:06d}.json"))
+        return snap
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        partition_by: list[str] | None = None,
+        lineage_key: str | None = None,
+    ) -> dict:
+        lineage = self._lineage(df, lineage_key)
+        rel = self._write_files(df, partition_by)
+        return self._commit("append", [rel], summary or {}, lineage)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        partition_by: list[str] | None = None,
+        lineage_key: str | None = None,
+    ) -> dict:
+        lineage = self._lineage(df, lineage_key)
+        rel = self._write_files(df, partition_by)
+        return self._commit("overwrite", [rel], summary or {}, lineage)
+
+    # ------------------------------------------------------------ read ----
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is None:
+            snap = self.current()
+        else:
+            snap = next(s for s in self.snapshots() if s["snapshot_id"] == snapshot_id)
+        if snap is None or not snap["files"]:
+            raise ValueError(f"table {self.path} has no snapshot/data")
+        paths = [os.path.join(self.data_dir, rel) for rel in snap["files"]]
+        return spark.read.option("mergeSchema", "false").parquet(*paths)
+
+    def exists(self) -> bool:
+        return self.current() is not None
+
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Iceberg-style snapshot expiry (reference: job cleanup watermark,
+        progress-tracker.service.js:172-187)."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return 0
+        live: set[str] = set()
+        keep = snaps[-keep_last:]
+        for s in keep:
+            live.update(s["files"])
+        dropped = 0
+        for s in snaps[:-keep_last]:
+            os.remove(os.path.join(self.meta_dir, f"snap-{s['snapshot_id']:06d}.json"))
+            dropped += 1
+            for rel in s["files"]:
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.data_dir, rel), ignore_errors=True)
+        return dropped

@@ -1,0 +1,196 @@
+"""Frontier operators: link expansion, seen-set anti-join, priority dispatch.
+
+Spark-first restatement of the reference's in-memory BFS machinery
+(site-crawler.service.js:129-196):
+
+- ``visited.has(url)`` / ``allDiscoveredUrls.has(url)``  →  J1: left_anti
+  join against the frontier table, with an optional Bloom-filter pre-prune
+  (exactness restored by the anti-join; the Bloom only cheapens it).
+- FIFO ordering  →  an explicit ``enqueue_seq`` column: the queue position
+  a single-threaded run would assign. All order-sensitive steps sort on it
+  (never on partition order) — this is the bit-identity contract.
+- politeness / priority dispatch  →  W1/W3/W4: window ranking partitioned
+  by seed_host (equivalently host: same-domain crawls have one host per
+  seed), budget filters on the rank.
+
+Scale notes (100 TB / 10^10 URLs): every window here partitions by
+seed_host — no global windows. The per-seed sequential ordering is the
+determinism the north_rule demands; across seeds everything is
+embarrassingly parallel. Skew (one hot host) is handled by salting the
+fetch stage (see plans/crawl.py) — ranking windows only ever see the
+budget-capped candidate slice, not the whole frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import urls as U
+
+LINK_HREF_RE = '<a href="([^"]+)">'
+
+
+def parse_links(pages: DataFrame, body_col: str = "body") -> DataFrame:
+    """Extract hrefs in document order from fetched HTML (JVM-side regex).
+
+    Reference: page.evaluate over a[href] (site-crawler.service.js:14-18).
+    Output: one row per (page, link_idx, href).
+    """
+    return pages.select(
+        "*",
+        F.posexplode_outer(
+            F.expr(f"regexp_extract_all({body_col}, '{LINK_HREF_RE}', 1)")
+        ).alias("link_idx", "href"),
+    )
+
+
+def clean_candidate_links(links: DataFrame) -> DataFrame:
+    """Scheme filter → same-domain → canonicalize → exclusion (F1-F4).
+
+    Expects columns: href, seed_host, link_idx. Adds ``url`` (canonical).
+    All deterministic built-ins → Catalyst pushes them below the exchange,
+    and none of it touches Python.
+    """
+    return (
+        links.filter(F.col("href").isNotNull())
+        .filter(~U.bad_scheme("href"))
+        .filter(U.same_domain("href", "seed_host"))
+        .withColumn("url", U.canonicalize("href"))
+        .filter(F.col("url") != "")
+        .filter(~U.is_excluded("url"))
+    )
+
+
+def first_occurrence_per_page(links: DataFrame, page_key: str = "parent_seq") -> DataFrame:
+    """Per-page Set semantics: keep first occurrence in document order
+    (discoverAllLinks keeps a per-page Set, site-crawler.service.js:15,35)."""
+    w = Window.partitionBy("seed_host", page_key, "url").orderBy("link_idx")
+    return (
+        links.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") == 1)
+        .drop("_occ")
+    )
+
+
+def dedup_first_discoverer(links: DataFrame) -> DataFrame:
+    """Cross-page enqueue dedup: the first (parent_seq, link_idx) wins
+    (site-crawler.service.js:163-168 checks Sets at enqueue time)."""
+    w = Window.partitionBy("seed_host", "url").orderBy("parent_seq", "link_idx")
+    return (
+        links.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    use_bloom: bool = True,
+    bloom_expected: int = 1_000_000,
+    bloom_fpp: float = 0.03,
+) -> DataFrame:
+    """J1: drop URLs already in the seen set.
+
+    At 10^10-URL scale the seen table dwarfs each wave's candidates, so we
+    pre-prune with a Bloom filter built from the seen side (false positives
+    only *pass through* to the exact anti-join — never lose a URL), then
+    run the exact left_anti. The Bloom sketch is built with Spark's
+    built-in ``bloom_filter_agg`` (JVM-side, mergeable across partitions).
+    """
+    seen_urls = seen.select("seed_host", "url")
+    if use_bloom:
+        try:
+            bf = seen_urls.agg(
+                F.expr(
+                    f"bloom_filter_agg(xxhash64(url), "
+                    f"cast({bloom_expected} as long), "
+                    f"cast({int(bloom_expected * 8)} as long))"
+                ).alias("bf")
+            ).collect()[0]["bf"]
+            if bf is not None:
+                # might_contain(lit(sketch), xxhash64(url)): candidates that
+                # definitely aren't seen skip the shuffle entirely; possible
+                # hits fall through to the exact anti-join below.
+                maybe_seen = F.expr("might_contain(__bloom__, xxhash64(url))")
+                candidates = candidates.withColumn("__bloom__", F.lit(bf))
+                definite_new = candidates.filter(~maybe_seen).drop("__bloom__")
+                possible = candidates.filter(maybe_seen).drop("__bloom__")
+                checked = possible.join(
+                    seen_urls, on=["seed_host", "url"], how="left_anti"
+                )
+                return definite_new.unionByName(checked)
+        except Exception:
+            pass  # bloom unavailable → exact anti-join alone (still correct)
+    return candidates.join(seen_urls, on=["seed_host", "url"], how="left_anti")
+
+
+def assign_enqueue_seq(new_links: DataFrame, max_seq: DataFrame) -> DataFrame:
+    """Append-order sequence: prev per-seed max + rank by (parent_seq,
+    link_idx) — exactly the order a single-threaded loop pushes them.
+
+    ``max_seq``: small DF (seed_host, max_seq). Broadcast-joined.
+    """
+    w = Window.partitionBy("seed_host").orderBy("parent_seq", "link_idx")
+    return (
+        new_links.join(F.broadcast(max_seq), "seed_host", "left")
+        .withColumn("enqueue_seq", F.coalesce(F.col("max_seq"), F.lit(0)) + F.row_number().over(w))
+        .drop("max_seq")
+    )
+
+
+def priority_rank(frontier: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """W1: 3-tier priority ranking within each seed's discovered set —
+    stable bucket sort = orderBy(tier, enqueue_seq)."""
+    order_cols = order_cols or ["enqueue_seq"]
+    w = Window.partitionBy("seed_host").orderBy(
+        U.priority_tier("url").asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    return frontier.withColumn("priority_tier", U.priority_tier("url")).withColumn(
+        "priority_rank", F.row_number().over(w)
+    )
+
+
+def take_budgeted(
+    candidates: DataFrame,
+    remaining: DataFrame,
+    host_wave_budget: int | None = None,
+    order_col: str = "enqueue_seq",
+) -> DataFrame:
+    """W4: per-seed page budget + per-host politeness budget in one rank.
+
+    candidates: queued frontier rows (already depth-filtered).
+    remaining: small DF (seed_host, remaining) — pages left in this seed's
+    maxPages budget. Rank by FIFO position; keep rank <= min(remaining,
+    host_wave_budget).
+    """
+    w = Window.partitionBy("seed_host").orderBy(order_col)
+    out = (
+        candidates.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(remaining), "seed_host", "inner")
+        .filter(F.col("_rk") <= F.col("remaining"))
+    )
+    if host_wave_budget is not None:
+        out = out.filter(F.col("_rk") <= F.lit(host_wave_budget))
+    return out.drop("remaining")
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """J2+F5: broadcast-join robots rules onto candidates; split
+    allowed/blocked. Permissive when robots fetch failed
+    (robots.service.js:44-53,63-71)."""
+    r = robots.select("host", "fetch_ok", "disallow_prefixes")
+    joined = frontier.join(F.broadcast(r), frontier.seed_host == r.host, "left").drop("host")
+    path = U.path_of("url")
+    blocked_expr: Column = (
+        F.col("fetch_ok").isNotNull()
+        & F.col("fetch_ok")
+        & F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda px: path.startswith(px),
+        )
+    )
+    allowed = joined.filter(~blocked_expr).drop("fetch_ok", "disallow_prefixes")
+    blocked = joined.filter(blocked_expr).drop("fetch_ok", "disallow_prefixes")
+    return allowed, blocked
