@@ -87,42 +87,25 @@ def dedup_first_discoverer(links: DataFrame) -> DataFrame:
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
-    use_bloom: bool = True,
-    bloom_expected: int = 1_000_000,
-    bloom_fpp: float = 0.03,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """J1: drop URLs already in the seen set.
 
     At 10^10-URL scale the seen table dwarfs each wave's candidates, so we
-    pre-prune with a Bloom filter built from the seen side (false positives
-    only *pass through* to the exact anti-join — never lose a URL), then
-    run the exact left_anti. The Bloom sketch is built with Spark's
-    built-in ``bloom_filter_agg`` (JVM-side, mergeable across partitions).
+    pre-prune with the partitioned Bloom filter (operators/seen_filter):
+    candidates the Bloom proves unseen skip the big shuffle entirely;
+    possible hits (including false positives) fall through to the exact
+    left_anti — exactness is preserved by construction.
     """
     seen_urls = seen.select("seed_host", "url")
-    if use_bloom:
-        try:
-            bf = seen_urls.agg(
-                F.expr(
-                    f"bloom_filter_agg(xxhash64(url), "
-                    f"cast({bloom_expected} as long), "
-                    f"cast({int(bloom_expected * 8)} as long))"
-                ).alias("bf")
-            ).collect()[0]["bf"]
-            if bf is not None:
-                # might_contain(lit(sketch), xxhash64(url)): candidates that
-                # definitely aren't seen skip the shuffle entirely; possible
-                # hits fall through to the exact anti-join below.
-                maybe_seen = F.expr("might_contain(__bloom__, xxhash64(url))")
-                candidates = candidates.withColumn("__bloom__", F.lit(bf))
-                definite_new = candidates.filter(~maybe_seen).drop("__bloom__")
-                possible = candidates.filter(maybe_seen).drop("__bloom__")
-                checked = possible.join(
-                    seen_urls, on=["seed_host", "url"], how="left_anti"
-                )
-                return definite_new.unionByName(checked)
-        except Exception:
-            pass  # bloom unavailable → exact anti-join alone (still correct)
+    if bloom is not None:
+        from web_crawler_spark.operators import seen_filter as SF
+
+        flagged = SF.prune(candidates, bloom)
+        definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        possible = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        checked = possible.join(seen_urls, on=["seed_host", "url"], how="left_anti")
+        return definite_new.unionByName(checked)
     return candidates.join(seen_urls, on=["seed_host", "url"], how="left_anti")
 
 

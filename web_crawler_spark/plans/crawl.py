@@ -80,6 +80,7 @@ class CrawlDriver:
         self.workdir = workdir
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
         self.pages_tbl = SnapshotTable(os.path.join(workdir, "pages"))
+        self.bloom_tbl = SnapshotTable(os.path.join(workdir, "seen_bloom"))
         self.state_path = os.path.join(workdir, "crawl_state.json")
 
     # ------------------------------------------------------------ state ---
@@ -200,7 +201,12 @@ class CrawlDriver:
         cand = FR.clean_candidate_links(links)
         cand = FR.first_occurrence_per_page(cand)
         cand = FR.dedup_first_discoverer(cand)
-        new = FR.anti_join_seen(cand, frontier, use_bloom=cfg.use_bloom)
+        bloom = (
+            self.bloom_tbl.read(self.spark)
+            if cfg.use_bloom and self.bloom_tbl.exists()
+            else None
+        )
+        new = FR.anti_join_seen(cand, frontier, bloom=bloom)
 
         max_seq = frontier.groupBy("seed_host").agg(F.max("enqueue_seq").alias("max_seq"))
         if cfg.ordering == "strict":
@@ -298,9 +304,26 @@ class CrawlDriver:
             summary={"wave": wave, "rows": n_fetched},
             lineage_key="seed_host",
         )
+        if cfg.use_bloom:
+            # incremental seen-set sketch: OR the new URLs into the side
+            # table (north_rule: partitioned Bloom persisted next to the
+            # frontier). Cheap: touches only buckets with new URLs.
+            from web_crawler_spark.operators import seen_filter as SF
+
+            delta_src = new_frontier_rows.select("url")
+            if not self.bloom_tbl.exists():
+                delta_src = delta_src.unionByName(frontier.select("url"))
+            delta = SF.build_bloom(delta_src)
+            merged = (
+                SF.merge_blooms(self.bloom_tbl.read(self.spark), delta)
+                if self.bloom_tbl.exists()
+                else delta
+            )
+            self.bloom_tbl.overwrite(merged, summary={"wave": wave})
         self.frontier_tbl.overwrite(next_frontier, summary=summary, lineage_key="seed_host")
         self.frontier_tbl.expire_snapshots(self.cfg.keep_snapshots)
         self.pages_tbl.expire_snapshots(self.cfg.keep_snapshots)
+        self.bloom_tbl.expire_snapshots(self.cfg.keep_snapshots)
 
         fetched.unpersist()
         if blocked is not None:
