@@ -1,0 +1,800 @@
+"""The engine's query registry: every operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) as a (Spark DataFrame query, DuckDB
+oracle SQL) pair over the driver's parquet tables.
+
+Each Spark query is built from the library operators
+(web_crawler_spark.functions / operators / analytics) — the registry is
+the public API surface a reference user would call, exercised over neutral
+tabular data. Each oracle is ANSI-ish SQL that DuckDB runs on the same
+parquet; the driver hash-compares results (sorted by column name), so
+every computed column is aliased identically on both sides and floats are
+rounded at the output boundary (the compared artifact) only.
+
+Cross-engine determinism rules used throughout (see functions/text.py):
+- md5() is the only hash (bit-identical in Spark/DuckDB/Python).
+- printf-style %.6f formatting for float→string (never engine default
+  float rendering).
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default.
+- Sums/avgs of doubles are rounded (2-6 dp) at the output boundary:
+  parallel summation order differs legitimately between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_crawler_spark.analytics import grid
+from web_crawler_spark.functions import geo as G
+from web_crawler_spark.functions import records as R
+from web_crawler_spark.functions import text as TX
+from web_crawler_spark.functions import urls as U
+from web_crawler_spark.operators import dedup as D
+from web_crawler_spark.operators import similarity as SIM
+
+# --------------------------------------------------------------------------
+# registry plumbing
+# --------------------------------------------------------------------------
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Synthetic URL column shared by the crawl-kernel queries: a deterministic
+# URL per part row, exercising hosts, paths, query strings, fragments,
+# extensions, and priority keywords. Mirrored verbatim in oracle SQL.
+# --------------------------------------------------------------------------
+_SEGMENTS = [
+    "contact", "products", "location", "blog", "office",
+    "about", "news", "store", "company", "item",
+]
+_EXTS = ["", ".html", ".jpg", "", ".pdf", "", ".png", ""]
+
+
+def _with_url(part: DataFrame) -> DataFrame:
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in _SEGMENTS]), (F.pmod("p_partkey", F.lit(10)) + 1).cast("int")
+    )
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (F.pmod("p_partkey", F.lit(8)) + 1).cast("int")
+    )
+    host = F.concat(
+        F.when(F.pmod("p_partkey", 5) == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lower(F.regexp_replace("p_brand", "#", "")),
+        F.lit(".com"),
+    )
+    tail = (
+        F.when(F.pmod("p_partkey", 7) == 0, F.lit("?session=1"))
+        .when(F.pmod("p_partkey", 7) == 1, F.lit("#frag"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/"), seg, F.lit("/"),
+        F.regexp_replace(F.lower("p_name"), " ", "-"), ext, tail,
+    )
+    return part.withColumn("url", url)
+
+
+_SEGMENTS_SQL = "['" + "','".join(_SEGMENTS) + "']"
+_EXTS_SQL = "['" + "','".join(_EXTS) + "']"
+_URL_SQL = f"""
+  concat(
+    'https://',
+    case when p_partkey % 5 = 0 then 'www.' else '' end,
+    lower(replace(p_brand, '#', '')), '.com',
+    '/', list_extract({_SEGMENTS_SQL}, (p_partkey % 10) + 1),
+    '/', replace(lower(p_name), ' ', '-'),
+    list_extract({_EXTS_SQL}, (p_partkey % 8) + 1),
+    case when p_partkey % 7 = 0 then '?session=1'
+         when p_partkey % 7 = 1 then '#frag' else '' end
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 filters / §2.7 URL kernels
+# --------------------------------------------------------------------------
+@query(
+    "url_canonicalize",
+    oracle=f"""
+    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part)
+    SELECT p_partkey,
+           regexp_extract(url, '^(https?://[^?#]+)', 1) AS url_canon,
+           lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+           regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                          '^www\\.', '') AS host_norm
+    FROM u
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 canonicalization + host extraction + www-normalization (the
+    URL-seen dedup key, site-crawler.service.js:28-30)."""
+    part = _with_url(load(spark, sf_dir, "part"))
+    return part.select(
+        "p_partkey",
+        U.canonicalize("url").alias("url_canon"),
+        U.host_of("url").alias("host"),
+        U.normalize_host(U.host_of("url")).alias("host_norm"),
+    )
+
+
+@query(
+    "url_exclusion_filter",
+    oracle=f"""
+    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part),
+    c AS (SELECT p_partkey, regexp_extract(url, '^(https?://[^?#]+)', 1) AS url
+          FROM u),
+    f AS (
+      SELECT * FROM c WHERE NOT (
+        regexp_matches(lower(url),
+          '(\\.jpg|\\.jpeg|\\.png|\\.gif|\\.svg|\\.webp|\\.ico|\\.pdf|\\.zip|\\.rar|\\.tar|\\.gz|\\.exe|\\.dmg|\\.mp4|\\.avi|\\.mov|\\.mp3|\\.wav|\\.css|\\.js|\\.json|\\.xml|\\.txt)$')
+        OR contains(lower(url), '#')
+        OR regexp_matches(lower(url),
+          '(/login|/signin|/signup|/register|/cart|/checkout|/payment|/search|/filter|/admin|/wp-admin|/dashboard|/blog|/news|/article|/post|/product|/item|/category|/privacy|/terms|/cookie|/careers/job|/jobs/|/apply|/download|/upload|\\#)')
+      )
+    )
+    SELECT p_partkey, url FROM f
+    """,
+)
+def q_url_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the 25-extension/18-pattern exclusion filter, post-canonicalize."""
+    part = _with_url(load(spark, sf_dir, "part"))
+    return (
+        part.withColumn("url", U.canonicalize("url"))
+        .filter(~U.is_excluded("url"))
+        .select("p_partkey", "url")
+    )
+
+
+@query(
+    "url_priority_rank",
+    oracle=f"""
+    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part),
+    t AS (
+      SELECT p_partkey,
+             regexp_extract(url, '^(https?://[^?#]+)', 1) AS url,
+             lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host
+      FROM u
+    ),
+    p AS (
+      SELECT *,
+        CASE
+          WHEN regexp_matches(lower(url),
+            '(/contact|/location|/office|/store|/branch|/find|/where|/address|/about/us|/locations?$)')
+            THEN 1
+          WHEN regexp_matches(lower(url),
+            '(/about|/company|/corporate|/headquarter|/facility|/site)')
+            THEN 2
+          ELSE 3 END AS priority_tier
+      FROM t
+    )
+    SELECT p_partkey, url, host, priority_tier,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY priority_tier, p_partkey) AS priority_rank
+    FROM p
+    """,
+)
+def q_url_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: 3-tier stable bucket sort per host (site-crawler.service.js:84-124)."""
+    part = _with_url(load(spark, sf_dir, "part"))
+    base = part.select(
+        "p_partkey",
+        U.canonicalize("url").alias("url"),
+        U.host_of(U.canonicalize("url")).alias("host"),
+    ).withColumn("priority_tier", U.priority_tier("url"))
+    w = Window.partitionBy("host").orderBy("priority_tier", "p_partkey")
+    return base.withColumn("priority_rank", F.row_number().over(w))
+
+
+@query(
+    "grid_filter_sort",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE contains(lower(c_name), '00001')
+      AND contains(lower(c_mktsegment), 'a')
+    ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+)
+def q_grid_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11+W7: conjunctive contains-filter + sort (UI CustomDataGrid)."""
+    cust = load(spark, sf_dir, "customer")
+    v = grid.contains_filter(cust, {"c_name": "00001", "c_mktsegment": "a"})
+    return (
+        v.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
+        .limit(50)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "grid_paginate",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_name LIMIT 20 OFFSET 40
+    """,
+)
+def q_grid_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: page 3 (size 20) of the name-sorted customer grid."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return grid.paginate(grid.sort_view(cust, "c_name"), page=3, size=20)
+
+
+@query(
+    "quality_range_filter",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_acctbal BETWEEN 1000 AND 5000
+    """,
+)
+def q_quality_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: '1000-5000'-style range filter."""
+    cust = load(spark, sf_dir, "customer")
+    return grid.range_filter(cust, "c_acctbal", "1000-5000").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+@query(
+    "dim_join_rollup",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J6-shaped broadcast dim join + rollup (robots/ISO dim analogue)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "anti_join_seen",
+    oracle="""
+    SELECT o.o_orderstatus AS status, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left_anti against a 'seen' set (frontier vs visited analogue)."""
+    o = load(spark, sf_dir, "orders")
+    seen = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        o.join(seen, o.o_custkey == seen.c_custkey, "left_anti")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "proximity_join",
+    oracle="""
+    WITH cu AS (
+      SELECT c_custkey, ((c_custkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+             ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS lon
+      FROM customer
+    ),
+    su AS (
+      SELECT s_suppkey, ((s_suppkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+             ((s_suppkey * 73) % 36000) / 100.0 - 180.0 AS lon
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians(su.lat - cu.lat) / 2), 2)
+             + cos(radians(cu.lat)) * cos(radians(su.lat))
+               * pow(sin(radians(su.lon - cu.lon) / 2), 2)
+           )), 3) AS dist_km
+    FROM cu, su
+    WHERE 2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians(su.lat - cu.lat) / 2), 2)
+             + cos(radians(cu.lat)) * cos(radians(su.lat))
+               * pow(sin(radians(su.lon - cu.lon) / 2), 2)
+           )) <= 50.0
+    """,
+)
+def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: blocked haversine range join (grid-cell equi-join + exact
+    post-filter) — same rows as the oracle's cross join, one shuffle."""
+    cu = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 16000) / 100.0 - 80.0).alias("latitude"),
+        ((F.col("c_custkey") * 73 % 36000) / 100.0 - 180.0).alias("longitude"),
+    )
+    su = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37 % 16000) / 100.0 - 80.0).alias("latitude"),
+        ((F.col("s_suppkey") * 73 % 36000) / 100.0 - 180.0).alias("longitude"),
+    )
+    joined = G.proximity_join(cu, su, max_km=50.0, cell_deg=1.0)
+    return joined.select(
+        "c_custkey", "s_suppkey", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg: the engine's bulk map-side-combine path."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "dedup_first_wins",
+    oracle="""
+    SELECT l_orderkey, l_partkey AS first_partkey, l_quantity AS first_qty
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: first-wins exact dedup via explicit ingest-order window."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_ord",
+        F.struct("l_linenumber", "l_partkey", "l_suppkey"),
+    )
+    return D.dedup_first_wins(li, "l_orderkey", "_ord").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("first_partkey"),
+        F.col("l_quantity").alias("first_qty"),
+    )
+
+
+@query(
+    "dedup_best_wins",
+    oracle="""
+    SELECT l_partkey, l_orderkey AS best_orderkey,
+           round(l_extendedprice, 2) AS best_price
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_partkey
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_best_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: best-wins dedup (highest info score, deterministic tiebreak)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("best_orderkey"),
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )
+
+
+@query(
+    "canonical_merge",
+    oracle="""
+    SELECT regexp_replace(lower(concat_ws('|', c_mktsegment, c_nationkey)),
+                          '[^a-z0-9|]', '', 'g') AS canonical_key,
+           min(c_custkey) AS first_custkey,
+           arg_min(c_name, c_custkey) AS first_name,
+           count(*) AS merged_from
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q_canonical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/X23: canonical-key merge — key from joined|lowered|stripped parts,
+    first-seen values, merge count."""
+    c = load(spark, sf_dir, "customer")
+    key = R.canonical_key("c_mktsegment", "c_nationkey")
+    return c.groupBy(key.alias("canonical_key")).agg(
+        F.min("c_custkey").alias("first_custkey"),
+        F.min_by("c_name", "c_custkey").alias("first_name"),
+        F.count(F.lit(1)).alias("merged_from"),
+    )
+
+
+@query(
+    "quality_report",
+    oracle="""
+    SELECT count(*) AS total,
+           count(*) FILTER (WHERE q >= 90) AS excellent,
+           count(*) FILTER (WHERE q >= 70 AND q < 90) AS good,
+           count(*) FILTER (WHERE q >= 50 AND q < 70) AS fair,
+           count(*) FILTER (WHERE q < 50) AS poor,
+           round(avg(q), 4) AS avg_score
+    FROM (SELECT (o_totalprice % 100) AS q FROM orders)
+    """,
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: banded quality report (data-quality.service.js:114-136)."""
+    o = load(spark, sf_dir, "orders").select((F.col("o_totalprice") % 100).alias("q"))
+    return o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("q") >= 90, 1)).alias("excellent"),
+        F.count(F.when((F.col("q") >= 70) & (F.col("q") < 90), 1)).alias("good"),
+        F.count(F.when((F.col("q") >= 50) & (F.col("q") < 70), 1)).alias("fair"),
+        F.count(F.when(F.col("q") < 50, 1)).alias("poor"),
+        F.round(F.avg("q"), 4).alias("avg_score"),
+    )
+
+
+@query(
+    "crawl_stats",
+    oracle="""
+    SELECT event_type AS method, count(*) AS n,
+           count(*) FILTER (WHERE value < 0.1) AS failures,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8: per-method request/failure histogram."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("method")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") < 0.1, 1)).alias("failures"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows
+# --------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-K exploration per group (link-explorer slice(0,K))."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT cast(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+           event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window rollup (batch over event time)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17/X18-shaped JSON field extraction (XHR-blob analogue)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag window — the batch twin of
+    the streaming stateful operator."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731  (ts is NTZ; session is UTC)
+    new_s = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 scalar kernels
+# --------------------------------------------------------------------------
+@query(
+    "footprint_wkt",
+    oracle="""
+    WITH pt AS (
+      SELECT s_suppkey, ((s_suppkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+             ((s_suppkey * 73) % 36000) / 100.0 - 180.0 AS lon
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           printf('MULTIPOLYGON(((%.6f %.6f,%.6f %.6f,%.6f %.6f,%.6f %.6f,%.6f %.6f)))',
+                  lon - 0.0001, lat - 0.0001,
+                  lon + 0.0001, lat - 0.0001,
+                  lon + 0.0001, lat + 0.0001,
+                  lon - 0.0001, lat + 0.0001,
+                  lon - 0.0001, lat - 0.0001) AS footprint
+    FROM pt
+    """,
+)
+def q_footprint_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: MULTIPOLYGON WKT builder (±0.0001°, printf-fixed 6 dp)."""
+    su = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37 % 16000) / 100.0 - 80.0).alias("lat"),
+        ((F.col("s_suppkey") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    off = 0.0001
+    lat, lon = F.col("lat"), F.col("lon")
+    wkt = F.format_string(
+        "MULTIPOLYGON(((%.6f %.6f,%.6f %.6f,%.6f %.6f,%.6f %.6f,%.6f %.6f)))",
+        lon - off, lat - off, lon + off, lat - off, lon + off, lat + off,
+        lon - off, lat + off, lon - off, lat - off,
+    )
+    return su.select("s_suppkey", wkt.alias("footprint"))
+
+
+@query(
+    "phone_postal_format",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey * 7 % 10000000000 AS VARCHAR), 10, '9') AS phone10,
+             lpad(CAST(o_orderkey % 1000000000 AS VARCHAR), 9, '0') AS zip9
+      FROM orders
+    )
+    SELECT o_orderkey,
+           printf('(%s) %s-%s', substr(phone10,1,3), substr(phone10,4,3),
+                  substr(phone10,7,4)) AS phone,
+           printf('%s-%s', substr(zip9,1,5), substr(zip9,6,4)) AS postal
+    FROM d
+    """,
+)
+def q_phone_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5+X7: phone/ZIP formatters over synthesized digit strings."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lpad((F.col("o_orderkey") * 7 % 10000000000).cast("string"), 10, "9").alias("phone10"),
+        F.lpad((F.col("o_orderkey") % 1000000000).cast("string"), 9, "0").alias("zip9"),
+    )
+    return o.select(
+        "o_orderkey",
+        R.format_phone_us("phone10").alias("phone"),
+        R.format_postal_us("zip9").alias("postal"),
+    )
+
+
+@query(
+    "activity_classify",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_extract(['global headquarters campus','retail store front',
+                           'regional warehouse hub','manufacturing plant line',
+                           'main data center','corner restaurant',
+                           'branch office suite','general purpose space'],
+                          (p_partkey % 8) + 1) AS descr
+      FROM part
+    )
+    SELECT p_partkey, descr,
+      CASE
+        WHEN contains(lower(descr), 'headquarters') THEN 'Headquarters'
+        WHEN contains(lower(descr), 'hq') THEN 'Headquarters'
+        WHEN contains(lower(descr), 'corporate') THEN 'Headquarters'
+        WHEN contains(lower(descr), 'store') THEN 'Retail'
+        WHEN contains(lower(descr), 'shop') THEN 'Retail'
+        WHEN contains(lower(descr), 'retail') THEN 'Retail'
+        WHEN contains(lower(descr), 'warehouse') THEN 'Warehouse'
+        WHEN contains(lower(descr), 'distribution') THEN 'Warehouse'
+        WHEN contains(lower(descr), 'factory') THEN 'Manufacturing'
+        WHEN contains(lower(descr), 'plant') THEN 'Manufacturing'
+        WHEN contains(lower(descr), 'manufacturing') THEN 'Manufacturing'
+        WHEN contains(lower(descr), 'data center') THEN 'Data Center'
+        WHEN contains(lower(descr), 'datacenter') THEN 'Data Center'
+        WHEN contains(lower(descr), 'restaurant') THEN 'Restaurant'
+        WHEN contains(lower(descr), 'cafe') THEN 'Restaurant'
+        WHEN contains(lower(descr), 'branch') THEN 'Branch Office'
+        ELSE 'Office' END AS activity,
+      CASE
+        WHEN contains(lower(descr), 'headquarters') THEN 50.0
+        WHEN contains(lower(descr), 'hq') THEN 50.0
+        WHEN contains(lower(descr), 'corporate') THEN 50.0
+        WHEN contains(lower(descr), 'store') THEN 8.0
+        WHEN contains(lower(descr), 'shop') THEN 8.0
+        WHEN contains(lower(descr), 'retail') THEN 8.0
+        WHEN contains(lower(descr), 'warehouse') THEN 12.0
+        WHEN contains(lower(descr), 'distribution') THEN 12.0
+        WHEN contains(lower(descr), 'factory') THEN 15.0
+        WHEN contains(lower(descr), 'plant') THEN 15.0
+        WHEN contains(lower(descr), 'manufacturing') THEN 15.0
+        WHEN contains(lower(descr), 'data center') THEN 10.0
+        WHEN contains(lower(descr), 'datacenter') THEN 10.0
+        WHEN contains(lower(descr), 'restaurant') THEN 6.0
+        WHEN contains(lower(descr), 'cafe') THEN 6.0
+        WHEN contains(lower(descr), 'branch') THEN 20.0
+        ELSE 25.0 END::DOUBLE AS height_m
+    FROM t
+    """,
+)
+def q_activity_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11+X12: keyword activity classifier + height estimator."""
+    descrs = [
+        "global headquarters campus", "retail store front",
+        "regional warehouse hub", "manufacturing plant line",
+        "main data center", "corner restaurant",
+        "branch office suite", "general purpose space",
+    ]
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.element_at(
+            F.array(*[F.lit(d) for d in descrs]), (F.pmod("p_partkey", F.lit(8)) + 1).cast("int")
+        ).alias("descr"),
+    )
+    return p.select(
+        "p_partkey",
+        "descr",
+        R.classify_activity("descr").alias("activity"),
+        R.estimate_height(R.classify_activity("descr")).alias("height_m"),
+    )
+
+
+@query(
+    "quality_score_records",
+    oracle="""
+    WITH rec AS (
+      SELECT c_custkey,
+             c_name AS locationName,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE concat(c_name, ' street') END
+               AS locationAddress,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS latitude,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS longitude,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE 'USA' END AS countryIso3,
+             CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE '12345' END AS postcode,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 'CA' END AS state,
+             c_mktsegment AS streetOrCity
+      FROM customer
+    ),
+    scored AS (
+      SELECT c_custkey,
+        (CASE WHEN locationName IS NOT NULL AND len(CAST(locationName AS VARCHAR)) > 0 THEN 20 ELSE 0 END
+         + CASE WHEN locationAddress IS NOT NULL AND len(CAST(locationAddress AS VARCHAR)) > 0 THEN 25 ELSE 0 END
+         + CASE WHEN latitude IS NOT NULL AND len(CAST(latitude AS VARCHAR)) > 0 THEN 15 ELSE 0 END
+         + CASE WHEN longitude IS NOT NULL AND len(CAST(longitude AS VARCHAR)) > 0 THEN 15 ELSE 0 END
+         + CASE WHEN countryIso3 IS NOT NULL AND len(CAST(countryIso3 AS VARCHAR)) > 0 THEN 10 ELSE 0 END
+         + CASE WHEN postcode IS NOT NULL AND len(CAST(postcode AS VARCHAR)) > 0 THEN 5 ELSE 0 END
+         + CASE WHEN state IS NOT NULL AND len(CAST(state AS VARCHAR)) > 0 THEN 5 ELSE 0 END
+         + CASE WHEN streetOrCity IS NOT NULL AND len(CAST(streetOrCity AS VARCHAR)) > 0 THEN 5 ELSE 0 END
+        ) AS qualityScore
+      FROM rec
+    )
+    SELECT c_custkey, qualityScore,
+           CASE WHEN qualityScore >= 90 THEN 'Excellent'
+                WHEN qualityScore >= 70 THEN 'Good'
+                WHEN qualityScore >= 50 THEN 'Fair'
+                ELSE 'Poor' END AS qualityLevel
+    FROM scored
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24+X25: weighted field-presence quality score + level bands."""
+    c = load(spark, sf_dir, "customer")
+    rec = c.select(
+        "c_custkey",
+        F.col("c_name").alias("locationName"),
+        F.when(F.col("c_custkey") % 4 == 0, None)
+        .otherwise(F.concat("c_name", F.lit(" street")))
+        .alias("locationAddress"),
+        F.when(F.col("c_custkey") % 3 == 0, None).otherwise(F.col("c_acctbal")).alias("latitude"),
+        F.when(F.col("c_custkey") % 3 == 0, None).otherwise(F.col("c_acctbal")).alias("longitude"),
+        F.when(F.col("c_custkey") % 5 == 0, None).otherwise(F.lit("USA")).alias("countryIso3"),
+        F.when(F.col("c_custkey") % 2 == 0, None).otherwise(F.lit("12345")).alias("postcode"),
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.lit("CA")).alias("state"),
+        F.col("c_mktsegment").alias("streetOrCity"),
+    )
+    scored = rec.withColumn("qualityScore", R.quality_score())
+    return scored.select(
+        "c_custkey", "qualityScore", R.quality_level("qualityScore").alias("qualityLevel")
+    )

@@ -1,0 +1,184 @@
+"""Text-analysis kernels for the training-data pipeline, as pure Spark
+column expressions (JVM-side, whole-stage-codegen friendly — no Python in
+the hot path).
+
+These generalize the reference's text heuristics — length-window
+predicates (heuristic-extractor.service.js:64,95,136), word-overlap
+similarity (scraper.service.js:155-190), exact-key normalization
+(enhanced-deduplication.service.js:169-176) — into the operations a
+large-scale corpus pipeline needs: tokenization, language ID, quality
+scoring, shingling, and fingerprinting.
+
+Design note on hashing: every hash used for dedup/minhash is ``md5`` of a
+string. md5 is bit-identical across Spark, DuckDB, and Python, which is
+what lets every operator here carry an exact SQL oracle. Hex strings
+compare lexicographically == numerically, so MIN over md5-hex is a valid
+minhash; we never need engine-specific hash functions in comparable
+output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list (public knowledge; deliberately tiny and
+# fixed so the oracle SQL can inline it verbatim).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from",
+]
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punct splitter: letters+digits runs or single punct
+BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (array<string>)."""
+    return F.split(F.trim(_c(text)), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT_RE)))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks.
+
+    A cheap, deterministic stand-in for a real BPE tokenizer's length
+    signal (used for token budgeting in training-data pipelines).
+    """
+    return F.size(F.expr(f"regexp_extract_all(lower({_sql(text)}), '{BPE_RE}', 0)"))
+
+
+def _sql(col: Column | str) -> str:
+    """Column name for use inside F.expr (string inputs only)."""
+    if isinstance(col, str):
+        return col
+    raise TypeError("expr-based kernels need a column *name*")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are stopwords (0.0 if no tokens)."""
+    toks = tokens(text)
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n = F.size(toks)
+    return F.when(n > 0, n_sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    t = _c(text)
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(F.lit(0.0))
+
+
+def quality_score_text(text: Column | str) -> Column:
+    """Document quality score in [0,100]: length window + stopword band +
+    low punctuation. The corpus analogue of the reference's weighted
+    field-presence score (data-quality.service.js:7-48): additive
+    weighted components, clamped.
+
+    Components (sum 100):
+      40 * length in [200, 5000] chars (reference length-window style)
+      30 * stopword_ratio in [0.05, 0.6] (natural-language band)
+      30 * punct_ratio < 0.2
+    """
+    t = _c(text)
+    ln = F.length(t)
+    c_len = F.when((ln >= 200) & (ln <= 5000), F.lit(40)).otherwise(F.lit(0))
+    sw = stopword_ratio(text)
+    c_sw = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(30)).otherwise(F.lit(0))
+    c_p = F.when(punct_ratio(text) < 0.2, F.lit(30)).otherwise(F.lit(0))
+    return (c_len + c_sw + c_p).cast("int")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Tiny language-ID heuristic: 'en' if stopword ratio ≥ 0.05 and text
+    is mostly ASCII letters, 'unknown' otherwise. (N-gram-profile LID
+    reduced to its cheapest deterministic core so the oracle can mirror it.)
+    """
+    ascii_ratio = (
+        F.length(F.regexp_replace(_c(text), r"[^A-Za-z0-9\s]", "")).cast("double")
+        / F.greatest(F.length(_c(text)), F.lit(1))
+    )
+    return F.when(
+        (stopword_ratio(text) >= 0.05) & (ascii_ratio >= 0.9), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Dedup normalization: lowercase, strip non-alnum, collapse whitespace
+    (the corpus analogue of enhanced-deduplication.service.js:169-176)."""
+    t = F.lower(_c(text))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    Same value in Spark / DuckDB / Python — the exact-dedup key.
+    """
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles (array<string>) over normalized whitespace tokens.
+
+    Used by MinHash and n-gram-Jaccard dedup. Implemented with
+    higher-order functions (transform over index range + slice) — no UDF.
+    Documents shorter than k tokens yield a single shingle of all tokens.
+    """
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    n_sh = F.greatest(n - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+
+
+def minhash_signature(text: Column | str, k: int = 3, perms: int = 8) -> Column:
+    """MinHash signature as array<string> of length ``perms``.
+
+    Each "permutation" p hashes shingle s as md5(p || '|' || s); the
+    signature element is the lexicographic MIN (hex compares like the
+    number). Identical SQL exists in DuckDB, so this carries an exact
+    oracle — see analytics/queries.py.
+    """
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}|"), s))))
+            for p in range(perms)
+        ]
+    )
+
+
+def lsh_band_keys(sig: Column, perms: int, band_size: int = 2) -> Column:
+    """Band keys for a fixed-length signature (array<string>)."""
+    bands = []
+    for b in range(perms // band_size):
+        part = F.slice(sig, b * band_size + 1, band_size)
+        bands.append(F.md5(F.concat(F.lit(f"{b}|"), F.array_join(part, ","))))
+    return F.array(*bands)
+
+
+def word_overlap_similarity(a: Column | str, b: Column | str) -> Column:
+    """X10: |common words| / |union| (scraper.service.js:155-190),
+    over normalized tokens."""
+    ta = F.array_distinct(F.split(normalize_text(a), " "))
+    tb = F.array_distinct(F.split(normalize_text(b), " "))
+    inter = F.size(F.array_intersect(ta, tb))
+    uni = F.size(F.array_union(ta, tb))
+    return F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))

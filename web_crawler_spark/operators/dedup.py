@@ -1,0 +1,387 @@
+"""Deduplication operators: exact, canonical-merge, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine, and phash near-dup.
+
+The reference deduplicates three ways — exact-key first-wins Maps
+(heuristic-extractor.service.js:222-240, A1), best-wins info-score Maps
+(location-extractor.service.js:505-528, A2), canonical-key merge
+(address-normalizer.service.js:235-335, A3), and a greedy O(n²) fuzzy pass
+at threshold 0.85 (enhanced-deduplication.service.js:7-42, A4/J4). This
+module re-expresses those as shuffle-efficient Spark plans and extends
+them with the sketch-based near-dup family a 100 TB training-data corpus
+needs (MinHash+LSH, SimHash, embedding cosine, image phash).
+
+Scale design, uniformly: never an O(n²) cross join. Every near-dup
+operator maps each row to a small set of *candidate keys* (LSH band,
+simhash block, geo cell, phash band), shuffles once on the key, and
+compares only within buckets. That keeps work ~linear in rows for
+realistic duplicate densities and is exactly the set-similarity-join
+literature's blocking construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import text as TX
+
+
+# ------------------------------------------------------------- exact (A1/A2)
+def dedup_first_wins(df: DataFrame, key: Column | str, order: Column | str) -> DataFrame:
+    """A1: keep the first row per key in a deterministic ingest order.
+
+    Spark's dropDuplicates keeps an *arbitrary* row; first-wins parity with
+    the reference's Map requires the explicit ranking window.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    o = F.col(order) if isinstance(order, str) else order
+    w = Window.partitionBy(k).orderBy(o.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_best_wins(
+    df: DataFrame, key: Column | str, score: Column | str, tiebreak: Column | str
+) -> DataFrame:
+    """A2: keep the highest-scoring row per key (ties → earliest ingest)."""
+    k = F.col(key) if isinstance(key, str) else key
+    s = F.col(score) if isinstance(score, str) else score
+    t = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+    w = Window.partitionBy(k).orderBy(s.desc(), t.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact_text(df: DataFrame, text_col: str = "text", order: str | None = None) -> DataFrame:
+    """Exact corpus dedup: hash-groupBy on the md5 fingerprint of
+    normalized text; first-wins on ``order`` (or arbitrary if None)."""
+    keyed = df.withColumn("_fp", TX.fingerprint(text_col))
+    if order is None:
+        out = keyed.dropDuplicates(["_fp"])
+    else:
+        out = dedup_first_wins(keyed, "_fp", order)
+    return out.drop("_fp")
+
+
+# -------------------------------------------------------- canonical merge A3
+def canonical_merge(
+    df: DataFrame,
+    key: Column,
+    first_cols: list[str],
+    key_name: str = "canonical_key",
+) -> DataFrame:
+    """A3: groupBy canonical key; each field takes its first non-null value
+    in key order (reference merge fills empty fields, keeps first-seen —
+    address-normalizer.service.js:285-335). Caller supplies deterministic
+    input order via a prior sort column baked into ``first_cols`` usage.
+    """
+    aggs = [F.first(c, ignorenulls=True).alias(c) for c in first_cols]
+    aggs.append(F.count(F.lit(1)).alias("merged_from"))
+    return df.groupBy(key.alias(key_name)).agg(*aggs)
+
+
+# ---------------------------------------------------------- MinHash LSH ----
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    perms: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding.
+
+    shingle → md5-minhash signature (perms) → band keys → self-join on
+    band key → distinct pairs (a<b). One shuffle on band key; no cross
+    join. Returns (a, b) candidate id pairs.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        TX.lsh_band_keys(TX.minhash_signature(text_col, k, perms), perms, band_size).alias("_bands"),
+    )
+    exploded = sig.select("_id", F.explode("_bands").alias("band"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, "band")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    perms: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup dedup: LSH candidates → exact shingle-Jaccard verify →
+    connected-via-min representative (survivor = min id of the pair group).
+
+    Representative selection is single-hop (min over direct neighbors),
+    matching the reference's greedy first-index-wins clustering for the
+    common case of pairwise-discovered duplicates; a full
+    connected-components pass (iterated min propagation) is available via
+    ``connected_min`` for chained duplicate families.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, k, perms, band_size)
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(TX.shingles(text_col, k)).alias("_sh"),
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("_sid", "a").withColumnRenamed("_sh", "_sha"), "a")
+        .join(sh.withColumnRenamed("_sid", "b").withColumnRenamed("_sh", "_shb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb")).cast("double")
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b")
+    )
+    # survivor = smallest id among {self} ∪ {smaller partners}
+    loser_min = verified.groupBy(F.col("b").alias(id_col)).agg(F.min("a").alias("_rep"))
+    return (
+        df.join(loser_min, id_col, "left")
+        .filter(F.col("_rep").isNull())
+        .drop("_rep")
+    )
+
+
+def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components by iterated min-label propagation over an edge
+    list (a,b). Returns (node, component) with component = min node id.
+    Small-diameter duplicate clusters converge in 2-3 iterations."""
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a.alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ------------------------------------------------------------- SimHash -----
+def simhash64(text_col: str, k: int = 2) -> Column:
+    """64-bit SimHash over k-token shingles, built from md5-derived feature
+    hashes entirely with built-in expressions (no UDF).
+
+    Each shingle's 64-bit hash = conv(first 15 hex chars of md5, 16, 10)
+    (60 bits, zero-extended — uniform and deterministic). Bit b of the
+    simhash is 1 iff Σ_features (bit_b ? +1 : -1) > 0.
+    """
+    sh = F.array_distinct(TX.shingles(F.col(text_col), k))
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    bits = []
+    for b in range(60):
+        vote = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x, b=b: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bin() character count — built-in only."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash", n_blocks: int = 4
+) -> DataFrame:
+    """Near-dup candidates by the pigeonhole trick: split the 60-bit
+    simhash into n_blocks 15-bit blocks; pairs within Hamming distance
+    n_blocks-1 must agree on ≥1 block → equi-join per block."""
+    pieces = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(sim_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftright(F.col(sim_col), i * 15).bitwiseAND(F.lit((1 << 15) - 1)),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block"),
+    )
+    a, b = pieces.alias("a"), pieces.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard ----
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: Column | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """J4-style blocked similarity self-join with exact shingle Jaccard.
+
+    block_col defaults to a cheap prefix key (first normalized token) —
+    callers at scale should pass a better blocking key (LSH bands, length
+    band, language). Only intra-block pairs are compared.
+    """
+    block = block_col if block_col is not None else F.split(TX.normalize_text(text_col), " ")[0]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        block.alias("_blk"),
+        F.array_distinct(TX.shingles(text_col, k)).alias("_sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            (
+                F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+                / F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------- embedding cosine dedup --
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns with
+    higher-order functions — JVM-side, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda s, v: s + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: Column | str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: blocked self-join (block = sign-pattern
+    LSH of the first dims unless caller overrides) + cosine filter."""
+    if block_col is None:
+        v = F.col(vec_col)
+        block = F.concat_ws(
+            "",
+            *[F.when(v[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(8)],
+        )
+    else:
+        block = F.col(block_col) if isinstance(block_col, str) else block_col
+    base = df.select(F.col(id_col).alias("_id"), block.alias("_blk"), F.col(vec_col).alias("_v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            cosine_sim(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ phash --------
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+    n_blocks: int = 5,
+) -> DataFrame:
+    """Image near-dup on 64-bit perceptual hashes (north_rule: "phash-based
+    near-dup on images"): pigeonhole banding — distance ≤ n_blocks-1
+    guarantees one matching 13-bit block — then exact Hamming filter."""
+    width = 64 // n_blocks + 1
+    pieces = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).alias("_ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftrightunsigned(F.col(phash_col), i * width).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        ),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block"),
+    )
+    a, b = pieces.alias("a"), pieces.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            hamming64(F.col("a._ph"), F.col("b._ph")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

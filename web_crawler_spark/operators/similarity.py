@@ -1,0 +1,101 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers, as a 100 TB training-data pipeline needs:
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set against the full corpus, one shuffle for the per-query rank. The
+  correctness baseline; also the right plan whenever |queries| is small,
+  because the corpus is scanned once with zero index build.
+- ``lsh_topk``: random-hyperplane-style LSH bucketing (sign pattern of
+  selected dimensions → deterministic, seedless) with multi-probe
+  (Hamming-1 neighbors of the query's bucket). Probes a small fraction of
+  the corpus; recall/cost tuned by n_bits/probes. At cluster scale the
+  corpus is bucketed once (write-time partitioning) and each query touches
+  only its probe buckets — the scan prunes instead of reading 100 TB.
+
+All math is higher-order-function column algebra (zip_with/aggregate) —
+JVM-side, Arrow-free, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators.dedup import cosine_sim
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × corpus → window rank.
+
+    Returns (query_id, vec_id, cosine, rank). Ties broken by vec_id for
+    determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec_col: str, n_bits: int = 8) -> F.Column:
+    """Deterministic LSH bucket: sign bits of the first n_bits dimensions.
+
+    The hyperplanes are the coordinate axes — seedless and identical in
+    any engine (the SQL oracle mirrors it verbatim). For anisotropic data
+    swap in fixed literal hyperplanes; the plan shape is unchanged.
+    """
+    v = F.col(vec_col)
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out + F.when(v[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: bucket corpus by sign-LSH; each query probes its own
+    bucket plus all Hamming-``probe_hamming`` neighbors; exact cosine +
+    rank inside the probed set only."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), sign_bucket(vec_col, n_bits).alias("bucket")
+    )
+    probes = [F.lit(0)] + ([F.lit(1 << i) for i in range(n_bits)] if probe_hamming >= 1 else [])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(F.array(*probes), lambda m: sign_bucket(vec_col, n_bits).bitwiseXOR(m))
+        ).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", id_col, cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine")
+    )
+    # a corpus vector can match several probe buckets of one query → dedup
+    scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
