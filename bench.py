@@ -1,0 +1,78 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the engine's load-bearing paths: bulk scan+agg, joins
+(broadcast/anti/range), window ranking, exact+fuzzy dedup (minhash,
+simhash), ANN, text kernels, the crawl frontier loop, and the image
+pipeline. Each timing includes full execution to collect/count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from web_crawler_spark.analytics import queries as Q
+from web_crawler_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "dim_join_rollup",
+    "anti_join_seen",
+    "proximity_join",
+    "topk_per_group",
+    "url_priority_rank",
+    "dedup_first_wins",
+    "canonical_merge",
+    "sessionize",
+    "token_stats",
+    "text_quality",
+    "fingerprint_dedup",
+    "minhash_neardup",
+    "simhash_neardup",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_neardup",
+    "crawl_bfs_frontier",
+    "image_phash_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("wcs_bench")
+    registry = Q.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: forces full computation of every output column
+        # (count() would let Catalyst prune the projections being measured)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (scan/join/window/dedup/ann/crawl/image)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

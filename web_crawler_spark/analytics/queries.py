@@ -798,3 +798,457 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "c_custkey", "qualityScore", R.quality_level("qualityScore").alias("qualityLevel")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data corpus operators (documents table)
+# --------------------------------------------------------------------------
+# Shared oracle fragments. DuckDB regexp_replace needs 'g'; list slicing is
+# 1-based inclusive (t[i:i+2] = 3 tokens); min over md5-hex == minhash.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len({toks}) - 2, 1)),"
+    " i -> array_to_string(({toks})[i:i+2], ' '))"
+)
+_STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_TOKS_SQL.format(col='text')} AS toks,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars, len(toks) AS n_tokens, bpe_tokens,
+           len(list_distinct(toks)) AS n_unique
+    FROM t
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per document."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(TX.normalize_text("text"), " ")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        TX.bpe_token_count("text").alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL.format(col='text')} AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, length(text) AS n,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
+             ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0 THEN n_punct::DOUBLE / length(text) ELSE 0.0 END AS p_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round(sw_ratio, 6) AS stopword_ratio,
+           round(p_ratio, 6) AS punct_ratio,
+           (CASE WHEN n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
+            + CASE WHEN sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
+            + CASE WHEN p_ratio < 0.2 THEN 30 ELSE 0 END) AS quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality scoring: length/stopword/punctuation components."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        TX.quality_score_text("text").alias("quality"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_SQL.format(col='text')} AS toks,
+             length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS ascii_ratio
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang,
+        CASE WHEN (CASE WHEN len(toks) > 0 THEN
+                    len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END) >= 0.05
+              AND ascii_ratio >= 0.9
+        THEN 'en' ELSE 'unknown' END AS predicted
+      FROM t
+    )
+    SELECT predicted, count(*) AS n,
+           count(*) FILTER (WHERE predicted = lang) AS agree
+    FROM p GROUP BY predicted
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + agreement against the labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    pred = d.select("doc_id", "lang", TX.lang_id("text").alias("predicted"))
+    return pred.groupBy("predicted").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("predicted") == F.col("lang"), 1)).alias("agree"),
+    )
+
+
+@query(
+    "fingerprint_dedup",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, md5({_NORM_SQL.format(col='text')}) AS fp FROM documents
+    )
+    SELECT fp AS fingerprint, min(doc_id) AS survivor, count(*) AS n_dups
+    FROM f GROUP BY fp
+    """,
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus dedup on the md5 fingerprint of normalized text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", TX.fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("survivor"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _minhash_oracle(perms: int = 8, band: int = 2, thr: float = 0.7) -> str:
+    mins = ",\n             ".join(
+        f"min(md5(concat('{p}|', s))) AS m{p}" for p in range(perms)
+    )
+    bands = ", ".join(
+        f"md5(concat('{b}|', m{2*b}, ',', m{2*b+1}))" for b in range(perms // band)
+    )
+    toks = _TOKS_SQL.format(col="text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL.format(toks='toks')}) AS s FROM t
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest([{bands}]) AS band FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b USING (band)
+      WHERE a.doc_id < b.doc_id
+    ),
+    shs AS (
+      SELECT doc_id,
+             list_distinct({_SHINGLES_SQL.format(toks='toks')}) AS ss
+      FROM t
+    )
+    SELECT cand.a, cand.b,
+           round(len(list_intersect(x.ss, y.ss))::DOUBLE
+                 / len(list_distinct(list_concat(x.ss, y.ss))), 6) AS jaccard
+    FROM cand
+    JOIN shs x ON x.doc_id = cand.a
+    JOIN shs y ON y.doc_id = cand.b
+    WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+          / len(list_distinct(list_concat(x.ss, y.ss))) >= {thr}
+    """
+
+
+@query("minhash_neardup", oracle=_minhash_oracle())
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → md5-minhash signature → band join →
+    exact Jaccard verify ≥ 0.7. One shuffle on band key, no cross join."""
+    d = load(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidates(d, "doc_id", "text", k=3, perms=8, band_size=2)
+    sh = d.select(
+        F.col("doc_id").alias("_sid"),
+        F.array_distinct(TX.shingles("text", 3)).alias("_sh"),
+    )
+    return (
+        cand.join(sh.withColumnRenamed("_sid", "a").withColumnRenamed("_sh", "_sha"), "a")
+        .join(sh.withColumnRenamed("_sid", "b").withColumnRenamed("_sh", "_shb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb")).cast("double")
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL.format(col='text')} AS toks FROM documents
+    ),
+    shs AS (
+      SELECT doc_id, source,
+             list_distinct({_SHINGLES_SQL.format(toks='toks')}) AS ss
+      FROM t
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jaccard
+    FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard self-join (block = source column)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col=F.col("source"), k=3, threshold=0.5
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    toks = _TOKS_SQL.format(col="text")
+    # bit b of conv(substr(md5,1,15),16,10): hex char at position 15-b//4,
+    # nibble bit b%4. strpos is 1-based → hexval = strpos-1.
+    bit = (
+        "((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) // {div}) % 2"
+    )
+    votes = ",\n             ".join(
+        "sum(CASE WHEN "
+        + bit.format(pos=15 - b // 4, div=1 << (b % 4))
+        + f" = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    total = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL.format(toks='toks')})) AS s
+      FROM t
+    ),
+    hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+    v AS (
+      SELECT doc_id, {votes}
+      FROM hx GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {total} AS simhash FROM v),
+    blocks AS (
+      SELECT doc_id, simhash,
+             unnest(list_transform(generate_series(0, 3),
+               i -> concat(i::VARCHAR, ':', ((simhash >> (i * 15)) & 32767)::VARCHAR))) AS block
+      FROM sim
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocks a JOIN blocks b USING (block)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("simhash_neardup", oracle=_simhash_oracle())
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit simhash (md5-derived feature hashes, no
+    UDF) + pigeonhole 15-bit block join + Hamming ≤ 3."""
+    d = load(spark, sf_dir, "documents")
+    simmed = D.simhash_table(d, "doc_id", "text", k=3)
+    pairs = D.simhash_candidates(simmed, "doc_id", "simhash", n_blocks=4)
+    return pairs.filter(F.col("hamming") <= 3).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity (embeddings table)
+# --------------------------------------------------------------------------
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))"
+)
+_NORM2_SQL = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ({a})[i]::DOUBLE * ({a})[i]::DOUBLE)))"
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round({_DOT_SQL.format(a='q.qe', b='c.embedding')}
+               / ({_NORM2_SQL.format(a='q.qe')} * {_NORM2_SQL.format(a='c.embedding')}), 6)
+               AS cosine
+      FROM q, embeddings c
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5: broadcast queries × corpus, ranked on the
+    6-dp-rounded cosine with vec_id tiebreak (cross-engine determinism)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(D.cosine_sim(F.col("_qv"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+_BUCKET_SQL = (
+    "("
+    + " + ".join(f"(CASE WHEN ({{v}})[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+    + ")"
+)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings
+    ),
+    q0 AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_BUCKET_SQL.format(v='embedding')} AS qb
+      FROM embeddings WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT query_id, qe, xor(qb, unnest([0,1,2,4,8,16,32,64,128])) AS bucket
+      FROM q0
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             max(round({_DOT_SQL.format(a='qe', b='c.embedding')}
+               / ({_NORM2_SQL.format(a='qe')} * {_NORM2_SQL.format(a='c.embedding')}), 6))
+               AS cosine
+      FROM probes JOIN c USING (bucket)
+      GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with Hamming-1 multi-probe: the oracle mirrors the
+    bucketing exactly, so this checks the approximate operator's semantics
+    (probe set + rank), not an idealized exact search."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    topk = SIM.lsh_topk(e, q, k=5, n_bits=8, probe_hamming=1, query_id_col="vec_id")
+    # re-round for the comparison boundary; rank computed on rounded value
+    # inside lsh_topk? No — recompute rank on rounded cosine for determinism
+    scored = topk.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / ({_NORM2_SQL.format(a='a.embedding')} * {_NORM2_SQL.format(a='b.embedding')}), 6)
+             AS cosine
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / ({_NORM2_SQL.format(a='a.embedding')} * {_NORM2_SQL.format(a='b.embedding')}) >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH blocks (≥ 0.3)."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle — non-SQL-expressible pipelines; the
+# pytest suite checks them against the single-threaded Python oracle /
+# codec invariants instead)
+# --------------------------------------------------------------------------
+@query("crawl_bfs_frontier")
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl engine end-to-end on the deterministic synthetic web:
+    wave-synchronous BFS with seen-set anti-join, politeness budget, and
+    checkpointing; returns the visit order (bit-identical to the
+    single-threaded reference semantics — tests/test_crawl_identity.py)."""
+    import tempfile
+
+    from web_crawler_spark.plans.crawl import CrawlConfig, CrawlDriver
+    from web_crawler_spark.synthetic.web import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=3, pages_per_host=25, seed=42)
+    cfg = CrawlConfig(max_pages=12, max_depth=3, use_bloom=False)
+    driver = CrawlDriver(spark, web, tempfile.mkdtemp(prefix="wcs_q_"), cfg)
+    driver.run(max_waves=20)
+    return driver.visit_order().select("seed_host", "url", "depth", "visit_seq", "status")
+
+
+@query("image_phash_dedup")
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup on the payload table: synthesize deterministic
+    image+caption rows (input_hint schema), decode + phash via mapInPandas,
+    collapse phash-Hamming ≤ 8 pairs to the min-id survivor."""
+    from web_crawler_spark.images import image_features, synthesize_images
+
+    imgs = synthesize_images(spark, 120)
+    feats = image_features(imgs).filter(F.col("decode_ok"))
+    pairs = D.phash_neardup_pairs(feats, "image_id", "phash", max_hamming=8)
+    losers = pairs.groupBy(F.col("b").alias("image_id")).agg(F.min("a").alias("_rep"))
+    survivors = feats.join(losers, "image_id", "left").filter(F.col("_rep").isNull())
+    return survivors.select("image_id", "w", "h", "fmt", "caption", "phash")
+
+
+@query("image_features")
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary image columns (Arrow-batched
+    mapInPandas): per-format decode success + mean luma stats."""
+    from web_crawler_spark.images import image_features, synthesize_images
+
+    imgs = synthesize_images(spark, 120)
+    feats = image_features(imgs)
+    return feats.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("decode_ok"), 1)).alias("n_ok"),
+        F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
+    )

@@ -55,14 +55,7 @@ def bpe_token_count(text: Column | str) -> Column:
     A cheap, deterministic stand-in for a real BPE tokenizer's length
     signal (used for token budgeting in training-data pipelines).
     """
-    return F.size(F.expr(f"regexp_extract_all(lower({_sql(text)}), '{BPE_RE}', 0)"))
-
-
-def _sql(col: Column | str) -> str:
-    """Column name for use inside F.expr (string inputs only)."""
-    if isinstance(col, str):
-        return col
-    raise TypeError("expr-based kernels need a column *name*")
+    return F.size(F.regexp_extract_all(F.lower(_c(text)), F.lit(BPE_RE), 0))
 
 
 def stopword_ratio(text: Column | str) -> Column:

@@ -190,7 +190,22 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     r = 127.5 + 127.5 * np.sin(2 * np.pi * fx * xx / max(w, 1) + phase)
     g = 127.5 + 127.5 * np.sin(2 * np.pi * fy * yy / max(h, 1) + phase * 0.5)
     b = 127.5 + 127.5 * np.sin(2 * np.pi * (xx + yy) / max(w + h, 1) + phase * 0.25)
-    return np.stack([r, g, b], axis=-1).clip(0, 255).astype(np.uint8)
+    base = np.stack([r, g, b], axis=-1)
+    # seeded 8×8 block pattern: gives each id a distinctive low-frequency
+    # structure (phash Hamming ~30 between distinct ids) while re-encodes
+    # of the same id stay within Hamming ≤ 4. SplitMix64-style hash per
+    # block, vectorized — no RNG state.
+    bs = 8
+    by, bx = (np.arange(h) // bs)[:, None], (np.arange(w) // bs)[None, :]
+    with np.errstate(over="ignore"):  # modular uint64 arithmetic, by design
+        z = (by.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + bx.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+             + np.uint64(seed) * np.uint64(0x94D049BB133111EB))
+        z = (z ^ (z >> np.uint64(31))) * np.uint64(0xD6E8FEB86659FD93)
+        z = z ^ (z >> np.uint64(27))
+    noise = (z % np.uint64(256)).astype(np.float64) - 128.0
+    out = base * 0.4 + 127.5 * 0.6 + noise[..., None] * 0.6
+    return out.clip(0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------- Spark-side pipeline -----

@@ -199,6 +199,35 @@ def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 
 
 # ------------------------------------------------------------- SimHash -----
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, simhash) via explode → one md5 per shingle → 60 partial-agg bit
+    votes → recombine. Identical result to :func:`simhash64`, but the
+    feature hash is computed once per shingle (not once per bit) and the
+    votes aggregate with map-side combine — the shape that survives 100 TB.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles(F.col(text_col), k))).alias("_s"),
+    ).withColumn("_h", F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long"))
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(60)
+        ]
+    )
+    out = None
+    for b in range(60):
+        piece = F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = piece if out is None else out + piece
+    return votes.select(F.col(id_col), out.alias("simhash"))
+
+
 def simhash64(text_col: str, k: int = 2) -> Column:
     """64-bit SimHash over k-token shingles, built from md5-derived feature
     hashes entirely with built-in expressions (no UDF).
@@ -209,14 +238,18 @@ def simhash64(text_col: str, k: int = 2) -> Column:
     """
     sh = F.array_distinct(TX.shingles(F.col(text_col), k))
     h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+
+    def vote_fn(b: int):
+        def step(acc, x):
+            return acc + F.when(
+                F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
     bits = []
     for b in range(60):
-        vote = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x, b=b: acc
-            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(h, F.lit(0), vote_fn(b))
         bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for bcol in bits[1:]:
