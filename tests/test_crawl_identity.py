@@ -11,7 +11,7 @@ from web_crawler_spark.oracle import crawl_all
 from web_crawler_spark.plans.crawl import CrawlConfig, CrawlDriver
 from web_crawler_spark.synthetic.web import SyntheticWeb
 
-WEB = SyntheticWeb(n_hosts=4, pages_per_host=40, seed=42)
+WEB = SyntheticWeb(n_hosts=3, pages_per_host=28, seed=42)
 
 
 def _spark_results(driver):
@@ -28,15 +28,15 @@ def _spark_results(driver):
     return by_seed
 
 
-@pytest.mark.parametrize("host_budget", [None, 3])
+@pytest.mark.parametrize("host_budget", [None, 4])
 def test_bit_identical_order_and_seen_set(spark, tmp_path, host_budget):
-    cfg = CrawlConfig(max_pages=25, max_depth=3, host_wave_budget=host_budget,
+    cfg = CrawlConfig(max_pages=12, max_depth=3, host_wave_budget=host_budget,
                       use_bloom=False)
     driver = CrawlDriver(spark, WEB, str(tmp_path / f"crawl_{host_budget}"), cfg)
     driver.run(max_waves=60)
     got = _spark_results(driver)
 
-    want = crawl_all(WEB, max_pages=25, max_depth=3)
+    want = crawl_all(WEB, max_pages=12, max_depth=3)
     for seed, res in want.items():
         seed_host = seed.split("//", 1)[1].split("/", 1)[0]
         g = got[seed_host]
@@ -49,7 +49,7 @@ def test_bit_identical_order_and_seen_set(spark, tmp_path, host_budget):
 
 
 def test_priority_bucket_sort_matches_oracle(spark, tmp_path):
-    cfg = CrawlConfig(max_pages=25, max_depth=2, use_bloom=False)
+    cfg = CrawlConfig(max_pages=12, max_depth=2, use_bloom=False)
     driver = CrawlDriver(spark, WEB, str(tmp_path / "crawl_prio"), cfg)
     driver.run(max_waves=30)
     pr = driver.prioritized()
@@ -58,14 +58,14 @@ def test_priority_bucket_sort_matches_oracle(spark, tmp_path):
     for r in rows:
         got.setdefault(r["seed_host"], []).append(r["url"])
 
-    want = crawl_all(WEB, max_pages=25, max_depth=2)
+    want = crawl_all(WEB, max_pages=12, max_depth=2)
     for seed, res in want.items():
         seed_host = seed.split("//", 1)[1].split("/", 1)[0]
         assert got[seed_host] == res.prioritized, seed
 
 
 def test_resume_reproduces_uninterrupted_state(spark, tmp_path):
-    cfg = CrawlConfig(max_pages=20, max_depth=3, use_bloom=False)
+    cfg = CrawlConfig(max_pages=10, max_depth=3, use_bloom=False)
     full = CrawlDriver(spark, WEB, str(tmp_path / "full"), cfg)
     full.run(max_waves=60)
 
@@ -82,12 +82,12 @@ def test_resume_reproduces_uninterrupted_state(spark, tmp_path):
 def test_bloom_pre_prune_is_lossless(spark, tmp_path):
     base = CrawlDriver(
         spark, WEB, str(tmp_path / "nobloom"),
-        CrawlConfig(max_pages=20, max_depth=2, use_bloom=False),
+        CrawlConfig(max_pages=10, max_depth=2, use_bloom=False),
     )
     base.run(max_waves=30)
     bloomed = CrawlDriver(
         spark, WEB, str(tmp_path / "bloom"),
-        CrawlConfig(max_pages=20, max_depth=2, use_bloom=True),
+        CrawlConfig(max_pages=10, max_depth=2, use_bloom=True),
     )
     bloomed.run(max_waves=30)
     assert _spark_results(base) == _spark_results(bloomed)

@@ -1,0 +1,112 @@
+"""Dedup operator tests: exact first/best-wins parity with the reference's
+Map semantics, MinHash/SimHash near-dup on planted duplicates, phash
+banding exactness, connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators import dedup as D
+
+
+def test_first_wins_keeps_ingest_order(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "second"), ("k1", 1, "first"), ("k2", 5, "only")],
+        "key string, seq int, val string",
+    )
+    got = {r["key"]: r["val"] for r in D.dedup_first_wins(df, "key", "seq").collect()}
+    assert got == {"k1": "first", "k2": "only"}
+
+
+def test_best_wins_score_then_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0, "low-early"), ("k", 2, 20.0, "high"), ("k", 3, 20.0, "high-late")],
+        "key string, seq int, score double, val string",
+    )
+    got = D.dedup_best_wins(df, "key", "score", "seq").collect()
+    assert len(got) == 1 and got[0]["val"] == "high"
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun near the garden wall"
+)
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(20):
+        # mostly-distinct vocabulary per doc (w{i}_{j}) over a small shared base
+        distinct = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append((i, f"document number {i} " + _BASE + " " + distinct))
+    # planted near-dup of doc 0: one word changed
+    rows.append((100, rows[0][1].replace("afternoon", "morning")))
+    # exact dup of doc 1 (different id)
+    rows.append((101, rows[1][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_neardups(spark):
+    df = _corpus(spark)
+    survivors = D.minhash_dedup(df, "doc_id", "text", k=3, perms=8, band_size=2,
+                                jaccard_threshold=0.8)
+    ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids  # dups collapsed to min id
+    assert 0 in ids and 1 in ids
+    assert len(ids) == 20
+
+
+def test_simhash_table_matches_column_impl(spark):
+    df = _corpus(spark).limit(5)
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash_table(df, "doc_id", "text", 3).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", D.simhash64("text", 3).alias("s")).collect()
+    }
+    assert a == b
+
+
+def test_simhash_neardup_pairs(spark):
+    df = _corpus(spark)
+    sims = D.simhash_table(df, "doc_id", "text", 3)
+    pairs = D.simhash_candidates(sims, "doc_id", "simhash", 4)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 101)] == 0  # exact dup → hamming 0
+    # near-dup (one word changed) lands far closer than unrelated docs
+    sim_map = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+
+    def ham(x, y):
+        return bin((x ^ y) & (2 ** 64 - 1)).count("1")
+
+    near = ham(sim_map[0], sim_map[100])
+    unrelated = min(ham(sim_map[0], sim_map[j]) for j in range(2, 20))
+    assert near < unrelated
+
+
+def test_phash_banding_is_exact_for_small_distance(spark):
+    # pairs within hamming <= 4 must always share one of 5 13-bit blocks
+    rows = [("a", 0b1111), ("b", 0b0111), ("c", 1 << 40), ("d", (1 << 40) | 0b11)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = D.phash_neardup_pairs(df, max_hamming=4)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[("a", "b")] == 1
+    assert got[("c", "d")] == 2
+    assert ("a", "c") not in got
+
+
+def test_connected_min(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    comp = {r["node"]: r["component"] for r in D.connected_min(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_embedding_neardup_and_cosine(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # close to 1
+        (3, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.embedding_neardup_pairs(df, threshold=0.9)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}

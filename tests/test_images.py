@@ -1,0 +1,72 @@
+"""Image payload invariants (BASELINE.json input_hint): lossless PNG
+round-trip, PSNR ≥ 40 dB on the lossy path, caption equality through the
+pipeline, phash near-dup behavior, Arrow-batched Spark plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from web_crawler_spark import images as IM
+from web_crawler_spark.operators import dedup as D
+
+
+def test_png_roundtrip_exact():
+    px = IM.synth_pixels("img_000000000007", 48, 32)
+    assert (IM.decode_png(IM.encode_png(px)) == px).all()
+
+
+def test_lossy_psnr_at_least_40db():
+    for i in range(10):
+        px = IM.synth_pixels(f"img_{i:012d}", 64, 64)
+        dec = IM.decode_lossy(IM.encode_lossy(px, 90))
+        assert IM.psnr(px, dec) >= 40.0
+
+
+def test_jpeg_real_seam_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        IM.decode_jpeg_real(b"\xff\xd8")
+
+
+def test_phash_properties():
+    a = IM.synth_pixels("img_000000000001", 64, 48)
+    b = IM.synth_pixels("img_000000000002", 64, 48)
+    ha, hb = IM.phash64(a), IM.phash64(b)
+
+    def ham(x, y):
+        return bin((x ^ y) & (2 ** 64 - 1)).count("1")
+
+    assert ham(ha, hb) > 10  # distinct content far apart
+    re85 = IM.decode_lossy(IM.encode_lossy(a, 85))
+    assert ham(ha, IM.phash64(re85)) <= 4  # re-encode stays close
+    assert IM.phash64(a) == ha  # deterministic
+
+
+def test_spark_pipeline_caption_equality_and_dedup(spark):
+    imgs = IM.synthesize_images(spark, 60)
+    feats = IM.image_features(imgs)
+    joined = imgs.select("image_id", F.col("caption").alias("cap_in")).join(
+        feats, "image_id"
+    )
+    rows = joined.collect()
+    assert rows and all(r["decode_ok"] for r in rows)
+    assert all(r["cap_in"] == r["caption"] for r in rows)  # caption equality invariant
+
+    # stored phash (generator) == recomputed phash (pipeline)
+    both = imgs.select("image_id", F.col("phash").alias("ph_in")).join(feats, "image_id")
+    assert all(r["ph_in"] == r["phash"] for r in both.collect())
+
+    # planted _dup siblings collapse onto their original
+    pairs = D.phash_neardup_pairs(feats, max_hamming=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    for i in range(0, 60, 10):
+        iid = f"img_{i:012d}"
+        assert (iid, f"{iid}_dup") in got
+
+
+def test_synthesize_is_deterministic(spark):
+    a = IM.synthesize_images(spark, 20).select("image_id", "phash").collect()
+    b = IM.synthesize_images(spark, 20).select("image_id", "phash").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,59 @@
+"""ANN + analytics-grid operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.analytics import grid
+from web_crawler_spark.operators import similarity as SIM
+
+
+def _vecs(spark, n=40, dim=8):
+    import math
+
+    rows = []
+    for i in range(n):
+        v = [math.sin(i * 0.7 + j) for j in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_self_is_rank1(spark):
+    df = _vecs(spark)
+    q = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    top = SIM.brute_force_topk(df, q, k=3, query_id_col="query_id")
+    r1 = {r["query_id"]: r["vec_id"] for r in top.filter(F.col("rank") == 1).collect()}
+    assert r1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_lsh_topk_contains_self_and_subset_of_probed(spark):
+    df = _vecs(spark)
+    q = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    top = SIM.lsh_topk(df, q, k=3, n_bits=4, probe_hamming=1, query_id_col="query_id")
+    rows = top.collect()
+    assert rows
+    r1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}  # self bucket always probed → rank 1 = self
+
+
+def test_grid_pipeline(spark):
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i % 7) if i % 5 else None) for i in range(30)],
+        "id long, name string, score double",
+    )
+    # contains filter
+    f = grid.contains_filter(df, {"name": "AME1"})  # case-insensitive
+    assert f.count() == 11  # name1, name10..name19
+    # sort nulls last
+    s = grid.sort_view(df, "score", ascending=True).collect()
+    assert s[-1]["score"] is None
+    # paginate
+    p = grid.paginate(grid.sort_view(df, "id"), page=2, size=10).collect()
+    assert [r["id"] for r in p] == list(range(10, 20))
+    # keyset page equals offset page on unique key
+    kp = grid.keyset_page(df, "id", after=9, size=10).collect()
+    assert [r["id"] for r in kp] == list(range(10, 20))
+    # range filter
+    assert grid.range_filter(df, "score", "2-4").count() == sum(
+        1 for i in range(30) if i % 5 and 2 <= i % 7 <= 4
+    )

@@ -1,0 +1,77 @@
+"""Unit tests for the text-analysis column kernels (functions/text.py)
+against literal expected values computed by hand / pure Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import text as TX
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+
+def test_token_counts(spark):
+    df = _docs(spark, ["the cat sat", "  a  b ", "", "one"])
+    got = df.select("doc_id", TX.token_count("text").alias("n")).collect()
+    assert {r["doc_id"]: r["n"] for r in got} == {0: 3, 1: 2, 2: 0, 3: 1}
+
+
+def test_bpe_token_count(spark):
+    df = _docs(spark, ["Hello, world! x2"])
+    # tokens: hello , world ! x2  → alnum runs: hello, world, x2; punct: , !
+    assert df.select(TX.bpe_token_count("text").alias("n")).collect()[0]["n"] == 5
+
+
+def test_normalize_and_fingerprint(spark):
+    df = _docs(spark, ["  Hello,   WORLD!! ", "hello world"])
+    rows = df.select(TX.normalize_text("text").alias("n"), TX.fingerprint("text").alias("f")).collect()
+    assert rows[0]["n"] == "hello world" == rows[1]["n"]
+    expect = hashlib.md5(b"hello world").hexdigest()
+    assert rows[0]["f"] == expect == rows[1]["f"]
+
+
+def test_shingles(spark):
+    df = _docs(spark, ["a b c d", "a b"])
+    rows = df.orderBy("doc_id").select(TX.shingles("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]  # shorter than k → single shingle
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = _docs(spark, ["the cat and dog", "!!!!"])
+    r = df.orderBy(F.length("text").desc()).select(
+        TX.stopword_ratio("text").alias("sw"), TX.punct_ratio("text").alias("p")
+    ).collect()
+    assert abs(r[0]["sw"] - 0.5) < 1e-9  # the, and of 4 tokens
+    assert abs(r[1]["p"] - 1.0) < 1e-9
+
+
+def test_minhash_signature_matches_python(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    df = _docs(spark, [text])
+    sig = df.select(TX.minhash_signature("text", 3, 4).alias("s")).collect()[0]["s"]
+    toks = text.split(" ")
+    sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    for p in range(4):
+        want = min(hashlib.md5(f"{p}|{s}".encode()).hexdigest() for s in sh)
+        assert sig[p] == want
+
+
+def test_word_overlap_similarity(spark):
+    df = spark.createDataFrame([("a b c", "b c d")], "x string, y string")
+    got = df.select(TX.word_overlap_similarity("x", "y").alias("s")).collect()[0]["s"]
+    assert abs(got - 2 / 4) < 1e-9
+
+
+def test_lang_id(spark):
+    df = _docs(spark, ["the cat is on the mat", "zzz qqq xxx", "日本語のテキストです"])
+    got = [r["l"] for r in df.orderBy("doc_id").select(TX.lang_id("text").alias("l")).collect()]
+    assert got == ["en", "unknown", "unknown"]

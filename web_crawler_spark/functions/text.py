@@ -150,11 +150,14 @@ def minhash_signature(text: Column | str, k: int = 3, perms: int = 8) -> Column:
     oracle — see analytics/queries.py.
     """
     sh = shingles(text, k)
+
+    def perm_hash(p: int):
+        # NOTE: must be a 1-arg lambda — a second (defaulted) parameter
+        # makes PySpark treat it as an (element, index) lambda.
+        return lambda s: F.md5(F.concat(F.lit(f"{p}|"), s))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}|"), s))))
-            for p in range(perms)
-        ]
+        *[F.array_min(F.transform(sh, perm_hash(p))) for p in range(perms)]
     )
 
 

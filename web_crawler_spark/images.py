@@ -272,7 +272,10 @@ def synthesize_images(
                 fmt = "jpeg" if i % lossy_every == 0 else "png"
                 data = encode_lossy(px, 90) if fmt == "jpeg" else encode_png(px)
                 caption = caption_fn(i) if caption_fn else f"synthetic scene {i}"
-                rows.append((image_id, data, w, h, fmt, caption, phash64(px)))
+                # phash of the *payload* (decoded bytes), so the stored value
+                # equals what any downstream decode+phash pass recomputes
+                ph = phash64(decode_lossy(data)) if fmt == "jpeg" else phash64(px)
+                rows.append((image_id, data, w, h, fmt, caption, ph))
                 if neardup_every and i % neardup_every == 0:
                     dup = encode_lossy(px, 85)
                     rows.append(

@@ -87,6 +87,31 @@ def canonical_merge(
 
 
 # ---------------------------------------------------------- MinHash LSH ----
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    perms: int = 8,
+) -> DataFrame:
+    """(id, m0..m{perms-1}) minhash signature via explode → one groupBy
+    with ``perms`` MIN aggregates (map-side combined). Identical values to
+    :func:`functions.text.minhash_signature`, but each shingle's md5 is
+    computed exactly ``perms`` times in one pass — the array-expression
+    form re-inlines the whole transform tree per consumer, which blows up
+    at corpus scale."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(TX.shingles(F.col(text_col), k)).alias("_s"),
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("_s")))).alias(f"m{p}")
+            for p in range(perms)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -101,11 +126,19 @@ def minhash_lsh_candidates(
     band key → distinct pairs (a<b). One shuffle on band key; no cross
     join. Returns (a, b) candidate id pairs.
     """
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        TX.lsh_band_keys(TX.minhash_signature(text_col, k, perms), perms, band_size).alias("_bands"),
+    sig = minhash_signature_table(df, id_col, text_col, k, perms)
+    band_cols = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws(",", *[F.col(f"m{b * band_size + i}") for i in range(band_size)]),
+            )
+        )
+        for b in range(perms // band_size)
+    ]
+    exploded = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("band")
     )
-    exploded = sig.select("_id", F.explode("_bands").alias("band"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
