@@ -1,0 +1,128 @@
+"""Extractor-stack tests against the synthetic web's golden counts: every
+page plants ``n_locations(h,p)`` records via a known strategy; each
+extractor must recover exactly those records (count and values)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators import extract as EX
+from web_crawler_spark.synthetic.web import SyntheticWeb
+
+WEB = SyntheticWeb(n_hosts=4, pages_per_host=60, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = []
+    for h in range(WEB.n_hosts):
+        for p in range(WEB.n_pages(h)):
+            rows.append(
+                (WEB.url(h, p), WEB.host(h), WEB.body(h, p), WEB.xhr_json(h, p))
+            )
+    df = spark.createDataFrame(
+        rows, "url string, seed_host string, body string, xhr_json string"
+    ).cache()
+    df.count()
+    return df
+
+
+def _golden(strategy):
+    total = 0
+    for h in range(WEB.n_hosts):
+        for p in range(WEB.n_pages(h)):
+            if WEB.strategy(h, p) == strategy:
+                total += WEB.n_locations(h, p)
+    return total
+
+
+@pytest.mark.parametrize(
+    "strategy,extractor",
+    [
+        ("jsonld", EX.extract_jsonld),
+        ("microdata", EX.extract_microdata),
+        ("map", EX.extract_map),
+        ("script", EX.extract_inline_script),
+        ("text", EX.extract_text),
+        ("h3", EX.extract_h3_sequential),
+        ("spa", EX.extract_xhr),
+    ],
+)
+def test_each_strategy_recovers_golden_count(pages, strategy, extractor):
+    got = extractor(pages).count()
+    assert got == _golden(strategy), f"{strategy}: {got} != {_golden(strategy)}"
+
+
+def test_jsonld_values_match_planted(pages):
+    # pick one jsonld page with records and compare field-by-field
+    target = None
+    for h in range(WEB.n_hosts):
+        for p in range(WEB.n_pages(h)):
+            if WEB.strategy(h, p) == "jsonld" and WEB.n_locations(h, p) > 0:
+                target = (h, p)
+                break
+        if target:
+            break
+    assert target is not None
+    h, p = target
+    url = WEB.url(h, p)
+    got = (
+        EX.extract_jsonld(pages.filter(F.col("url") == url))
+        .orderBy("locationName")
+        .collect()
+    )
+    want = sorted(
+        (WEB.location(h, p, k) for k in range(WEB.n_locations(h, p))),
+        key=lambda L: L["name"],
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["locationName"] == w["name"]
+        assert g["street"] == w["street"]
+        assert g["city"] == w["city"]
+        assert g["postcode"] == w["postcode"]
+        assert g["country"] == w["country"]
+        assert abs(g["latitude"] - w["lat"]) < 1e-9
+        assert abs(g["longitude"] - w["lon"]) < 1e-9
+        assert g["phone"] == w["phone"]
+
+
+def test_extract_all_union_and_floor(pages):
+    allr = EX.extract_all(pages)
+    per = {r["extractionMethod"]: r["count"] for r in
+           allr.groupBy("extractionMethod").count().collect()}
+    for strat in ("jsonld", "microdata", "map", "script", "text", "h3"):
+        assert per.get(strat, 0) == _golden(strat), strat
+    assert per.get("xhr", 0) == _golden("spa")
+    # all confidences above the floor
+    assert allr.filter(F.col("confidence") < EX.CONFIDENCE_FLOOR).count() == 0
+
+
+def test_image_caption_extraction(pages):
+    imgs = EX.extract_images(pages)
+    total_planted = sum(
+        WEB.n_locations(h, p)
+        for h in range(WEB.n_hosts)
+        for p in range(WEB.n_pages(h))
+    )
+    assert imgs.count() == total_planted
+    # caption format "{name} — {city}, {country}"
+    bad = imgs.filter(~F.col("caption").rlike(r"^.+ — .+, [A-Z]{3}$")).count()
+    assert bad == 0
+
+
+def test_classifier_and_needs_js(pages):
+    cl = pages.select(
+        "url", EX.classify_page("url", "body").alias("c"),
+        EX.needs_js("body").alias("njs"),
+    )
+    rows = cl.collect()
+    by_url = {r["url"]: r for r in rows}
+    for h in range(WEB.n_hosts):
+        for p in range(WEB.n_pages(h)):
+            u = WEB.url(h, p)
+            if "/contact/" in u or u.rstrip("/").endswith("/contact"):
+                assert by_url[u]["c"]["confidence"] >= 0.85
+            if WEB.strategy(h, p) == "spa":
+                assert by_url[u]["njs"], u

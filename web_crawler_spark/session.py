@@ -43,10 +43,15 @@ def get_spark(
         # image payloads ride in binary columns; bound Arrow batch size so a
         # batch of bytes rows fits executor memory at 100TB scale
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # 16g, not bigger: oversized heaps measurably GC-anti-scale at high
+        # local thread counts (see BENCH.md); real clusters size per-core
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.path.isdir("/dev/shm"):
+        # tmpfs shuffle: local-mode stand-in for cluster NVMe/shuffle service
+        builder = builder.config("spark.local.dir", "/dev/shm/wcs-shuffle")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
