@@ -1,0 +1,115 @@
+"""A4 greedy fuzzy cluster-merge: Spark blocked operator must be
+bit-identical to the pure-Python kernel (which restates the reference's
+greedy order), including merge field selection."""
+
+from __future__ import annotations
+
+import math
+
+from web_crawler_spark.operators import fuzzy as FZ
+
+
+def _rec(host, name, addr, lat, lon, pc, url, phone=None, q=None):
+    return {
+        "seed_host": host, "locationName": name, "locationAddress": addr,
+        "latitude": lat, "longitude": lon, "countryIso3": "USA",
+        "postcode": pc, "state": None, "streetOrCity": None,
+        "activityAtAsset": None, "phone": phone, "email": None,
+        "sourceUrl": url, "qualityScore": q,
+    }
+
+
+def _fixture():
+    rows = []
+    # host A: base + near-dup (typo'd name, same coords/postcode) + distinct
+    rows.append(_rec("a.com", "Springfield Office", "12 Main Street", 40.0, -75.0,
+                     "19001", "https://a.com/contact", phone="+1 555-0100", q=80))
+    rows.append(_rec("a.com", "Springfeld Office", "12 Main St.", 40.0001, -75.0001,
+                     "19001", "https://a.com/locations", phone="+1 555-0199", q=90))
+    rows.append(_rec("a.com", "Riverton Warehouse", "99 Dock Road", 41.5, -74.0,
+                     "19977", "https://a.com/about", q=70))
+    # host B: chain — b similar to a, c similar to a but not to b
+    rows.append(_rec("b.com", "Lakewood Store", "5 Oak Avenue", 30.0, -90.0,
+                     "70001", "https://b.com/1", q=50))
+    rows.append(_rec("b.com", "Lakewood Store No2", "5 Oak Ave", 30.0002, -90.0002,
+                     "70001", "https://b.com/2", q=60))
+    rows.append(_rec("b.com", "Dover Cafe", "7 High Street", 10.0, 10.0,
+                     "11111", "https://b.com/3", q=40))
+    return rows
+
+
+def test_python_kernel_greedy_semantics():
+    rows = [r for r in _fixture() if r["seed_host"] == "a.com"]
+    merged = FZ.fuzzy_cluster_merge(rows, 0.85)
+    assert len(merged) == 2
+    m = merged[0]
+    assert m["mergedFrom"] == 2
+    # longest-wins per field
+    assert m["locationName"] == "Springfield Office"  # longer than typo? equal len → first in values order
+    assert m["locationAddress"] == "12 Main Street"
+    assert m["sourceUrl"] == "https://a.com/contact, https://a.com/locations"
+    assert m["qualityScore"] == 90
+    assert m["phone"] == ["+1 555-0100", "+1 555-0199"]
+
+
+def test_similarity_components():
+    a, b = _fixture()[0], _fixture()[1]
+    s = FZ.similarity(a, b)
+    assert s >= 0.85
+    c = _fixture()[2]
+    assert FZ.similarity(a, c) < 0.5
+    # weight renormalization when components missing
+    a2 = dict(a, latitude=None, longitude=None)
+    b2 = dict(b, latitude=None, longitude=None)
+    assert 0 < FZ.similarity(a2, b2) <= 1
+
+
+def test_spark_matches_python_kernel(spark):
+    rows = _fixture()
+    df = spark.createDataFrame(
+        [
+            tuple(
+                r[k] for k in [
+                    "seed_host", "locationName", "locationAddress", "latitude",
+                    "longitude", "countryIso3", "postcode", "state",
+                    "streetOrCity", "activityAtAsset", "phone", "email",
+                    "sourceUrl", "qualityScore",
+                ]
+            )
+            for r in rows
+        ],
+        "seed_host string, locationName string, locationAddress string, "
+        "latitude double, longitude double, countryIso3 string, postcode string, "
+        "state string, streetOrCity string, activityAtAsset string, phone string, "
+        "email string, sourceUrl string, qualityScore int",
+    )
+    got = FZ.fuzzy_dedup(df, "seed_host", order_cols=["sourceUrl"]).collect()
+    by_host: dict[str, list] = {}
+    for r in got:
+        by_host.setdefault(r["seed_host"], []).append(r)
+
+    for host in ("a.com", "b.com"):
+        want = FZ.fuzzy_cluster_merge(
+            sorted(
+                (r for r in rows if r["seed_host"] == host),
+                key=lambda r: r["sourceUrl"],
+            ),
+            0.85,
+        )
+        got_h = sorted(by_host[host], key=lambda r: r["sourceUrl"])
+        want_h = sorted(want, key=lambda r: r["sourceUrl"])
+        assert len(got_h) == len(want_h), host
+        for g, w in zip(got_h, want_h):
+            assert g["locationName"] == w["locationName"]
+            assert g["sourceUrl"] == w["sourceUrl"]
+            assert g["mergedFrom"] == w["mergedFrom"]
+            assert g["qualityScore"] == w["qualityScore"]
+            wp = w.get("phone")
+            wp = wp if isinstance(wp, list) or wp is None else [wp]
+            assert g["phone"] == wp
+
+
+def test_haversine_against_known_value():
+    # NYC → Philadelphia ≈ 129.6 km
+    d = FZ.haversine_km(40.7128, -74.0060, 39.9526, -75.1652)
+    assert math.isclose(d, 129.6, abs_tol=1.5)

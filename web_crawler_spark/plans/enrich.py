@@ -1,0 +1,180 @@
+"""Enrichment: geocoding dim join + canonical record projection + quality.
+
+The reference's post-extraction chain (crawler.service.js:403-416):
+confidence filter → fuzzy dedup → per-row geocode (Redis-cached
+OpenCage/Google, geocoding.service.js:14-17) → canonical 14-field
+projection (:449-464) → quality envelope (data-quality.service.js).
+
+Spark restatement:
+- geocoding = a **dimension-table equi-join** on the normalized address
+  (J3). The Redis cache becomes the dim table itself; the network
+  provider becomes this sandbox's deterministic coordinate synthesizer
+  (same hash-derived contract as the rest of the synthetic web). Rows
+  that already carry coordinates skip the join output via coalesce —
+  the reference's "merge-back after geocoding" (J8,
+  professional-crawler.service.js:262-266) expressed as a single
+  left join + coalesce instead of split/union.
+- the canonical projection and every envelope column (activity X11,
+  height X12, footprint X13, quality X24-X26) are the records.py /
+  geo.py column kernels — all whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import geo as G
+from web_crawler_spark.functions import records as R
+from web_crawler_spark.hashing import hash64
+
+
+def geocode_dim_for(records: DataFrame) -> DataFrame:
+    """Build the geocode dimension for the distinct normalized addresses
+    present (cache-on-miss semantics): deterministic hash-derived
+    coordinates, same contract as SyntheticWeb. In production this table
+    IS the persisted geocode cache (30-day TTL in the reference →
+    snapshot-expired Iceberg table here)."""
+    addrs = records.select(
+        F.lower(F.trim(F.concat_ws(", ", "street", "city"))).alias("address_norm")
+    ).distinct()
+
+    @F.udf("double")
+    def _lat(a):
+        return (hash64("geo-lat", a) % 120_000_000) / 1_000_000 - 60.0
+
+    @F.udf("double")
+    def _lon(a):
+        return (hash64("geo-lon", a) % 360_000_000) / 1_000_000 - 180.0
+
+    # hash64 is md5-based — no JVM twin — so the dim build is the one spot
+    # a plain UDF is acceptable: it runs once per *distinct address*
+    # (dimension cardinality), never per fact row.
+    return addrs.select(
+        "address_norm", _lat("address_norm").alias("geo_lat"), _lon("address_norm").alias("geo_lon")
+    )
+
+
+def geocode_enrich(records: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """J3 + J8: fill missing coordinates from the dim; rows with coords
+    pass through untouched (coalesce merge-back)."""
+    dim = dim if dim is not None else geocode_dim_for(records)
+    keyed = records.withColumn(
+        "address_norm", F.lower(F.trim(F.concat_ws(", ", "street", "city")))
+    )
+    joined = keyed.join(F.broadcast(dim), "address_norm", "left")
+    return (
+        joined.withColumn(
+            "latitude", F.coalesce(F.col("latitude"), F.col("geo_lat"))
+        )
+        .withColumn("longitude", F.coalesce(F.col("longitude"), F.col("geo_lon")))
+        .withColumn("geocoded", F.col("geo_lat").isNotNull() & F.col("latitude").isNotNull())
+        .drop("geo_lat", "geo_lon", "address_norm")
+    )
+
+
+def to_canonical_records(raw: DataFrame) -> DataFrame:
+    """F14: project enriched raw records into the canonical shape
+    (crawler.service.js:449-464) with the full envelope."""
+    activity = R.classify_activity(F.coalesce("locationName", F.lit("")))
+    out = raw.select(
+        "seed_host",
+        F.col("locationName"),
+        F.concat_ws(
+            ", ",
+            *[F.when(F.col(c).isNotNull() & (F.col(c) != ""), F.col(c)) for c in
+              ("street", "city", "postcode", "country")],
+        ).alias("locationAddress"),
+        activity.alias("activityAtAsset"),
+        F.col("latitude").cast("double").alias("latitude"),
+        F.col("longitude").cast("double").alias("longitude"),
+        F.col("country").alias("countryIso3"),
+        F.col("postcode"),
+        F.lit(None).cast("string").alias("state"),
+        F.coalesce("city", "street").alias("streetOrCity"),
+        G.footprint_wkt("latitude", "longitude").alias("footprint"),
+        R.estimate_height(activity).alias("height"),
+        F.lit("100%").alias("usageShare"),
+        "sourceUrl",
+        F.lit("web").alias("sourceType"),
+        "confidence",
+        "extractionMethod",
+        "phone",
+        "email",
+    )
+    qmap = {k: k for k in R.QUALITY_WEIGHTS}
+    return (
+        out.withColumn("qualityScore", R.quality_score(qmap))
+        .withColumn("qualityLevel", R.quality_level("qualityScore"))
+        .withColumn("missingFields", R.missing_fields(qmap))
+    )
+
+
+def attach_payload(records: DataFrame, images: DataFrame) -> DataFrame:
+    """Join the image+caption payload onto records: the image comes from one
+    of the record's source pages and its caption starts with the record's
+    name (the generator's contract "{name} — {city}, {country}").
+
+    Merged records carry a comma-joined sourceUrl set (A4), so the record
+    side explodes its URL set first, equi-joins on url (shuffle join
+    partitioned by url — broadcast-able when the image side is a dim), and
+    keeps exactly ONE deterministic image per record (min by image_id) so
+    dedup never fans back out. The record key is a content hash, not
+    monotonically_increasing_id, so the plan stays deterministic under
+    recompute/retry — a correctness requirement at scale where stage retry
+    is routine."""
+    from web_crawler_spark.hashing import hash64_col
+
+    rec = records.withColumn(
+        "_rid",
+        hash64_col(
+            F.coalesce(F.col("seed_host"), F.lit("")),
+            F.coalesce(F.col("locationName"), F.lit("")),
+            F.coalesce(F.col("locationAddress"), F.lit("")),
+            F.coalesce(F.col("sourceUrl"), F.lit("")),
+        ),
+    )
+    img = images.select(F.col("sourceUrl").alias("_iu"), "image_id", "caption")
+    exploded = rec.select(
+        "_rid",
+        "locationName",
+        F.explode(F.split(F.coalesce("sourceUrl", F.lit("")), ", ")).alias("_iu"),
+    )
+    matched = exploded.join(img, "_iu", "inner").filter(
+        F.col("caption").startswith(F.concat(F.col("locationName"), F.lit(" — ")))
+    )
+    best = matched.groupBy("_rid").agg(
+        F.min(F.struct("image_id", "caption")).alias("_img")
+    )
+    return (
+        rec.join(best, "_rid", "left")
+        .withColumn("image_id", F.col("_img.image_id"))
+        .withColumn("caption", F.col("_img.caption"))
+        .drop("_rid", "_img")
+    )
+
+
+def records_pipeline(pages: DataFrame, fuzzy: bool = True) -> DataFrame:
+    """pages → 7-strategy extraction → confidence floor → greedy fuzzy
+    dedup per host → geocode enrich → canonical records (+ payload)."""
+    from web_crawler_spark.operators import extract as EX
+    from web_crawler_spark.operators import fuzzy as FZ
+
+    raw = EX.extract_all(pages)
+    enriched = geocode_enrich(raw)
+    recs = to_canonical_records(enriched)
+    if fuzzy:
+        deduped = FZ.fuzzy_dedup(
+            recs, "seed_host", order_cols=["sourceUrl", "locationName", "extractionMethod"]
+        )
+        # re-derive envelope columns lost through the fuzzy merge schema
+        qmap = {k: k for k in R.QUALITY_WEIGHTS}
+        recs = (
+            deduped.withColumn("footprint", G.footprint_wkt("latitude", "longitude"))
+            .withColumn("height", R.estimate_height(F.coalesce("activityAtAsset", F.lit(""))))
+            .withColumn("qualityScore", R.quality_score(qmap))
+            .withColumn("qualityLevel", R.quality_level("qualityScore"))
+            .withColumn("missingFields", R.missing_fields(qmap))
+        )
+    payload = EX.extract_images(pages)
+    return attach_payload(recs, payload)
