@@ -62,11 +62,17 @@ class SnapshotTable:
         w.parquet(out)
         return rel
 
-    def _lineage(self, df: DataFrame, lineage_key: str | None) -> dict:
-        """Per-partition lineage: row counts keyed by the partition column."""
+    def _lineage(self, df: DataFrame, lineage_key: str | None, rel: str) -> dict:
+        """Per-partition lineage: row counts keyed by the partition column.
+
+        Computed from the files just written, NOT from ``df``: re-evaluating
+        ``df`` would recompute its whole upstream chain a second time (it is
+        usually an unpersisted join/union plan), while the read-back is a
+        column-pruned scan of freshly written local parquet."""
         if lineage_key is None or lineage_key not in df.columns:
             return {}
-        rows = df.groupBy(lineage_key).count().collect()
+        written = df.sparkSession.read.parquet(os.path.join(self.data_dir, rel))
+        rows = written.groupBy(lineage_key).count().collect()
         return {str(r[lineage_key]): r["count"] for r in rows}
 
     def _commit(
@@ -103,8 +109,8 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         lineage_key: str | None = None,
     ) -> dict:
-        lineage = self._lineage(df, lineage_key)
         rel = self._write_files(df, partition_by)
+        lineage = self._lineage(df, lineage_key, rel)
         return self._commit("append", [rel], summary or {}, lineage)
 
     def overwrite(
@@ -114,8 +120,8 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         lineage_key: str | None = None,
     ) -> dict:
-        lineage = self._lineage(df, lineage_key)
         rel = self._write_files(df, partition_by)
+        lineage = self._lineage(df, lineage_key, rel)
         return self._commit("overwrite", [rel], summary or {}, lineage)
 
     # ------------------------------------------------------------ read ----

@@ -200,7 +200,9 @@ class CrawlDriver:
         )
         cand = FR.clean_candidate_links(links)
         cand = FR.first_occurrence_per_page(cand)
-        cand = FR.dedup_first_discoverer(cand)
+        # persisted: feeds the anti-join, the dedup metric, and (via
+        # new_frontier_rows) the frontier overwrite — one computation, not 3
+        cand = FR.dedup_first_discoverer(cand).persist()
         bloom = (
             self.bloom_tbl.read(self.spark)
             if cfg.use_bloom and self.bloom_tbl.exists()
@@ -231,7 +233,7 @@ class CrawlDriver:
             F.lit("queued").alias("status"),
             F.lit(None).cast("int").alias("wave_visited"),
             F.lit(None).cast("long").alias("visit_seq"),
-        )
+        ).persist()
 
         # ---- frontier state transition ------------------------------------
         visited_keys = fetched.select(
@@ -326,6 +328,8 @@ class CrawlDriver:
         self.bloom_tbl.expire_snapshots(self.cfg.keep_snapshots)
 
         fetched.unpersist()
+        cand.unpersist()
+        new_frontier_rows.unpersist()
         if blocked is not None:
             blocked.unpersist()
         # progress iff we visited, blocked, or retired deep rows
