@@ -40,6 +40,9 @@ HEADLINE = [
     "embedding_neardup",
     "crawl_bfs_frontier",
     "image_phash_dedup",
+    "api_json_normalize",
+    "geocode_enrich",
+    "records_pipeline_e2e",
 ]
 
 

@@ -1,0 +1,176 @@
+"""S5-S10 source/sink operators: sitemap mining, API probing + JSON
+normalization, PDF text capsules, bulk CSV synonym parsing, CSV export."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.sources import api_probe as AP
+from web_crawler_spark.sources import bulk as BK
+from web_crawler_spark.sources import pdf as P
+from web_crawler_spark.sources import sitemap as SM
+
+
+# ------------------------------------------------------------ sitemap ------
+def test_sitemap_candidates_and_locs(spark):
+    hosts = spark.createDataFrame([("acme.com",), ("bar.org",)], "host string")
+    cand = SM.sitemap_candidates(hosts)
+    assert cand.count() == 6  # 2 hosts x 3 conventional paths
+    urls = {r["sitemap_url"] for r in cand.collect()}
+    assert "https://acme.com/sitemap.xml" in urls
+    assert "https://bar.org/sitemap/sitemap.xml" in urls
+
+    xml = (
+        "<urlset><url><loc>https://acme.com/a</loc></url>"
+        "<url><loc>https://acme.com/login</loc></url>"
+        "<url><loc>https://acme.com/img.png</loc></url>"
+        "<url><loc>https://acme.com/b</loc></url></urlset>"
+    )
+    sm = spark.createDataFrame([("acme.com", xml)], "host string, xml string")
+    locs = SM.extract_locs(sm).select("loc_idx", "loc_url").collect()
+    # /login (path pattern) and .png (extension) excluded; order preserved
+    assert [(r["loc_idx"], r["loc_url"]) for r in locs] == [
+        (0, "https://acme.com/a"),
+        (3, "https://acme.com/b"),
+    ]
+
+
+def test_first_working_sitemap(spark):
+    rows = [
+        ("acme.com", "/sitemap_index.xml", True),
+        ("acme.com", "/sitemap/sitemap.xml", True),
+        ("bar.org", "/sitemap.xml", False),
+        ("bar.org", "/sitemap/sitemap.xml", True),
+    ]
+    df = spark.createDataFrame(rows, "host string, sitemap_path string, fetch_ok boolean")
+    got = {r["host"]: r["sitemap_path"] for r in SM.first_working_sitemap(df).collect()}
+    assert got == {
+        "acme.com": "/sitemap_index.xml",  # first in conventional order
+        "bar.org": "/sitemap/sitemap.xml",
+    }
+
+
+# ---------------------------------------------------------- api probe ------
+def test_probe_candidates(spark):
+    hosts = spark.createDataFrame([("acme.com",)], "host string")
+    cand = AP.probe_candidates(hosts)
+    assert cand.count() == len(AP.API_ENDPOINT_PATHS)
+    assert (
+        cand.filter(F.col("endpoint") == "https://acme.com/api/locations").count()
+        == 1
+    )
+
+
+def _payloads():
+    arr = json.dumps(
+        [
+            {"name": "HQ", "lat": 40.5, "lng": -74.2, "zip": "07001",
+             "country": "US", "phone": "+1 555"},
+            {"title": "Depot", "address": "9 Dock Rd", "y": 10.0, "x": 20.0},
+            {"comment": "no name or address"},
+        ]
+    )
+    nested = json.dumps(
+        {"stores": [{"storeName": "Shop", "city": "Leeds", "countryCode": "GB"}]}
+    )
+    geo = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "geometry": {"coordinates": [4.9, 52.37]},
+                    "properties": {"name": "Adam", "city": "Amsterdam",
+                                   "country": "NL"},
+                }
+            ],
+        }
+    )
+    return [
+        ("https://a.com/api/locations", arr),
+        ("https://a.com/stores.json", nested),
+        ("https://a.com/api/offices", geo),
+    ]
+
+
+def test_api_payload_normalization(spark):
+    df = spark.createDataFrame(_payloads(), "endpoint string, payload string")
+    items = AP.explode_payload_items(df)
+    out = AP.normalize_items(items).collect()
+    by_name = {r["locationName"]: r for r in out}
+    # bare array: two valid items, the no-name/no-address one dropped
+    assert set(by_name) == {"HQ", "Depot", "Shop", "Adam"}
+    hq = by_name["HQ"]
+    assert hq["latitude"] == "40.5" and hq["longitude"] == "-74.2"
+    assert hq["postcode"] == "07001"
+    assert hq["countryIso3"] == "USA"  # ISO2 -> ISO3
+    assert hq["sourceType"] == "API/JSON"
+    dep = by_name["Depot"]
+    assert dep["locationAddress"] == "9 Dock Rd"
+    assert dep["latitude"] == "10.0" and dep["longitude"] == "20.0"  # y/x synonyms
+    shop = by_name["Shop"]
+    assert shop["streetOrCity"] == "Leeds" and shop["countryIso3"] == "GBR"
+    adam = by_name["Adam"]
+    assert adam["sourceType"] == "GeoJSON"
+    assert adam["latitude"] == "52.37" and adam["longitude"] == "4.9"
+    assert adam["countryIso3"] == "NLD"
+
+
+# ----------------------------------------------------------------- pdf -----
+def test_pdf_capsule_roundtrip(spark):
+    text = "Office A\n12 Main Street, Springfield 19001\n\nOffice B\n9 Dock Rd"
+    rows = [
+        ("https://a.com/x.pdf", bytearray(P.encode_minipdf(text, pages=2))),
+        ("https://a.com/bad.pdf", bytearray(b"%PDF-1.4 real pdf bytes")),
+    ]
+    df = spark.createDataFrame(rows, "sourceUrl string, bytes binary")
+    out = {r["sourceUrl"]: r for r in P.extract_pdf_text(df).collect()}
+    good = out["https://a.com/x.pdf"]
+    assert good["decode_ok"] and good["text"] == text and good["pages"] == 2
+    # real PDF without pypdf -> flagged row, not an exception
+    assert out["https://a.com/bad.pdf"]["decode_ok"] is False
+
+
+# ---------------------------------------------------------------- bulk -----
+def test_bulk_csv_synonyms(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "up.csv")
+    with open(p, "w") as fh:
+        fh.write("Company Name,Website,junk\n")
+        fh.write("Acme,https://acme.com,1\n")
+        fh.write(",https://anon.example,2\n")  # missing name -> Unknown
+        fh.write("NoUrl,,3\n")  # dropped
+    got = {r["companyName"]: r["url"] for r in BK.read_bulk_csv(spark, p).collect()}
+    assert got == {"Acme": "https://acme.com", "Unknown": "https://anon.example"}
+
+
+def test_export_csv_quote_all(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a, with comma", 'quote "q"', "hide")],
+        "name string, note string, secret string",
+    )
+    out = os.path.join(str(tmp_path), "export")
+    BK.export_csv(df, out, columns=["name", "note", "secret"], hidden=("secret",))
+    body = "".join(
+        open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out))
+        if f.endswith(".csv")
+    )
+    assert '"a, with comma"' in body and '"quote ""q"""' in body
+    assert "hide" not in body and "secret" not in body
+
+
+def test_excel_report_structure(spark):
+    rows = [
+        ("Acme", "https://acme.com", "done", 3),
+        ("Acme", "https://acme.com/2", "done", 2),
+        ("Bar", "https://bar.org", "error", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "companyName string, url string, status string, locationsCount int"
+    )
+    frames = BK.excel_report_frames(df)
+    assert set(frames) == {"Summary", "All Locations"}
+    summ = {r["companyName"]: r["locationsCount"] for r in frames["Summary"].collect()}
+    assert summ == {"Acme": 5, "Bar": 0}

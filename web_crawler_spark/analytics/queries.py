@@ -1254,3 +1254,366 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("decode_ok"), 1)).alias("n_ok"),
         F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 sources/sinks: S5 sitemap, S6 API probe, S7 PDF, S8 bulk CSV
+# --------------------------------------------------------------------------
+_SM_XML = (
+    "concat('<urlset>',"
+    "'<url><loc>https://h', {k}, '.example.com/office</loc></url>',"
+    "'<url><loc>https://h', {k}, '.example.com/logo.png</loc></url>',"
+    "'<url><loc>https://h', {k}, '.example.com/login</loc></url>',"
+    "'<url><loc>https://h', {k}, '.example.com/about</loc></url>',"
+    "'</urlset>')"
+)
+
+
+@query(
+    "sitemap_scan",
+    oracle="""
+    SELECT p_partkey, 0 AS loc_idx,
+           concat('https://h', p_partkey, '.example.com/office') AS loc_url
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 3 AS loc_idx,
+           concat('https://h', p_partkey, '.example.com/about') AS loc_url
+    FROM part
+    """,
+)
+def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: `<loc>` mining over synthesized sitemap XML + F1 exclusion
+    (site-crawler.service.js:199-239). The planted .png and /login entries
+    must be excluded; document order (loc_idx) must be preserved."""
+    from web_crawler_spark.sources import sitemap as SM
+
+    xml = F.expr(_SM_XML.format(k="p_partkey"))
+    sitemaps = load(spark, sf_dir, "part").select("p_partkey", xml.alias("xml"))
+    return SM.extract_locs(sitemaps).select("p_partkey", "loc_idx", "loc_url")
+
+
+@query(
+    "api_json_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             lower(replace(replace(s_name, '#', ''), ' ', '')) AS slug,
+             s_suppkey % 3 AS shape,
+             printf('%.1f', (s_suppkey % 1700) / 10.0 - 85.0) AS lat1,
+             printf('%.1f', (s_suppkey % 3500) / 10.0 - 175.0) AS lon1,
+             printf('%.2f', (s_suppkey % 17000) / 100.0 - 85.0) AS lat2,
+             printf('%.2f', (s_suppkey % 35000) / 100.0 - 175.0) AS lon2,
+             cast(10000 + s_suppkey % 80000 AS varchar) AS zip
+      FROM supplier
+    )
+    SELECT concat('https://', slug, '.example.com/api/locations') AS sourceUrl,
+           CASE shape WHEN 0 THEN concat('HQ ', slug)
+                      WHEN 1 THEN concat('Store ', slug)
+                      ELSE concat('Geo ', slug) END AS locationName,
+           CASE shape WHEN 0 THEN '' WHEN 1 THEN concat('City', s_suppkey)
+                      ELSE concat('Geo', s_suppkey) END AS streetOrCity,
+           CASE shape WHEN 0 THEN zip ELSE '' END AS postcode,
+           CASE shape WHEN 0 THEN 'USA' WHEN 1 THEN 'GBR' ELSE 'NLD' END
+             AS countryIso3,
+           CASE shape WHEN 0 THEN cast(cast(lat1 AS double) AS varchar)
+                      WHEN 1 THEN ''
+                      ELSE cast(cast(lat2 AS double) AS varchar) END AS latitude,
+           CASE shape WHEN 0 THEN cast(cast(lon1 AS double) AS varchar)
+                      WHEN 1 THEN ''
+                      ELSE cast(cast(lon2 AS double) AS varchar) END AS longitude,
+           CASE shape WHEN 2 THEN 'GeoJSON' ELSE 'API/JSON' END AS sourceType
+    FROM s
+    """,
+)
+def q_api_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+X18: the three payload shapes (bare array / container key /
+    GeoJSON FeatureCollection) synthesized per supplier, pushed through the
+    JVM-side JSON normalizer (api-extractor.service.js:103-296). The
+    oracle computes the expected output directly from the source columns —
+    an end-to-end check of the probe→parse→normalize chain."""
+    from web_crawler_spark.sources import api_probe as AP
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.lower(
+            F.regexp_replace(F.regexp_replace("s_name", "#", ""), " ", "")
+        ).alias("slug"),
+        (F.col("s_suppkey") % 3).alias("shape"),
+        F.format_string("%.1f", F.col("s_suppkey") % 1700 / 10.0 - 85.0).alias("lat1"),
+        F.format_string("%.1f", F.col("s_suppkey") % 3500 / 10.0 - 175.0).alias("lon1"),
+        F.format_string("%.2f", F.col("s_suppkey") % 17000 / 100.0 - 85.0).alias("lat2"),
+        F.format_string("%.2f", F.col("s_suppkey") % 35000 / 100.0 - 175.0).alias("lon2"),
+        (F.lit(10000) + F.col("s_suppkey") % 80000).cast("string").alias("zip"),
+    )
+    payload = (
+        F.when(
+            F.col("shape") == 0,
+            F.format_string(
+                '[{"name": "HQ %s", "lat": %s, "lng": %s, "zip": "%s", "country": "US"}]',
+                "slug", "lat1", "lon1", "zip",
+            ),
+        )
+        .when(
+            F.col("shape") == 1,
+            F.format_string(
+                '{"stores": [{"storeName": "Store %s", "city": "City%s", "countryCode": "GB"}]}',
+                "slug", F.col("s_suppkey").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                '{"type": "FeatureCollection", "features": [{"geometry": '
+                '{"coordinates": [%s, %s]}, "properties": {"name": "Geo %s", '
+                '"city": "Geo%s", "country": "NL"}}]}',
+                "lon2", "lat2", "slug", F.col("s_suppkey").cast("string"),
+            )
+        )
+    )
+    probes = s.select(
+        "*",
+        F.concat(
+            F.lit("https://"), F.col("slug"), F.lit(".example.com/api/locations")
+        ).alias("endpoint"),
+        payload.alias("payload"),
+    )
+    items = AP.explode_payload_items(probes)
+    return AP.normalize_items(items).select(
+        "sourceUrl", "locationName", "streetOrCity", "postcode",
+        "countryIso3", "latitude", "longitude", "sourceType",
+    )
+
+
+@query(
+    "pdf_text_extract",
+    oracle="""
+    SELECT concat('https://docs.example.com/', doc_id, '.pdf') AS sourceUrl,
+           cast(1 + doc_id % 9 AS int) AS pages,
+           true AS decode_ok
+    FROM documents
+    """,
+)
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: document text → MINIPDF binary capsule → mapInPandas text
+    extraction (pdf-extractor.service.js:9-38). Round-trips every document
+    through the binary column path; text equality is unit-tested, the
+    oracle checks the (url, pages, decode) envelope end-to-end."""
+    import pandas as pd
+
+    from web_crawler_spark.sources import pdf as P
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.example.com/"), "doc_id", F.lit(".pdf")).alias(
+            "sourceUrl"
+        ),
+        "text",
+        (F.lit(1) + F.col("doc_id") % 9).cast("int").alias("pages"),
+    )
+
+    def encode(batches):
+        for pdf_b in batches:
+            yield pd.DataFrame(
+                {
+                    "sourceUrl": pdf_b["sourceUrl"],
+                    "bytes": [
+                        P.encode_minipdf(t, pages=int(n))
+                        for t, n in zip(pdf_b["text"], pdf_b["pages"])
+                    ],
+                }
+            )
+
+    pdfs = docs.mapInPandas(encode, "sourceUrl string, bytes binary")
+    return P.extract_pdf_text(pdfs).select("sourceUrl", "pages", "decode_ok")
+
+
+@query(
+    "bulk_csv_synonyms",
+    oracle="""
+    WITH raw AS (
+      SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS company_name,
+             concat('fallback_', c_custkey) AS name,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN concat('https://u', c_custkey, '.example') END AS url_upper,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE concat('  https://c', c_custkey, '.example.com ') END AS website
+      FROM customer
+    )
+    SELECT coalesce(company_name, name, 'Unknown') AS companyName,
+           trim(coalesce(url_upper, website)) AS url
+    FROM raw
+    WHERE coalesce(url_upper, website) IS NOT NULL
+      AND trim(coalesce(url_upper, website)) <> ''
+    """,
+)
+def q_bulk_csv_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the bulk-upload header-synonym projection
+    (bulk-processor.service.js:100-122): company from [Company Name,
+    company, name] else 'Unknown'; url from [URL, url, Website, website],
+    trimmed; url-less rows dropped."""
+    from web_crawler_spark.sources import bulk as BK
+
+    c = load(spark, sf_dir, "customer")
+    frame = c.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("c_name"))
+        .alias("Company Name"),
+        F.concat(F.lit("fallback_"), "c_custkey").alias("name"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("https://u"), "c_custkey", F.lit(".example")),
+        ).alias("URL"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(
+            F.concat(F.lit("  https://c"), "c_custkey", F.lit(".example.com "))
+        )
+        .alias("Website"),
+    )
+    return BK.coalesce_synonyms(frame)
+
+
+# --------------------------------------------------------------------------
+# §2.3 J3/J8 geocode enrichment + A4/J4 greedy fuzzy dedup + pipeline
+# --------------------------------------------------------------------------
+_ADDR_NORM_SQL = "lower(trim(concat_ws(', ', street, city)))"
+_H60 = "cast(('0x' || substr(md5({expr}), 1, 15)) as ubigint)::bigint"
+
+
+@query(
+    "geocode_enrich",
+    oracle=f"""
+    WITH recs AS (
+      SELECT c_custkey,
+             concat(1 + c_custkey % 999, ' Oak Avenue') AS street,
+             c_mktsegment AS city,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN (c_custkey % 1200000) / 10000.0 - 60.0 END AS latitude,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN (c_custkey % 3600000) / 10000.0 - 180.0 END AS longitude
+      FROM customer
+    ), keyed AS (
+      SELECT *, {_ADDR_NORM_SQL} AS address_norm FROM recs
+    )
+    SELECT c_custkey,
+           round(coalesce(latitude,
+             ({_H60.format(expr="concat('geo-lat|', address_norm)")} % 120000000)
+               / 1000000 - 60.0), 6) AS latitude,
+           round(coalesce(longitude,
+             ({_H60.format(expr="concat('geo-lon|', address_norm)")} % 360000000)
+               / 1000000 - 180.0), 6) AS longitude,
+           latitude IS NULL AS geocoded
+    FROM keyed
+    """,
+)
+def q_geocode_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J8: rows lacking coordinates get them from the geocode dimension
+    (the md5-derived deterministic provider, broadcast-joined on the
+    normalized address); rows with coordinates pass through (coalesce
+    merge-back, professional-crawler.service.js:262-266). Fully
+    JVM-side — the md5 derivation has an exact DuckDB mirror."""
+    from web_crawler_spark.plans import enrich as EN
+
+    c = load(spark, sf_dir, "customer")
+    recs = c.select(
+        "c_custkey",
+        F.concat((F.lit(1) + F.col("c_custkey") % 999), F.lit(" Oak Avenue")).alias(
+            "street"
+        ),
+        F.col("c_mktsegment").alias("city"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.col("c_custkey") % 1200000 / 10000.0 - 60.0,
+        ).alias("latitude"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.col("c_custkey") % 3600000 / 10000.0 - 180.0,
+        ).alias("longitude"),
+    )
+    out = EN.geocode_enrich(recs)
+    # 'geocoded' flags rows the dim filled (original coords were null)
+    return out.select(
+        "c_custkey",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        F.col("geocoded"),
+    )
+
+
+@query("fuzzy_dedup_greedy")
+def q_fuzzy_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J4: the order-sensitive greedy cluster-merge
+    (enhanced-deduplication.service.js:7-42) over synthesized location
+    records with planted near-duplicates — every 5th customer gets a
+    typo'd twin that must merge (mergedFrom=2, longest-field wins,
+    max quality). Not SQL-expressible (greedy order dependence) →
+    rows-only driver check; bit-exactness vs the Python oracle kernel is
+    tested in tests/test_fuzzy_dedup.py."""
+    from web_crawler_spark.operators import fuzzy as FZ
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    base = c.select(
+        F.concat(F.lit("seg-"), F.lower("c_mktsegment")).alias("seed_host"),
+        F.concat(F.lit("Office "), "c_name").alias("locationName"),
+        F.concat(
+            (F.lit(1) + F.col("c_custkey") % 999), F.lit(" Oak Avenue Suite "),
+            "c_custkey",
+        ).alias("locationAddress"),
+        (F.col("c_custkey") % 1200000 / 10000.0 - 60.0).alias("latitude"),
+        (F.col("c_custkey") % 3600000 / 10000.0 - 180.0).alias("longitude"),
+        F.lit("USA").alias("countryIso3"),
+        (F.lit(10000) + F.col("c_custkey") % 89999).cast("string").alias("postcode"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("string").alias("streetOrCity"),
+        F.lit(None).cast("string").alias("activityAtAsset"),
+        F.lit(None).cast("string").alias("phone"),
+        F.lit(None).cast("string").alias("email"),
+        F.concat(F.lit("https://a.example.com/c"), "c_custkey").alias("sourceUrl"),
+        (F.lit(50) + F.col("c_custkey") % 50).cast("int").alias("qualityScore"),
+    )
+    twins = base.filter(F.pmod(F.xxhash64("sourceUrl"), F.lit(5)) == 0).select(
+        "seed_host",
+        # typo: drop the last character of the name (levenshtein-close)
+        F.expr("substring(locationName, 1, length(locationName) - 1)").alias(
+            "locationName"
+        ),
+        F.concat(F.col("locationAddress"), F.lit(" B")).alias("locationAddress"),
+        (F.col("latitude") + 0.0001).alias("latitude"),
+        (F.col("longitude") + 0.0001).alias("longitude"),
+        "countryIso3", "postcode", "state", "streetOrCity", "activityAtAsset",
+        "phone", "email",
+        F.concat(F.col("sourceUrl"), F.lit("-twin")).alias("sourceUrl"),
+        (F.col("qualityScore") + 10).cast("int").alias("qualityScore"),
+    )
+    recs = base.unionByName(twins)
+    out = FZ.fuzzy_dedup(recs, "seed_host", order_cols=["sourceUrl"])
+    return out.select(
+        "seed_host", "locationName", "sourceUrl", "mergedFrom", "qualityScore"
+    ).orderBy("seed_host", "sourceUrl")
+
+
+@query("records_pipeline_e2e")
+def q_records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M4 end-to-end: synthetic pages → 7-strategy extraction →
+    confidence floor → greedy fuzzy dedup per host → geocode enrichment →
+    canonical 14-field records + quality envelope + image/caption payload
+    join (crawler.service.js:283-416 whole-path analogue). Rows-only
+    driver check; per-stage values are oracled by the other queries and
+    the pytest golden counts."""
+    from web_crawler_spark.plans.enrich import records_pipeline
+    from web_crawler_spark.synthetic.web import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=3, pages_per_host=15, seed=13)
+    rows = [
+        (web.url(h, p), web.host(h), web.body(h, p), web.xhr_json(h, p))
+        for h in range(web.n_hosts)
+        for p in range(web.n_pages(h))
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, seed_host string, body string, xhr_json string"
+    )
+    out = records_pipeline(pages, fuzzy=True)
+    return out.select(
+        "seed_host", "locationName", "locationAddress",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "countryIso3", "postcode", "qualityScore", "qualityLevel",
+        "mergedFrom", "image_id", "caption",
+    ).orderBy("seed_host", "locationName", "locationAddress")

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from web_crawler_spark.functions import geo as G
 from web_crawler_spark.functions import records as R
-from web_crawler_spark.hashing import hash64
+from web_crawler_spark.hashing import hash64_col
 
 
 def geocode_dim_for(records: DataFrame) -> DataFrame:
@@ -39,19 +39,21 @@ def geocode_dim_for(records: DataFrame) -> DataFrame:
         F.lower(F.trim(F.concat_ws(", ", "street", "city"))).alias("address_norm")
     ).distinct()
 
-    @F.udf("double")
-    def _lat(a):
-        return (hash64("geo-lat", a) % 120_000_000) / 1_000_000 - 60.0
-
-    @F.udf("double")
-    def _lon(a):
-        return (hash64("geo-lon", a) % 360_000_000) / 1_000_000 - 180.0
-
-    # hash64 is md5-based — no JVM twin — so the dim build is the one spot
-    # a plain UDF is acceptable: it runs once per *distinct address*
-    # (dimension cardinality), never per fact row.
+    # hash64_col is the JVM-side md5 twin of Python hash64 — the dim build
+    # stays whole-stage-codegen (no Python worker), and the derivation has
+    # an exact DuckDB-SQL mirror (hash64_sql) for the oracle gate.
+    lat = (
+        F.pmod(hash64_col(F.lit("geo-lat"), F.col("address_norm")), F.lit(120_000_000))
+        / 1_000_000
+        - 60.0
+    )
+    lon = (
+        F.pmod(hash64_col(F.lit("geo-lon"), F.col("address_norm")), F.lit(360_000_000))
+        / 1_000_000
+        - 180.0
+    )
     return addrs.select(
-        "address_norm", _lat("address_norm").alias("geo_lat"), _lon("address_norm").alias("geo_lon")
+        "address_norm", lat.alias("geo_lat"), lon.alias("geo_lon")
     )
 
 
@@ -65,10 +67,10 @@ def geocode_enrich(records: DataFrame, dim: DataFrame | None = None) -> DataFram
     joined = keyed.join(F.broadcast(dim), "address_norm", "left")
     return (
         joined.withColumn(
-            "latitude", F.coalesce(F.col("latitude"), F.col("geo_lat"))
+            "geocoded", F.col("latitude").isNull() & F.col("geo_lat").isNotNull()
         )
+        .withColumn("latitude", F.coalesce(F.col("latitude"), F.col("geo_lat")))
         .withColumn("longitude", F.coalesce(F.col("longitude"), F.col("geo_lon")))
-        .withColumn("geocoded", F.col("geo_lat").isNotNull() & F.col("latitude").isNotNull())
         .drop("geo_lat", "geo_lon", "address_norm")
     )
 
@@ -123,8 +125,6 @@ def attach_payload(records: DataFrame, images: DataFrame) -> DataFrame:
     monotonically_increasing_id, so the plan stays deterministic under
     recompute/retry — a correctness requirement at scale where stage retry
     is routine."""
-    from web_crawler_spark.hashing import hash64_col
-
     rec = records.withColumn(
         "_rid",
         hash64_col(
