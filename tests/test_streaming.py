@@ -1,0 +1,74 @@
+"""§2.8 Structured Streaming surface: the streaming hourly rollup must
+agree with the batch twin over the same files; the stateful per-user
+counter must equal a batch groupBy."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    # small deterministic slice, written as several files (multi-batch)
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .orderBy("event_id")
+        .limit(2000)
+    )
+    df.repartition(8).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, events_dir):
+    stream = SE.stream_events(spark, events_dir)
+    SE.run_to_memory(SE.hourly_rollup(stream), "rollup_mem", "complete")
+    got = {
+        (str(r["hour_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM rollup_mem").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "s")
+    )
+    want = {
+        (str(r["hour_start"]), r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stateful_user_counters(spark, events_dir):
+    stream = SE.stream_events(spark, events_dir)
+    SE.run_to_memory(SE.user_counters(stream), "counters_mem", "update")
+    # update mode may emit a row per (user, micro-batch); the LAST emission
+    # per user carries the final running total
+    rows = spark.sql(
+        "SELECT user_id, events, total_value FROM counters_mem"
+    ).collect()
+    final: dict[int, tuple] = {}
+    for r in rows:  # memory sink preserves emission order per batch
+        prev = final.get(r["user_id"])
+        if prev is None or r["events"] >= prev[0]:
+            final[r["user_id"]] = (r["events"], r["total_value"])
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("s"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert len(final) == len(want)
+    mismatches = {
+        u: (final[u], want[u]) for u in want if final[u] != want[u]
+    }
+    assert not mismatches, list(mismatches.items())[:5]

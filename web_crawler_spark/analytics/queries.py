@@ -1617,3 +1617,52 @@ def q_records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "countryIso3", "postcode", "qualityScore", "qualityLevel",
         "mergedFrom", "image_id", "caption",
     ).orderBy("seed_host", "locationName", "locationAddress")
+
+
+@query(
+    "contact_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             200 + s_suppkey % 700 AS a,
+             300 + s_suppkey % 600 AS b,
+             1000 + s_suppkey % 9000 AS c,
+             1000 + s_suppkey % 8000 AS fx
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           concat('(', a, ') ', b, '-', c, '; 212 555 ', fx) AS phones,
+           concat('office', s_suppkey, '@host', s_suppkey, '.com') AS emails,
+           concat('212 555 ', fx) AS fax,
+           'Jane Doe' AS people
+    FROM s
+    """,
+)
+def q_contact_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3/X28/F10: the contact batteries over synthesized page text with
+    planted phone/email/fax/person tokens and an example.com false-positive
+    that must be filtered. All JVM regexp — the oracle constructs the
+    expected extraction directly from source columns."""
+    from web_crawler_spark.functions import contact as CT
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.lit(200) + F.col("s_suppkey") % 700).alias("a"),
+        (F.lit(300) + F.col("s_suppkey") % 600).alias("b"),
+        (F.lit(1000) + F.col("s_suppkey") % 9000).alias("c"),
+        (F.lit(1000) + F.col("s_suppkey") % 8000).alias("fx"),
+    )
+    text = F.concat(
+        F.lit("Call ("), "a", F.lit(") "), "b", F.lit("-"), "c",
+        F.lit(" now. Email office"), "s_suppkey", F.lit("@host"), "s_suppkey",
+        F.lit(".com or bad"), "s_suppkey", F.lit("@example.com. "),
+        F.lit("Fax: 212 555 "), "fx", F.lit(" Contact: Jane Doe"),
+    )
+    rows = s.withColumn("text", text)
+    return rows.select(
+        "s_suppkey",
+        F.concat_ws("; ", CT.extract_phones("text")).alias("phones"),
+        F.concat_ws("; ", CT.extract_emails("text")).alias("emails"),
+        F.concat_ws("; ", CT.extract_fax("text")).alias("fax"),
+        F.concat_ws("; ", CT.extract_contact_person("text")).alias("people"),
+    )

@@ -1,0 +1,126 @@
+"""§2.8: Structured Streaming twins of the engine's stream-shaped machinery.
+
+The reference is not a streaming system — its "streams" are SSE progress
+pushes (progress-tracker.service.js:100-153) and the stateful crawl loop.
+The north_rule's crawl is our iterative batch driver (plans/crawl.py);
+this module provides the genuine Structured Streaming surface a
+production deployment of the same engine would run for its event firehose:
+
+- file-source readStream over the events table layout,
+- watermarked tumbling-window rollup (the streaming twin of the batch
+  ``events_hourly_rollup`` query),
+- a custom stateful operator via ``applyInPandasWithState`` (running
+  per-user counters — the streaming analogue of the progress tracker's
+  per-job counters, progress-tracker.service.js:36-55).
+
+Scale notes: the windowed aggregate partitions by (window, event_type) —
+Spark's stateful agg store shards across executors; the watermark bounds
+state. The stateful counter partitions by user_id (state store keyed by
+group), with Arrow-batched pandas state updates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events layout (one file = one batch
+    unit; maxFilesPerTrigger bounds per-microbatch work)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def hourly_rollup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch events_hourly_rollup: tumbling 1h
+    windows with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+COUNTER_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+COUNTER_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_counters(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: accumulate (count, sum(value)) per user across
+    micro-batches — the progress tracker's running totals, distributed."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_counters(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState per user_id; update-mode emissions."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_counters,
+            outputStructType=COUNTER_OUT,
+            stateStructType=COUNTER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    query_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """availableNow one-shot into an in-memory sink table ``name``."""
+    (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
