@@ -91,3 +91,31 @@ def test_bloom_pre_prune_is_lossless(spark, tmp_path):
     )
     bloomed.run(max_waves=30)
     assert _spark_results(base) == _spark_results(bloomed)
+
+
+def test_robots_gate_blocks_disallowed(spark, tmp_path):
+    """S4/F5/J2: with robots checking on, queued URLs under a host's
+    disallow prefixes end 'robots_blocked' (never fetched), permissive
+    hosts are unaffected, and every blocked URL agrees with the
+    single-threaded robots oracle (robots.service.js:44-71 semantics)."""
+    # seed 6: hosts 1/7/11 have pages under their disallow prefixes
+    web = SyntheticWeb(n_hosts=12, pages_per_host=20, seed=6)
+    with_rules = [h for h in range(web.n_hosts) if web.robots(h)["disallow_prefixes"]]
+    assert with_rules, "fixture must include at least one disallowing host"
+
+    driver = CrawlDriver(
+        spark, web, str(tmp_path / "robots_crawl"),
+        CrawlConfig(max_pages=20, max_depth=3, check_robots=True, use_bloom=False),
+    )
+    driver.run(max_waves=10)
+    rows = driver.frontier_tbl.read(spark).collect()
+
+    blocked = [(r["seed_host"], r["url"]) for r in rows if r["status"] == "robots_blocked"]
+    visited = [(r["seed_host"], r["url"]) for r in rows if r["status"] == "visited"]
+    assert blocked, "disallowed URLs must surface as robots_blocked"
+
+    host_idx = {web.host(h): h for h in range(web.n_hosts)}
+    for host, url in blocked:
+        assert not web.robots_allows(host_idx[host], url), (host, url)
+    for host, url in visited:
+        assert web.robots_allows(host_idx[host], url), (host, url)
