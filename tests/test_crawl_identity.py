@@ -119,3 +119,35 @@ def test_robots_gate_blocks_disallowed(spark, tmp_path):
         assert not web.robots_allows(host_idx[host], url), (host, url)
     for host, url in visited:
         assert web.robots_allows(host_idx[host], url), (host, url)
+
+
+def test_crawl_delay_budget_preserves_order(spark, tmp_path):
+    """Politeness via robots crawl-delay: the per-wave host budget
+    (floor(wave_seconds / delay)) caps how many URLs a host fetches per
+    wave, without changing the final visit order or seen set — budgets
+    move wave boundaries, never reorder (plans/crawl.py invariant)."""
+    web = SyntheticWeb(n_hosts=3, pages_per_host=20, seed=6)
+    cfg_kw = dict(max_pages=12, max_depth=3, use_bloom=False)
+    base = CrawlDriver(spark, web, str(tmp_path / "nodelay"), CrawlConfig(**cfg_kw))
+    base.run(max_waves=30)
+    delayed = CrawlDriver(
+        spark, web, str(tmp_path / "delay"),
+        CrawlConfig(**cfg_kw, wave_seconds=4.0),
+    )
+    delayed.run(max_waves=60)
+    assert _spark_results(base) == _spark_results(delayed)
+
+    # per-wave per-host visited counts must respect the delay budget
+    rows = delayed.frontier_tbl.read(spark).collect()
+    per = {}
+    for r in rows:
+        if r["status"] in ("visited", "error") and r["wave_visited"] is not None:
+            per[(r["seed_host"], r["wave_visited"])] = (
+                per.get((r["seed_host"], r["wave_visited"]), 0) + 1
+            )
+    host_idx = {web.host(h): h for h in range(web.n_hosts)}
+    import math
+
+    for (host, _wave), n in per.items():
+        delay = max(web.robots(host_idx[host])["crawl_delay_s"], 1.0)
+        assert n <= max(int(math.floor(4.0 / delay)), 1), (host, n, delay)

@@ -140,13 +140,22 @@ def take_budgeted(
     remaining: DataFrame,
     host_wave_budget: int | None = None,
     order_col: str = "enqueue_seq",
+    robots: DataFrame | None = None,
+    wave_seconds: float | None = None,
 ) -> DataFrame:
     """W4: per-seed page budget + per-host politeness budget in one rank.
 
     candidates: queued frontier rows (already depth-filtered).
     remaining: small DF (seed_host, remaining) — pages left in this seed's
     maxPages budget. Rank by FIFO position; keep rank <= min(remaining,
-    host_wave_budget).
+    host_wave_budget, crawl-delay budget).
+
+    Politeness via robots crawl-delay (robots.service.js:79-87): with
+    ``robots`` (host, crawl_delay_s) and ``wave_seconds``, a host's
+    per-wave budget is floor(wave_seconds / max(delay, 1s inter-request
+    default)) — the deterministic batch-count restatement of "sleep
+    crawl-delay between requests". A 0-delay host falls back to the
+    reference's 1000 ms default inter-request gap.
     """
     w = Window.partitionBy("seed_host").orderBy(order_col)
     out = (
@@ -156,6 +165,22 @@ def take_budgeted(
     )
     if host_wave_budget is not None:
         out = out.filter(F.col("_rk") <= F.lit(host_wave_budget))
+    if robots is not None and wave_seconds is not None:
+        delay_budget = robots.select(
+            F.col("host").alias("seed_host"),
+            F.greatest(
+                F.floor(
+                    F.lit(float(wave_seconds))
+                    / F.greatest(F.col("crawl_delay_s"), F.lit(1.0))
+                ),
+                F.lit(1),
+            ).alias("_delay_budget"),
+        )
+        out = (
+            out.join(F.broadcast(delay_budget), "seed_host", "left")
+            .filter(F.col("_rk") <= F.coalesce(F.col("_delay_budget"), F.lit(2**31)))
+            .drop("_delay_budget")
+        )
     return out.drop("remaining")
 
 

@@ -62,6 +62,7 @@ class CrawlConfig:
     max_pages: int = 50          # per seed (site-crawler.service.js:130)
     max_depth: int = 3           # :131
     host_wave_budget: int | None = None  # politeness cap per host per wave
+    wave_seconds: float | None = None    # crawl-delay → per-wave host budget
     check_robots: bool = False   # reference checks robots in extract phase
     use_bloom: bool = True
     salt_partitions: int | None = None
@@ -123,7 +124,7 @@ class CrawlDriver:
             self._save_state(0, done=False)
 
         robots_df = None
-        if self.cfg.check_robots:
+        if self.cfg.check_robots or self.cfg.wave_seconds:
             from web_crawler_spark.schemas import ROBOTS
 
             robots_df = spark.createDataFrame(
@@ -166,10 +167,14 @@ class CrawlDriver:
             )
         )
 
-        take = FR.take_budgeted(visitable, remaining, cfg.host_wave_budget)
+        take = FR.take_budgeted(
+            visitable, remaining, cfg.host_wave_budget,
+            robots=robots_df if cfg.wave_seconds else None,
+            wave_seconds=cfg.wave_seconds,
+        )
         take = take.withColumn("wave", F.lit(wave)).withColumn("visit_seq", F.col("enqueue_seq"))
 
-        if robots_df is not None:
+        if robots_df is not None and cfg.check_robots:
             take, blocked = FR.robots_gate(take, robots_df)
             blocked = blocked.persist()
             n_blocked = blocked.count()
