@@ -1,0 +1,48 @@
+"""North-rule packaging: the engine must run via
+``spark-submit --py-files`` as a self-contained zip, and resume from its
+checkpoint with identical final state."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(workdir: str, *extra: str) -> dict:
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", os.path.join(ROOT, "dist", "wcs.zip"),
+        os.path.join(ROOT, "jobs", "crawl_job.py"),
+        "--workdir", workdir, "--hosts", "3", "--pages", "10",
+        "--max-pages", "8", "--max-depth", "2", *extra,
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=400, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_spark_submit_packaged_job(tmp_path):
+    if not os.path.exists(SPARK_SUBMIT):
+        import pytest
+
+        pytest.skip("spark-submit not available")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "package_pyfiles.py")],
+        check=True,
+    )
+    wd = str(tmp_path / "job")
+    first = _run_job(wd)
+    assert first["visited"] > 0 and first["records"] > 0
+
+    resumed = _run_job(wd, "--resume")
+    assert resumed["visited"] == first["visited"]
+    assert resumed["frontier_rows"] == first["frontier_rows"]
+    assert resumed["records"] == first["records"]
