@@ -1,0 +1,74 @@
+"""§5.2.6 hot-host skew: one host with ~25x the URLs must neither change
+crawl bit-identity nor serialize the fetch stage into one partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.plans.crawl import CrawlConfig, CrawlDriver
+from web_crawler_spark.sources.fetch import fetch_pages
+from web_crawler_spark.synthetic.web import SyntheticWeb
+
+HOT_WEB = SyntheticWeb(n_hosts=4, pages_per_host=8, seed=3, hot_host=0, hot_factor=25)
+
+
+def _results(driver):
+    f = driver.frontier_tbl.read(driver.spark)
+    return sorted(
+        (r["seed_host"], r["url"], r["status"], r["visit_seq"]) for r in f.collect()
+    )
+
+
+def test_salting_preserves_bit_identity(spark, tmp_path):
+    base = CrawlDriver(
+        spark, HOT_WEB, str(tmp_path / "nosalt"),
+        CrawlConfig(max_pages=60, max_depth=2, use_bloom=False),
+    )
+    base.run(max_waves=20)
+    salted = CrawlDriver(
+        spark, HOT_WEB, str(tmp_path / "salt"),
+        CrawlConfig(max_pages=60, max_depth=2, use_bloom=False, salt_partitions=8),
+    )
+    salted.run(max_waves=20)
+    assert _results(base) == _results(salted)
+    # the hot host actually dominates the workload (skew fixture is real)
+    counts = {
+        r["seed_host"]: r["n"]
+        for r in base.frontier_tbl.read(spark)
+        .groupBy("seed_host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = counts[HOT_WEB.host(0)]
+    assert hot > 3 * max(v for k, v in counts.items() if k != HOT_WEB.host(0))
+
+
+def test_salted_fetch_spreads_hot_host(spark):
+    """The salted repartition must spread one host's wave slice across
+    executors instead of hashing it onto a single partition."""
+    rows = [
+        (HOT_WEB.url(0, p), HOT_WEB.host(0), 1, p, 1, p)
+        for p in range(HOT_WEB.n_pages(0))
+    ]
+    take = spark.createDataFrame(
+        rows,
+        "url string, seed_host string, depth int, enqueue_seq long, "
+        "wave int, visit_seq long",
+    )
+    # without salting, repartition by host -> all rows in ONE partition
+    one = (
+        take.repartition(8, "seed_host")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert one == 1
+
+    salted = fetch_pages(take, HOT_WEB, salt_partitions=8)
+    spread = salted.select(F.spark_partition_id().alias("pid")).groupBy("pid").count()
+    parts = {r["pid"]: r["count"] for r in spread.collect()}
+    # AQE coalesces tiny post-shuffle partitions (correct at this toy
+    # size; at production row widths they exceed the coalesce target and
+    # all 8 survive) — require a genuine spread plus balance, not the
+    # pre-coalesce count
+    assert len(parts) >= 4, parts
+    mean = sum(parts.values()) / len(parts)
+    assert max(parts.values()) <= 2 * mean, parts  # no straggler partition

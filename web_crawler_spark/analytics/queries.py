@@ -985,6 +985,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("_sid"),
         F.array_distinct(TX.shingles("text", 3)).alias("_sh"),
     )
+    # persist the shingle table: it feeds BOTH verify-join sides, and the
+    # shingling (md5 per shingle) is the expensive part — never compute it
+    # twice. The verify joins stay shuffle joins on doc id (correct at any
+    # scale; broadcasting the shingle-carrying side would collect large
+    # arrays to the driver).
+    sh = sh.persist()
     return (
         cand.join(sh.withColumnRenamed("_sid", "a").withColumnRenamed("_sh", "_sha"), "a")
         .join(sh.withColumnRenamed("_sid", "b").withColumnRenamed("_sh", "_shb"), "b")
@@ -1220,7 +1226,16 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = SyntheticWeb(n_hosts=3, pages_per_host=25, seed=42)
     cfg = CrawlConfig(max_pages=12, max_depth=3, use_bloom=False)
     driver = CrawlDriver(spark, web, tempfile.mkdtemp(prefix="wcs_q_"), cfg)
-    driver.run(max_waves=20)
+    # workload-aware shuffle sizing: per-wave frontier state here is a few
+    # hundred rows — 32 shuffle partitions is pure scheduling overhead.
+    # (Production frontiers size this from the frontier table's bucket
+    # count; AQE coalescing handles the in-between.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        driver.run(max_waves=20)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return driver.visit_order().select("seed_host", "url", "depth", "visit_seq", "status")
 
 
