@@ -155,6 +155,79 @@ def merge_cluster(records: list[dict]) -> dict:
     return merged
 
 
+def _similar(a: dict, b: dict, threshold: float) -> bool:
+    """Decision-identical fast path for ``similarity(a,b) >= threshold``.
+
+    Evaluates cheap components (postcode, coords) first and brackets the
+    two Levenshtein components with optimistic bounds (1 - |len diff| /
+    max len ≥ true similarity), so most non-matching pairs resolve without
+    any O(n*m) string DP. Early True/False only when provable, so the
+    greedy clustering is bit-identical to the exact kernel.
+    """
+    w_total = 0.0
+    has_addr = _present(a.get("locationAddress")) and _present(b.get("locationAddress"))
+    has_coord = all(_present(x.get(k)) for x in (a, b) for k in ("latitude", "longitude"))
+    has_name = _present(a.get("locationName")) and _present(b.get("locationName"))
+    has_pc = _present(a.get("postcode")) and _present(b.get("postcode"))
+    if has_addr:
+        w_total += 0.4
+    if has_coord:
+        w_total += 0.3
+    if has_name:
+        w_total += 0.2
+    if has_pc:
+        w_total += 0.1
+    if w_total == 0:
+        return 0.0 >= threshold
+    target = threshold * w_total
+
+    score = 0.0
+    # cheap exact components first
+    if has_pc:
+        if normalize_postcode(str(a["postcode"])) == normalize_postcode(str(b["postcode"])):
+            score += 0.1
+    if has_coord:
+        d = haversine_km(
+            float(a["latitude"]), float(a["longitude"]),
+            float(b["latitude"]), float(b["longitude"]),
+        )
+        score += (1.0 if d < 0.1 else max(0.0, 1 - d / 5)) * 0.3
+
+    # optimistic caps for the string components (never below the true sim)
+    def cap(x: str, y: str) -> float:
+        lx, ly = len(x), len(y)
+        m = max(lx, ly)
+        return 1.0 if m == 0 else 1.0 - abs(lx - ly) / m
+
+    na = nb = aa = ab = None
+    rem = 0.0
+    if has_addr:
+        aa = normalize_address(str(a["locationAddress"]))
+        ab = normalize_address(str(b["locationAddress"]))
+        rem += cap(aa, ab) * 0.4
+    if has_name:
+        na = str(a["locationName"]).lower()
+        nb = str(b["locationName"]).lower()
+        rem += cap(na, nb) * 0.2
+    if score >= target:
+        return True
+    if score + rem < target:
+        return False
+    # undecided: compute the string DPs exactly (address first — heavier
+    # weight tightens the bracket faster)
+    if has_addr:
+        s = string_similarity(aa, ab) * 0.4
+        rem -= cap(aa, ab) * 0.4
+        score += s
+        if score >= target:
+            return True
+        if score + rem < target:
+            return False
+    if has_name:
+        score += string_similarity(na, nb) * 0.2
+    return score >= target
+
+
 def fuzzy_cluster_merge(records: Iterable[dict], threshold: float = 0.85) -> list[dict]:
     """The greedy pass (deduplicateWithFuzzy) — also the test oracle."""
     recs = list(records)
@@ -168,7 +241,7 @@ def fuzzy_cluster_merge(records: Iterable[dict], threshold: float = 0.85) -> lis
         for j in range(i + 1, len(recs)):
             if j in processed:
                 continue
-            if similarity(base, recs[j]) >= threshold:
+            if _similar(base, recs[j], threshold):
                 cluster.append(j)
                 processed.add(j)
         merged_out.append(merge_cluster([recs[k] for k in cluster]))
