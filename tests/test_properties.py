@@ -1,0 +1,47 @@
+"""Property-based parity: the JVM column kernels must agree with their
+pure-Python twins (py_*) on adversarial inputs — the JS-vs-Java regex
+parity risk called out in SURVEY.md §7.3. Hypothesis generates URL-shaped
+strings; each example set runs through Spark in ONE batch."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import urls as U
+
+_scheme = st.sampled_from(
+    ["https://", "http://", "javascript:", "mailto:", "tel:", ""]
+)
+_host = st.sampled_from(
+    ["example.com", "www.example.com", "sub.example.co.uk", "host007.example.com"]
+)
+_path = st.text(
+    alphabet="abcdefghij/._-#?=&%0123456789",
+    min_size=0, max_size=30,
+)
+_suffix = st.sampled_from(
+    ["", ".png", ".html", ".pdf", "/login", "/blog/x", "#frag", "?q=1&b=2"]
+)
+url_strategy = st.builds(
+    lambda s, h, p, x: f"{s}{h}/{p}{x}", _scheme, _host, _path, _suffix
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(url_strategy, min_size=50, max_size=120, unique=True))
+def test_url_kernels_match_python_twins(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        U.canonicalize("url").alias("canon"),
+        U.is_excluded("url").alias("excl"),
+        U.bad_scheme("url").alias("bad"),
+        U.priority_tier("url").alias("tier"),
+    ).collect()
+    for r in rows:
+        u = r["url"]
+        assert r["canon"] == U.py_canonicalize(u), u
+        assert r["excl"] == U.py_is_excluded(u), u
+        assert r["bad"] == U.py_bad_scheme(u), u
+        assert r["tier"] == U.py_priority_tier(u), u
