@@ -1681,3 +1681,48 @@ def q_contact_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("; ", CT.extract_fax("text")).alias("fax"),
         F.concat_ws("; ", CT.extract_contact_person("text")).alias("people"),
     )
+
+
+@query(
+    "word_overlap_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL.format(col='text')}) AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+             AS overlap
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) > 0.7
+    """,
+)
+def q_word_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: word-overlap similarity (|common|/|union| > 0.7,
+    scraper.service.js:155-190) as a bounded self-join over a document
+    slice — the reference applies it within one page's candidate list, so
+    the quadratic pair scope is inherently small."""
+    # tokenize ONCE per document before the pair join — inlining the
+    # normalize+split expression into the pair comparison would evaluate
+    # it O(pairs) times instead of O(docs)
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(TX.normalize_text("text"), " ")).alias("toks"),
+        )
+    )
+    a = t.select(F.col("doc_id").alias("a"), F.col("toks").alias("_ta"))
+    b = t.select(F.col("doc_id").alias("b"), F.col("toks").alias("_tb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    overlap = F.size(F.array_intersect("_ta", "_tb")).cast("double") / F.size(
+        F.array_union("_ta", "_tb")
+    )
+    return (
+        pairs.withColumn("overlap", overlap)
+        .filter(F.col("overlap") > 0.7)
+        .select("a", "b", F.round("overlap", 6).alias("overlap"))
+    )
