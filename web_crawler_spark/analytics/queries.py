@@ -1726,3 +1726,31 @@ def q_word_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap") > 0.7)
         .select("a", "b", F.round("overlap", 6).alias("overlap"))
     )
+
+
+@query(
+    "connected_components",
+    oracle="""
+    WITH nodes AS (
+      SELECT c_custkey AS node FROM customer WHERE c_custkey < 1000
+      UNION
+      SELECT c_custkey + 1 FROM customer
+      WHERE c_custkey < 1000 AND c_custkey % 5 <> 4
+    )
+    SELECT node, node - (node % 5) AS component FROM nodes
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation (the dedup cluster-id assignment
+    behind minhash_dedup): a deterministic chain graph — edge (n, n+1)
+    unless n≡4 (mod 5) — whose components are provably the 5-blocks, so
+    the oracle is the closed form n - (n mod 5) while Spark runs the
+    actual fixed-point loop with per-iteration convergence checks."""
+    edges = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") < 1000) & (F.col("c_custkey") % 5 != 4))
+        .select(
+            F.col("c_custkey").alias("a"), (F.col("c_custkey") + 1).alias("b")
+        )
+    )
+    return D.connected_min(edges).select("node", "component")
