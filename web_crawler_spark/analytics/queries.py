@@ -1754,3 +1754,54 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.connected_min(edges).select("node", "component")
+
+
+@query(
+    "image_resize",
+    oracle="""
+    SELECT printf('img_%012d', i) AS image_id, 16 AS w, 16 AS h,
+           'png' AS fmt, true AS decode_ok
+    FROM generate_series(0, 119) t(i)
+    UNION ALL
+    SELECT printf('img_%012d_dup', i), 16, 16, 'png', true
+    FROM generate_series(0, 119) t(i) WHERE i % 10 = 0
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: decode → nearest-neighbor 16x16 → PNG re-encode
+    over Arrow batches; the deterministic id/shape envelope is the oracle
+    (pixel correctness is unit-tested against the numpy kernel)."""
+    from web_crawler_spark import media as M
+    from web_crawler_spark.images import synthesize_images
+
+    imgs = synthesize_images(spark, 120)
+    return M.resize_images(imgs, 16, 16).select(
+        "image_id", "w", "h", "fmt", "decode_ok"
+    )
+
+
+@query("audio_features")
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: per-clip duration/RMS/zero-crossing features over
+    synthesized PCM capsules (deterministic tones keyed by id)."""
+    import pandas as pd
+
+    from web_crawler_spark import media as M
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rate = 8000
+                freq = 100 + (i % 10) * 50
+                t = np.arange(rate // 2)
+                tone = (np.sin(2 * np.pi * freq * t / rate) * 8000).astype(np.int16)
+                rows.append((f"aud_{i:06d}", M.encode_audio(tone, rate)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    audios = spark.range(60).mapInPandas(gen, "audio_id string, bytes binary")
+    return M.audio_features(audios).select(
+        "audio_id", "duration_s", "rms", "zero_crossings", "decode_ok"
+    )
