@@ -67,9 +67,8 @@ def main() -> None:
     pages = driver.pages_tbl.read(spark).dropDuplicates(["seed_host", "url"])
     t1 = time.time()
     records = records_pipeline(
-        pages.withColumnRenamed("url", "url")
-        .selectExpr("url", "seed_host", "body", "xhr_json")
-    )
+        pages.selectExpr("url", "seed_host", "body", "xhr_json")
+    ).persist()  # count + snapshot write share one evaluation
     from web_crawler_spark.lake import SnapshotTable
 
     out_tbl = SnapshotTable(f"{args.workdir}/records")
@@ -79,6 +78,7 @@ def main() -> None:
         summary={"records": n_records, "crawl_seconds": round(crawl_s, 2)},
         lineage_key="seed_host",
     )
+    records.unpersist()
     pipe_s = time.time() - t1
 
     frontier = driver.frontier_tbl.read(spark)

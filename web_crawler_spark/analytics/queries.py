@@ -975,6 +975,9 @@ def _minhash_oracle(perms: int = 8, band: int = 2, thr: float = 0.7) -> str:
     """
 
 
+_MINHASH_SH_CACHE: list = []
+
+
 @query("minhash_neardup", oracle=_minhash_oracle())
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → md5-minhash signature → band join →
@@ -989,8 +992,13 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling (md5 per shingle) is the expensive part — never compute it
     # twice. The verify joins stay shuffle joins on doc id (correct at any
     # scale; broadcasting the shingle-carrying side would collect large
-    # arrays to the driver).
+    # arrays to the driver). Long-lived sessions (bench/check runners)
+    # invoke this repeatedly, so evict the previous invocation's cache —
+    # at most one shingle table stays pinned.
+    while _MINHASH_SH_CACHE:
+        _MINHASH_SH_CACHE.pop().unpersist()
     sh = sh.persist()
+    _MINHASH_SH_CACHE.append(sh)
     return (
         cand.join(sh.withColumnRenamed("_sid", "a").withColumnRenamed("_sh", "_sha"), "a")
         .join(sh.withColumnRenamed("_sid", "b").withColumnRenamed("_sh", "_shb"), "b")

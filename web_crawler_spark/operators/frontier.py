@@ -166,12 +166,18 @@ def take_budgeted(
     if host_wave_budget is not None:
         out = out.filter(F.col("_rk") <= F.lit(host_wave_budget))
     if robots is not None and wave_seconds is not None:
+        # permissive-on-failure: a crawl-delay from a robots fetch that
+        # FAILED was never served — such hosts get the 1s default gap
+        # (robots.service.js:49-53), not the synthesized delay value
+        effective_delay = F.when(
+            F.col("fetch_ok"), F.col("crawl_delay_s")
+        ).otherwise(F.lit(0.0))
         delay_budget = robots.select(
             F.col("host").alias("seed_host"),
             F.greatest(
                 F.floor(
                     F.lit(float(wave_seconds))
-                    / F.greatest(F.col("crawl_delay_s"), F.lit(1.0))
+                    / F.greatest(effective_delay, F.lit(1.0))
                 ),
                 F.lit(1),
             ).alias("_delay_budget"),

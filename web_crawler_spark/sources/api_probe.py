@@ -2,7 +2,7 @@
 
 Reference semantics (api-extractor.service.js:33-68 endpoint list,
 :103-296 parseJsonLocations/normalizeJsonLocation/normalizeGeoJsonFeature,
-restated): probe 21 conventional endpoints per host; a JSON payload is
+restated): probe 20 conventional endpoints per host; a JSON payload is
 either a bare array, an object with the first present array under one of 8
 container keys (locations/stores/offices/branches/data/results/items/
 features), or a GeoJSON FeatureCollection; per item, fields come from
@@ -121,7 +121,7 @@ def explode_payload_items(df: DataFrame, json_col: str = "payload") -> DataFrame
     """parseJsonLocations: bare array | first present container key |
     GeoJSON features. Adds an ``item`` JSON-string column (one row per
     located item) and ``container`` (which shape matched)."""
-    j = F.col(json_col)
+    j = F.ltrim(F.col(json_col))  # real endpoints pad JSON with whitespace
     bare = F.when(j.startswith("["), j)
     containers = [
         F.get_json_object(j, f"$.{k}") for k in CONTAINER_KEYS

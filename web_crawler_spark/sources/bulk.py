@@ -84,9 +84,11 @@ def excel_report_frames(results: DataFrame) -> dict[str, DataFrame]:
     """S10 structure: the two sheets as DataFrames (Spark-side; the binary
     .xlsx write is the only gated part). ``results`` rows are per-company
     crawl outcomes with a ``locations`` count and quality columns."""
+    # min, not first: first() is partition-order-dependent and would break
+    # the engine's deterministic-rerun contract (X29/X30)
     summary = results.groupBy("companyName").agg(
-        F.first("url").alias("url"),
-        F.first("status").alias("status"),
+        F.min("url").alias("url"),
+        F.min("status").alias("status"),
         F.sum("locationsCount").alias("locationsCount"),
     )
     return {"Summary": summary, "All Locations": results}

@@ -55,12 +55,16 @@ def first_working_sitemap(
 ) -> DataFrame:
     """Keep each host's first (in SITEMAP_PATHS order) successful sitemap —
     the reference's `break` after the first 200 response (:227)."""
-    order = F.array_position(
+    pos = F.array_position(
         F.array(*[F.lit(p) for p in SITEMAP_PATHS]), F.col("sitemap_path")
     )
+    # array_position is 0 for paths outside the conventional list (e.g.
+    # harvested from robots.txt Sitemap: lines) — rank those LAST, then by
+    # path for determinism, instead of letting 0 sort first
+    order = F.when(pos == 0, F.lit(len(SITEMAP_PATHS) + 1)).otherwise(pos)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(host_col).orderBy(order.asc())
+    w = Window.partitionBy(host_col).orderBy(order.asc(), F.col("sitemap_path").asc())
     return (
         sitemaps.filter(F.col(ok_col))
         .withColumn("_rk", F.row_number().over(w))
