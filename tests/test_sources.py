@@ -174,3 +174,18 @@ def test_excel_report_structure(spark):
     assert set(frames) == {"Summary", "All Locations"}
     summ = {r["companyName"]: r["locationsCount"] for r in frames["Summary"].collect()}
     assert summ == {"Acme": 5, "Bar": 0}
+
+
+def test_first_working_sitemap_unknown_paths_rank_last(spark):
+    # a robots-harvested custom path must NOT beat conventional ones
+    rows = [
+        ("acme.com", "/custom-sitemap.xml", True),
+        ("acme.com", "/sitemap.xml", True),
+        ("solo.org", "/another.xml", True),
+    ]
+    df = spark.createDataFrame(rows, "host string, sitemap_path string, fetch_ok boolean")
+    got = {r["host"]: r["sitemap_path"] for r in SM.first_working_sitemap(df).collect()}
+    assert got == {
+        "acme.com": "/sitemap.xml",  # conventional beats custom
+        "solo.org": "/another.xml",  # custom wins only when alone
+    }
