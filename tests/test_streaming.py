@@ -21,7 +21,12 @@ def events_dir(spark, tmp_path_factory):
         .orderBy("event_id")
         .limit(2000)
     )
-    df.repartition(8).write.mode("overwrite").parquet(out)
+    # range-partition by ts so the file stream's path-ordered batches
+    # arrive in event-time order — the arrival contract the stateful
+    # sessionizer documents (a watermarked production source provides it)
+    df.repartitionByRange(8, "ts").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(out)
     return out
 
 
@@ -72,3 +77,47 @@ def test_stateful_user_counters(spark, events_dir):
         u: (final[u], want[u]) for u in want if final[u] != want[u]
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_stateful_sessionization_matches_batch(spark, events_dir):
+    # single batch: the gap sessionizer needs event-time-ordered arrival,
+    # which a multi-batch file stream does not guarantee; state plumbing
+    # across batches is covered by test_stateful_user_counters
+    stream = SE.stream_events(spark, events_dir, max_files=None)
+    SE.run_to_memory(SE.sessionize_stream(stream), "sessions_mem", "update")
+    rows = spark.sql("SELECT * FROM sessions_mem").collect()
+    # keep each user's latest emission set: closed sessions accumulate,
+    # the open session is re-emitted per batch — dedupe on session_start
+    latest: dict[tuple, tuple] = {}
+    for r in rows:
+        k = (r["user_id"], str(r["session_start"]))
+        v = (r["n_events"], str(r["session_end"]), r["closed"])
+        prev = latest.get(k)
+        if prev is None or v[0] >= prev[0]:
+            latest[k] = v
+    got = {}
+    for (uid, _start), (n, _end, _closed) in latest.items():
+        a, b = got.get(uid, (0, 0))
+        got[uid] = (a + 1, b + n)
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want_events = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    want_sessions = {
+        r["user_id"]: r["n"]
+        for r in e.withColumn("s", new_s).groupBy("user_id").agg(F.sum("s").alias("n")).collect()
+    }
+    for uid, n in want_events.items():
+        assert got[uid][1] == n, (uid, got[uid], n)
+        assert got[uid][0] == want_sessions[uid], (uid, got[uid], want_sessions[uid])

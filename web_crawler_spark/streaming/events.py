@@ -41,14 +41,17 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events layout (one file = one batch
-    unit; maxFilesPerTrigger bounds per-microbatch work)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(path)
-    )
+def stream_events(
+    spark: SparkSession, path: str, max_files: int | None = 4
+) -> DataFrame:
+    """File-source stream over the events layout. ``max_files`` bounds
+    per-microbatch work; None = all available files in one batch (order-
+    sensitive stateful consumers need per-key event-time-ordered arrival,
+    which multi-batch file streams do not guarantee by themselves)."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files is not None:
+        r = r.option("maxFilesPerTrigger", max_files)
+    return r.parquet(path)
 
 
 def hourly_rollup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -123,4 +126,65 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+# -------------------------------------------------- gap sessionization -----
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("open_start", T.TimestampType()),
+        T.StructField("open_last", T.TimestampType()),
+        T.StructField("open_n", T.LongType()),
+    ]
+)
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+GAP_SECONDS = 1800  # 30 min (performance-optimizer/session semantics)
+
+
+def _sessionize_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful gap sessionizer: rows arrive per micro-batch, state carries
+    the open session across batches; a >30 min gap closes a session. The
+    last session stays open (closed=false) until more data or timeout."""
+    open_start, open_last, open_n = (
+        state.get if state.exists else (None, None, 0)
+    )
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts in pdf["ts"]:
+            if open_start is None:
+                open_start, open_last, open_n = ts, ts, 1
+            elif (ts - open_last).total_seconds() > GAP_SECONDS:
+                out.append((key[0], open_start, open_last, open_n, True))
+                open_start, open_last, open_n = ts, ts, 1
+            else:
+                open_last, open_n = ts, open_n + 1
+    state.update((open_start, open_last, open_n))
+    if open_start is not None:
+        out.append((key[0], open_start, open_last, open_n, False))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in SESSION_OUT.fields]
+    )
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState per user_id — the streaming twin of the
+    batch lag-window sessionize query (same gap rule, same counts)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
