@@ -1813,3 +1813,54 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(audios).select(
         "audio_id", "duration_s", "rms", "zero_crossings", "decode_ok"
     )
+
+
+@query(
+    "sessionize_streaming",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState gap sessionizer run as a real Structured
+    Streaming query (file source → stateful operator → memory sink,
+    availableNow), aggregated per user and checked against the SAME batch
+    lag-window oracle as the batch `sessionize` query — streaming and
+    batch must agree on session counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from web_crawler_spark.streaming import events as SE
+
+    src = tempfile.mkdtemp(prefix="wcs_sess_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = SE.stream_events(spark, src, max_files=None)
+    (
+        SE.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wcs_sessionize_stream_q")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.sql("SELECT * FROM wcs_sessionize_stream_q")
+    # single-batch emissions: one row per session (closed) + one open per
+    # user; aggregate to the oracle's per-user shape
+    return emitted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
