@@ -108,12 +108,13 @@ def test_stateful_sessionization_matches_batch(spark, events_dir):
     want_events = {r["user_id"]: r["n_events"] for r in batch.collect()}
     from pyspark.sql import Window
 
-    e = spark.read.parquet(events_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        F.lag("ts").over(w).cast("timestamp")
+    e = spark.read.parquet(events_dir).withColumn(
+        "ts_ntz", F.col("ts").cast("timestamp_ntz")
     )
-    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
+    e = e.withColumn("prev_ts", F.lag("ts_ntz").over(w))
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts_ntz)")
+    new_s = F.when(F.col("prev_ts").isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     want_sessions = {
         r["user_id"]: r["n"]
         for r in e.withColumn("s", new_s).groupBy("user_id").agg(F.sum("s").alias("n")).collect()

@@ -584,13 +584,23 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) via lag window — the batch twin of
-    the streaming stateful operator."""
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731  (ts is NTZ; session is UTC)
+    the streaming stateful operator.
+
+    Session-timezone invariant by construction: ``ts`` is a parquet NTZ
+    (wall-clock) column, and the gap is computed with ``timestampdiff`` on
+    TIMESTAMP_NTZ values — never cast through TIMESTAMP_LTZ, whose
+    wall→instant conversion depends on ``spark.sql.session.timeZone`` and
+    shifts gaps across DST transitions. Matches DuckDB's tz-naive
+    ``epoch_us`` arithmetic under ANY session timezone.
+    """
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts_ntz", F.col("ts").cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
+    e = e.withColumn("prev_ts", F.lag("ts_ntz").over(w))
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts_ntz)")
     new_s = F.when(
-        prev.isNull() | (us(F.col("ts")) - us(prev) > 1800 * 1_000_000), 1
+        F.col("prev_ts").isNull() | (gap_us > 1800 * 1_000_000), 1
     ).otherwise(0)
     return (
         e.withColumn("new_session", new_s)

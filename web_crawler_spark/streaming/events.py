@@ -32,7 +32,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        # TIMESTAMP_NTZ: the parquet column is wall-clock
+        # (isAdjustedToUTC=false); reading it as NTZ keeps every downstream
+        # gap/window computation session-timezone invariant (a TimestampType
+        # read would interpret the wall values in spark.sql.session.timeZone
+        # and shift 30-min-gap classification across DST transitions)
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -56,7 +61,20 @@ def stream_events(
 
 def hourly_rollup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of the batch events_hourly_rollup: tumbling 1h
-    windows with late-data watermark."""
+    windows with late-data watermark.
+
+    ``withWatermark`` requires TIMESTAMP (not NTZ); convert the wall-clock
+    NTZ column to an instant deterministically — wall micros re-tagged as a
+    UTC instant via ``timestamp_micros`` — so window boundaries are
+    session-timezone invariant (a plain ``cast('timestamp')`` would shift
+    them by the session offset)."""
+    stream = stream.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -132,16 +150,19 @@ def run_to_memory(
 # -------------------------------------------------- gap sessionization -----
 SESSION_STATE = T.StructType(
     [
-        T.StructField("open_start", T.TimestampType()),
-        T.StructField("open_last", T.TimestampType()),
+        # wall-clock micros since epoch (int64): the state tuple round-trips
+        # through the JVM state store, and longs are immune to the session-tz
+        # re-localization a TimestampType state field would undergo
+        T.StructField("open_start_us", T.LongType()),
+        T.StructField("open_last_us", T.LongType()),
         T.StructField("open_n", T.LongType()),
     ]
 )
 SESSION_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("closed", T.BooleanType()),
     ]
@@ -155,27 +176,67 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     """Stateful gap sessionizer: rows arrive per micro-batch, state carries
     the open session across batches; a >30 min gap closes a session. The
-    last session stays open (closed=false) until more data or timeout."""
+    last session stays open (closed=false) until more data or timeout.
+
+    Vectorized within each batch: gaps via ``Series.diff`` and session ids
+    via ``cumsum`` over the boolean gap mask — Python touches only the
+    batch-boundary state merge, never individual rows. Timestamps are NTZ
+    (naive) wall-clock values end-to-end; state carries int64 micros.
+    """
     open_start, open_last, open_n = (
         state.get if state.exists else (None, None, 0)
     )
+    if open_start is not None:
+        open_start = pd.Timestamp(open_start * 1000)  # us → ns
+        open_last = pd.Timestamp(open_last * 1000)
+    gap = pd.Timedelta(seconds=GAP_SECONDS)
     out = []
     for pdf in batches:
+        if pdf.empty:
+            continue
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for ts in pdf["ts"]:
-            if open_start is None:
-                open_start, open_last, open_n = ts, ts, 1
-            elif (ts - open_last).total_seconds() > GAP_SECONDS:
+        ts = pdf["ts"].reset_index(drop=True)
+        cont = False
+        if open_last is not None:
+            cont = (ts.iloc[0] - open_last) <= gap
+            if not cont:
                 out.append((key[0], open_start, open_last, open_n, True))
-                open_start, open_last, open_n = ts, ts, 1
+                open_start, open_last, open_n = None, None, 0
+        is_new = ts.diff() > gap
+        is_new.iloc[0] = not cont
+        sid = is_new.cumsum()
+        g = ts.groupby(sid)
+        starts, ends, counts = g.min(), g.max(), g.size()
+        last_id = counts.index[-1]
+        for j in counts.index:
+            s, e, c = starts[j], ends[j], int(counts[j])
+            if cont and j == counts.index[0]:
+                s, c = open_start, c + open_n
+            if j != last_id:
+                out.append((key[0], s, e, c, True))
             else:
-                open_last, open_n = ts, open_n + 1
-    state.update((open_start, open_last, open_n))
+                open_start, open_last, open_n = s, e, c
+    state.update(
+        (
+            None if open_start is None else open_start.value // 1000,
+            None if open_last is None else open_last.value // 1000,
+            open_n,
+        )
+    )
     if open_start is not None:
         out.append((key[0], open_start, open_last, open_n, False))
-    yield pd.DataFrame(
-        out, columns=[f.name for f in SESSION_OUT.fields]
-    )
+    res = pd.DataFrame(out, columns=[f.name for f in SESSION_OUT.fields])
+    if not out:  # keep dtypes stable for Arrow when a group emits nothing
+        res = res.astype(
+            {
+                "user_id": "int64",
+                "session_start": "datetime64[ns]",
+                "session_end": "datetime64[ns]",
+                "n_events": "int64",
+                "closed": "bool",
+            }
+        )
+    yield res
 
 
 def sessionize_stream(stream: DataFrame) -> DataFrame:
