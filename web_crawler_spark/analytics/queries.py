@@ -1235,7 +1235,10 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl engine end-to-end on the deterministic synthetic web:
     wave-synchronous BFS with seen-set anti-join, politeness budget, and
     checkpointing; returns the visit order (bit-identical to the
-    single-threaded reference semantics — tests/test_crawl_identity.py)."""
+    single-threaded reference semantics — tests/test_crawl_identity.py).
+    Oracle: VALUES literal generated from the INDEPENDENT Python oracle
+    (web_crawler_spark/oracle.py via tools/pin_oracles.py) — a genuine
+    cross-implementation check of order, depth, and seen-set."""
     import tempfile
 
     from web_crawler_spark.plans.crawl import CrawlConfig, CrawlDriver
@@ -1576,9 +1579,12 @@ def q_fuzzy_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (enhanced-deduplication.service.js:7-42) over synthesized location
     records with planted near-duplicates — every 5th customer gets a
     typo'd twin that must merge (mergedFrom=2, longest-field wins,
-    max quality). Not SQL-expressible (greedy order dependence) →
-    rows-only driver check; bit-exactness vs the Python oracle kernel is
-    tested in tests/test_fuzzy_dedup.py."""
+    max quality). Not SQL-expressible (greedy order dependence) → the
+    oracle is a pinned golden literal of this deterministic output
+    (tools/pin_oracles.py) — it catches plumbing/order regressions, not
+    independent-semantics bugs, since the Spark op and the test oracle
+    share the greedy kernel; true independence comes from the naive
+    O(n^2) checker in tests/test_fuzzy_dedup.py."""
     from web_crawler_spark.operators import fuzzy as FZ
 
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
@@ -1627,8 +1633,9 @@ def q_records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M4 end-to-end: synthetic pages → 7-strategy extraction →
     confidence floor → greedy fuzzy dedup per host → geocode enrichment →
     canonical 14-field records + quality envelope + image/caption payload
-    join (crawler.service.js:283-416 whole-path analogue). Rows-only
-    driver check; per-stage values are oracled by the other queries and
+    join (crawler.service.js:283-416 whole-path analogue). Oracle: pinned
+    golden literal of this deterministic output (tools/pin_oracles.py);
+    per-stage values are independently oracled by the other queries and
     the pytest golden counts."""
     from web_crawler_spark.plans.enrich import records_pipeline
     from web_crawler_spark.synthetic.web import SyntheticWeb
@@ -1874,3 +1881,15 @@ def q_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pinned VALUES-literal oracles for the non-SQL-expressible queries
+# (greedy/iterative/media ops). crawl_bfs_frontier's literal comes from the
+# independent single-threaded Python oracle (web_crawler_spark/oracle.py);
+# the rest are golden pins of deterministic output at sf0.01 — provenance
+# documented in analytics/golden.py / tools/pin_oracles.py.
+# --------------------------------------------------------------------------
+from web_crawler_spark.analytics.golden import GOLDEN_ORACLES as _GOLDEN  # noqa: E402
+
+_ORACLES.update(_GOLDEN)

@@ -161,9 +161,14 @@ def _similar(a: dict, b: dict, threshold: float) -> bool:
     Evaluates cheap components (postcode, coords) first and brackets the
     two Levenshtein components with optimistic bounds (1 - |len diff| /
     max len ≥ true similarity), so most non-matching pairs resolve without
-    any O(n*m) string DP. Early True/False only when provable, so the
-    greedy clustering is bit-identical to the exact kernel.
+    any O(n*m) string DP. Early True/False only when provable WITH an
+    epsilon margin (the fast path accumulates score*weight in a different
+    float order than similarity()'s score/weight); anything inside the
+    margin falls back to the literal ``similarity(a, b) >= threshold``
+    comparison, so the greedy clustering is bit-identical to the exact
+    kernel even at exact-boundary pairs.
     """
+    EPS = 1e-9
     w_total = 0.0
     has_addr = _present(a.get("locationAddress")) and _present(b.get("locationAddress"))
     has_coord = all(_present(x.get(k)) for x in (a, b) for k in ("latitude", "longitude"))
@@ -209,9 +214,9 @@ def _similar(a: dict, b: dict, threshold: float) -> bool:
         na = str(a["locationName"]).lower()
         nb = str(b["locationName"]).lower()
         rem += cap(na, nb) * 0.2
-    if score >= target:
+    if score >= target + EPS:
         return True
-    if score + rem < target:
+    if score + rem < target - EPS:
         return False
     # undecided: compute the string DPs exactly (address first — heavier
     # weight tightens the bracket faster)
@@ -219,13 +224,13 @@ def _similar(a: dict, b: dict, threshold: float) -> bool:
         s = string_similarity(aa, ab) * 0.4
         rem -= cap(aa, ab) * 0.4
         score += s
-        if score >= target:
+        if score >= target + EPS:
             return True
-        if score + rem < target:
+        if score + rem < target - EPS:
             return False
-    if has_name:
-        score += string_similarity(na, nb) * 0.2
-    return score >= target
+    # within the epsilon bracket: decide with the reference formula's own
+    # accumulation order (same adds, divide not multiply)
+    return similarity(a, b) >= threshold
 
 
 def fuzzy_cluster_merge(records: Iterable[dict], threshold: float = 0.85) -> list[dict]:
