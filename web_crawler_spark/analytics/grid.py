@@ -54,9 +54,17 @@ def keyset_page(df: DataFrame, key: str, after, size: int = 20, ascending: bool 
 
 
 def export_csv(df: DataFrame, path: str, columns: list[str] | None = None) -> None:
-    """S9: CSV export with full quoting, matching the UI's "-escaped export."""
+    """S9: CSV export with full quoting, matching the UI's "-escaped export.
+    escape='"' doubles embedded quotes (RFC 4180) instead of Spark's
+    default backslash-escaping."""
     out = df.select(*columns) if columns else df
-    out.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def grid_query(

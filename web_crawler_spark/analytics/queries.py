@@ -677,6 +677,196 @@ def q_phone_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# J7 + X27 + J6 + X5: state/country/postal normalization. The literal dim
+# maps are reference data (address-normalizer.service.js:11-26,133-175;
+# geocoding.service.js:126-145) shared by engine and oracle — the oracle
+# re-derives the EXPECTED value by dim join + CASE, not by calling the
+# engine's kernels.
+# --------------------------------------------------------------------------
+_STATE_NAMES = list(R.US_STATE_TO_ABBREV)
+_STATE_DIM_SQL = ",".join(
+    f"({i}, '{n}', '{a}')" for i, (n, a) in enumerate(R.US_STATE_TO_ABBREV.items())
+)
+_CNAMES = [k for k in R.COUNTRY_NAME_TO_ISO2 if k.isascii()]
+_CNAME_DIM_SQL = ",".join(
+    f"({i}, '{n.replace(chr(39), chr(39) * 2)}', '{R.COUNTRY_NAME_TO_ISO2[n]}')"
+    for i, n in enumerate(_CNAMES)
+)
+_ISO_DIM_SQL = ",".join(
+    f"('{k}', '{v}')" for k, v in R.ISO2_TO_ISO3.items()
+)
+
+
+@query(
+    "state_country_normalize",
+    oracle=f"""
+    WITH sdim(i, name, abbr) AS (VALUES {_STATE_DIM_SQL}),
+    cdim(i, name, iso2) AS (VALUES {_CNAME_DIM_SQL}),
+    idim(iso2, iso3) AS (VALUES {_ISO_DIM_SQL}),
+    rec AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 4 = 0 THEN lower(s.name)
+                  WHEN c_custkey % 4 = 1 THEN s.name
+                  WHEN c_custkey % 4 = 2 THEN s.abbr
+                  ELSE concat('Far Region ', c_custkey % 7) END AS state_raw,
+             CASE WHEN c_custkey % 4 = 3 THEN concat('far region ',
+                                                     c_custkey % 7)
+                  ELSE s.abbr END AS state_want,
+             CASE WHEN c_custkey % 3 = 0 THEN c.name
+                  WHEN c_custkey % 3 = 1 THEN upper(c.name)
+                  ELSE lower(c.iso2) END AS country_raw,
+             c.iso2 AS c_iso2,
+             CASE WHEN c_custkey % 3 = 0 THEN
+                    printf('%09d', c_custkey % 1000000000)
+                  WHEN c_custkey % 3 = 1 THEN
+                    printf('t%dx - %db%d', c_custkey % 10,
+                           (c_custkey // 10) % 10, c_custkey % 7)
+                  ELSE printf('%05d', c_custkey % 100000) END AS postal_raw
+      FROM customer
+      JOIN sdim s ON s.i = c_custkey % 50
+      JOIN cdim c ON c.i = c_custkey % {len(_CNAMES)}
+    )
+    SELECT c_custkey, state_raw,
+           upper(trim(state_want)) AS state,
+           country_raw,
+           upper(c_iso2) AS country_iso2,
+           coalesce(i.iso3, upper(c_iso2)) AS country_iso3,
+           postal_raw,
+           CASE WHEN c_custkey % 3 = 0 THEN
+                  concat(substr(postal_raw, 1, 5), '-', substr(postal_raw, 6, 4))
+                WHEN c_custkey % 3 = 1 THEN
+                  upper(concat('t', c_custkey % 10, 'x ',
+                               (c_custkey // 10) % 10, 'b', c_custkey % 7))
+                ELSE postal_raw END AS postal
+    FROM rec LEFT JOIN idim i ON i.iso2 = upper(c_iso2)
+    """,
+)
+def q_state_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (50-state dim) + X27 (name→ISO2) + J6 (full 65-entry ISO2→ISO3)
+    + X5 battery (US ZIP+4 / Canadian A1A 1A1 / passthrough) over
+    synthesized raw inputs cycling case variants, unknown-state
+    passthrough, and 2-letter-code passthrough. The DuckDB oracle joins
+    the same reference dim tables as VALUES literals and re-derives the
+    expected outputs independently of the engine kernels."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    snames = F.array(*[F.lit(n) for n in _STATE_NAMES])
+    sabbrs = F.array(*[F.lit(a) for a in R.US_STATE_TO_ABBREV.values()])
+    cnames = F.array(*[F.lit(n) for n in _CNAMES])
+    cisos = F.array(*[F.lit(R.COUNTRY_NAME_TO_ISO2[n]) for n in _CNAMES])
+    sname = F.element_at(snames, (k % 50 + 1).cast("int"))
+    sabbr = F.element_at(sabbrs, (k % 50 + 1).cast("int"))
+    cname = F.element_at(cnames, (k % len(_CNAMES) + 1).cast("int"))
+    ciso = F.element_at(cisos, (k % len(_CNAMES) + 1).cast("int"))
+    rec = c.select(
+        "c_custkey",
+        F.when(k % 4 == 0, F.lower(sname))
+        .when(k % 4 == 1, sname)
+        .when(k % 4 == 2, sabbr)
+        .otherwise(F.concat(F.lit("Far Region "), (k % 7).cast("string")))
+        .alias("state_raw"),
+        F.when(k % 3 == 0, cname)
+        .when(k % 3 == 1, F.upper(cname))
+        .otherwise(F.lower(ciso))
+        .alias("country_raw"),
+        F.when(k % 3 == 0, F.format_string("%09d", (k % 1000000000).cast("int")))
+        .when(
+            k % 3 == 1,
+            F.format_string(
+                "t%dx - %db%d",
+                (k % 10).cast("int"),
+                ((k / 10).cast("long") % 10).cast("int"),
+                (k % 7).cast("int"),
+            ),
+        )
+        .otherwise(F.format_string("%05d", (k % 100000).cast("int")))
+        .alias("postal_raw"),
+    )
+    iso2 = R.normalize_country("country_raw")
+    return rec.select(
+        "c_custkey",
+        "state_raw",
+        R.normalize_state("state_raw").alias("state"),
+        "country_raw",
+        iso2.alias("country_iso2"),
+        R.iso2_to_iso3(iso2).alias("country_iso3"),
+        "postal_raw",
+        R.normalize_postal("postal_raw").alias("postal"),
+    )
+
+
+@query(
+    "intl_phone_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             s_suppkey % 3 AS v,
+             10000 + s_suppkey % 90000 AS in5,
+             100 + s_suppkey % 900 AS us3,
+             1000 + s_suppkey % 9000 AS us4,
+             10 + s_suppkey % 90 AS uk2
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CASE WHEN v = 0 THEN concat('Reach our Mumbai desk at +91 98765 ',
+                                       in5, ' for support')
+                WHEN v = 1 THEN concat('Call the SF line (', us3, ') 555-',
+                                       us4, ' anytime')
+                ELSE concat('London office on +44 20', uk2, ' 123456 today')
+           END AS text,
+           CASE WHEN v = 0 THEN concat('+9198765', in5)
+                WHEN v = 1 THEN concat('+', us3, '555', us4)
+                ELSE concat('+4420', uk2, '123456')
+           END AS phones
+    FROM s
+    """,
+)
+def q_intl_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 multi-country battery (advanced-extractor.service.js:14-19) +
+    normalizePhone (:453-469): india/us/uk patterns over planted page
+    text; each row plants one number, the battery must find exactly it and
+    normalize to +<digits>. The oracle constructs the expected normalized
+    number directly from the source digits."""
+    from web_crawler_spark.functions import contact as CT
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 3).alias("v"),
+        (F.lit(10000) + F.col("s_suppkey") % 90000).alias("in5"),
+        (F.lit(100) + F.col("s_suppkey") % 900).alias("us3"),
+        (F.lit(1000) + F.col("s_suppkey") % 9000).alias("us4"),
+        (F.lit(10) + F.col("s_suppkey") % 90).alias("uk2"),
+    )
+    text = (
+        F.when(
+            F.col("v") == 0,
+            F.concat(
+                F.lit("Reach our Mumbai desk at +91 98765 "), "in5",
+                F.lit(" for support"),
+            ),
+        )
+        .when(
+            F.col("v") == 1,
+            F.concat(
+                F.lit("Call the SF line ("), "us3", F.lit(") 555-"), "us4",
+                F.lit(" anytime"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("London office on +44 20"), "uk2", F.lit(" 123456 today")
+            )
+        )
+    )
+    rows = s.withColumn("text", text)
+    return rows.select(
+        "s_suppkey",
+        "text",
+        F.concat_ws("; ", CT.extract_phones_adv("text")).alias("phones"),
+    )
+
+
 @query(
     "activity_classify",
     oracle="""
@@ -784,12 +974,17 @@ def q_activity_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN qualityScore >= 90 THEN 'Excellent'
                 WHEN qualityScore >= 70 THEN 'Good'
                 WHEN qualityScore >= 50 THEN 'Fair'
-                ELSE 'Poor' END AS qualityLevel
+                ELSE 'Poor' END AS qualityLevel,
+           CASE WHEN qualityScore >= 90 THEN '#10b981'
+                WHEN qualityScore >= 70 THEN '#3b82f6'
+                WHEN qualityScore >= 50 THEN '#f59e0b'
+                ELSE '#ef4444' END AS qualityColor
     FROM scored
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X24+X25: weighted field-presence quality score + level bands."""
+    """X24+X25: weighted field-presence quality score + level bands + the
+    UI hex colors (data-quality.service.js:60-68)."""
     c = load(spark, sf_dir, "customer")
     rec = c.select(
         "c_custkey",
@@ -806,7 +1001,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = rec.withColumn("qualityScore", R.quality_score())
     return scored.select(
-        "c_custkey", "qualityScore", R.quality_level("qualityScore").alias("qualityLevel")
+        "c_custkey", "qualityScore",
+        R.quality_level("qualityScore").alias("qualityLevel"),
+        R.quality_color("qualityScore").alias("qualityColor"),
     )
 
 

@@ -29,6 +29,16 @@ PHONE_PATTERNS = [
 
 EMAIL_PATTERN = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
 
+# X2 multi-country battery (advanced-extractor.service.js:14-19, restated
+# in Java-regex spelling). Ordered dict: extraction unions the batteries in
+# this order (india, us, uk, international) before the digit gate.
+ADV_PHONE_PATTERNS = {
+    "india": r"(?:\+91|0)?[\s-]?\d{5}[\s-]?\d{5}|\d{3}[\s-]\d{3}[\s-]\d{4}",
+    "us": r"(?:\+1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
+    "uk": r"(?:\+44|0)\s?\d{4}\s?\d{6}|\+44\s?\d{3}\s?\d{3}\s?\d{4}",
+    "international": r"\+?\d{1,4}[-.\s]?\(?\d{1,4}\)?[-.\s]?\d{1,4}[-.\s]?\d{1,9}",
+}
+
 # contact-extractor.service.js:97-112
 HOURS_PATTERNS = [
     r"(?i)(Monday|Mon|Tuesday|Tue|Wednesday|Wed|Thursday|Thu|Friday|Fri|Saturday|Sat|Sunday|Sun)[\s-]+(to|through|thru|-)[\s]+(Monday|Mon|Tuesday|Tue|Wednesday|Wed|Thursday|Thu|Friday|Fri|Saturday|Sat|Sunday|Sun)[\s:]+\d{1,2}:\d{2}\s*[AP]M[\s-]+\d{1,2}:\d{2}\s*[AP]M",
@@ -160,3 +170,25 @@ def extract_social(hrefs: Column) -> Column:
 def extract_contact_person(text: Column | str) -> Column:
     """X28 person: Title-Case names after Contact/Manager/Director/…"""
     return _matches(_c(text), PERSON_PATTERN, 1)
+
+
+def normalize_phone_adv(phone: Column) -> Column:
+    """X2 normalize (advanced-extractor.service.js:453-469): strip
+    ``[-.\\s()]`` separators, drop a leading ``+``, and require ≥10
+    remaining chars — result is ``+<digits>``, else NULL."""
+    cleaned = F.regexp_replace(phone, r"[-.\s()]", "")
+    cleaned = F.regexp_replace(cleaned, r"^\+", "")
+    return F.when(F.length(cleaned) >= 10, F.concat(F.lit("+"), cleaned))
+
+
+def extract_phones_adv(
+    text: Column | str, countries: list[str] | None = None
+) -> Column:
+    """X2 multi-country battery (advanced-extractor.service.js:14-19):
+    union the india/us/uk/international regexes in battery order, trim,
+    normalize (≥10 digits → ``+<digits>``), order-preserving dedup."""
+    t = _c(text)
+    pats = [ADV_PHONE_PATTERNS[c] for c in (countries or ADV_PHONE_PATTERNS)]
+    all_matches = F.flatten(F.array(*[_matches(t, p) for p in pats]))
+    normalized = F.transform(all_matches, lambda x: normalize_phone_adv(F.trim(x)))
+    return F.array_distinct(F.filter(normalized, lambda p: p.isNotNull()))

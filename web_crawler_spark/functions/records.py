@@ -161,15 +161,133 @@ def format_postal_us(zipc: Column | str) -> Column:
     ).otherwise(_c(zipc).cast("string"))
 
 
-# --- X27/J6: ISO country dim (subset; geocoding.service.js:126-144) --------
+# --- X27/J6: ISO country dim (full 65-entry map; geocoding.service.js
+# :126-144, restated) ------------------------------------------------------
 ISO2_TO_ISO3 = {
-    "US": "USA", "GB": "GBR", "IN": "IND", "CA": "CAN", "AU": "AUS",
-    "DE": "DEU", "FR": "FRA", "NL": "NLD", "JP": "JPN", "CN": "CHN",
-    "BR": "BRA", "RU": "RUS", "ES": "ESP", "IT": "ITA", "MX": "MEX",
-    "AR": "ARG", "DZ": "DZA", "CA2": "CAN",
+    "US": "USA", "GB": "GBR", "CA": "CAN", "AU": "AUS", "DE": "DEU",
+    "FR": "FRA", "IT": "ITA", "ES": "ESP", "NL": "NLD", "BE": "BEL",
+    "CH": "CHE", "AT": "AUT", "SE": "SWE", "NO": "NOR", "DK": "DNK",
+    "FI": "FIN", "PL": "POL", "CZ": "CZE", "IE": "IRL", "PT": "PRT",
+    "GR": "GRC", "HU": "HUN", "RO": "ROU", "BG": "BGR", "HR": "HRV",
+    "SI": "SVN", "SK": "SVK", "LT": "LTU", "LV": "LVA", "EE": "EST",
+    "IS": "ISL", "LU": "LUX", "MT": "MLT", "CY": "CYP", "JP": "JPN",
+    "CN": "CHN", "IN": "IND", "KR": "KOR", "SG": "SGP", "MY": "MYS",
+    "TH": "THA", "ID": "IDN", "PH": "PHL", "VN": "VNM", "NZ": "NZL",
+    "MX": "MEX", "BR": "BRA", "AR": "ARG", "CL": "CHL", "CO": "COL",
+    "PE": "PER", "VE": "VEN", "ZA": "ZAF", "NG": "NGA", "EG": "EGY",
+    "KE": "KEN", "SA": "SAU", "AE": "ARE", "IL": "ISR", "TR": "TUR",
+    "RU": "RUS", "UA": "UKR", "BY": "BLR", "KZ": "KAZ", "UZ": "UZB",
 }
 
 
 def iso2_to_iso3(iso2: Column | str) -> Column:
+    """J6: ISO2 → ISO3 via the literal dim map; unmapped codes pass
+    through unchanged (``mapping[iso2] || iso2``,
+    geocoding.service.js:145)."""
+    up = F.upper(_c(iso2))
     m = F.create_map(*chain.from_iterable((F.lit(k), F.lit(v)) for k, v in ISO2_TO_ISO3.items()))
-    return m[F.upper(_c(iso2))]
+    return F.coalesce(m[up], up)
+
+
+# --- X27: country-name → ISO2 (address-normalizer.service.js:11-26,
+# restated) ----------------------------------------------------------------
+COUNTRY_NAME_TO_ISO2 = {
+    "usa": "US", "united states": "US", "us": "US", "u.s.": "US",
+    "u.s.a.": "US",
+    "uk": "GB", "united kingdom": "GB", "great britain": "GB",
+    "england": "GB",
+    "australia": "AU", "aus": "AU",
+    "canada": "CA", "can": "CA",
+    "germany": "DE", "deutschland": "DE",
+    "france": "FR",
+    "spain": "ES", "españa": "ES",
+    "italy": "IT", "italia": "IT",
+    "netherlands": "NL", "holland": "NL",
+    "switzerland": "CH", "schweiz": "CH",
+    "india": "IN",
+    "china": "CN",
+    "japan": "JP",
+    "singapore": "SG",
+}
+
+
+def normalize_country(country: Column | str) -> Column:
+    """X27: 2-letter code passes through uppercased; known full names map
+    to ISO2; anything else uppercases (normalizeCountry,
+    address-normalizer.service.js:180-192)."""
+    c = _c(country).cast("string")
+    low = F.lower(F.trim(c))
+    m = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in COUNTRY_NAME_TO_ISO2.items()
+        )
+    )
+    return F.when(low.rlike("^[a-z]{2}$"), F.upper(low)).otherwise(
+        F.coalesce(m[low], F.upper(low))
+    )
+
+
+# --- J7: US state-name → abbreviation (address-normalizer.service.js
+# :133-155, restated) ------------------------------------------------------
+US_STATE_TO_ABBREV = {
+    "ALABAMA": "AL", "ALASKA": "AK", "ARIZONA": "AZ", "ARKANSAS": "AR",
+    "CALIFORNIA": "CA", "COLORADO": "CO", "CONNECTICUT": "CT",
+    "DELAWARE": "DE", "FLORIDA": "FL", "GEORGIA": "GA", "HAWAII": "HI",
+    "IDAHO": "ID", "ILLINOIS": "IL", "INDIANA": "IN", "IOWA": "IA",
+    "KANSAS": "KS", "KENTUCKY": "KY", "LOUISIANA": "LA", "MAINE": "ME",
+    "MARYLAND": "MD", "MASSACHUSETTS": "MA", "MICHIGAN": "MI",
+    "MINNESOTA": "MN", "MISSISSIPPI": "MS", "MISSOURI": "MO",
+    "MONTANA": "MT", "NEBRASKA": "NE", "NEVADA": "NV",
+    "NEW HAMPSHIRE": "NH", "NEW JERSEY": "NJ", "NEW MEXICO": "NM",
+    "NEW YORK": "NY", "NORTH CAROLINA": "NC", "NORTH DAKOTA": "ND",
+    "OHIO": "OH", "OKLAHOMA": "OK", "OREGON": "OR", "PENNSYLVANIA": "PA",
+    "RHODE ISLAND": "RI", "SOUTH CAROLINA": "SC", "SOUTH DAKOTA": "SD",
+    "TENNESSEE": "TN", "TEXAS": "TX", "UTAH": "UT", "VERMONT": "VT",
+    "VIRGINIA": "VA", "WASHINGTON": "WA", "WEST VIRGINIA": "WV",
+    "WISCONSIN": "WI", "WYOMING": "WY",
+}
+
+
+def normalize_state(state: Column | str) -> Column:
+    """J7: trim+uppercase, then the 50-state literal dim; unmapped values
+    pass through uppercased (normalizeState)."""
+    up = F.upper(F.trim(_c(state).cast("string")))
+    m = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in US_STATE_TO_ABBREV.items()
+        )
+    )
+    return F.coalesce(m[up], up)
+
+
+def normalize_postal(code: Column | str) -> Column:
+    """X5 full battery (normalizePostalCode, address-normalizer.service.js
+    :158-175): uppercase, strip spaces/hyphens; US 5 or 9 digits →
+    ``#####`` / ``#####-####``; Canadian ``A1A1A1`` → ``A1A 1A1``; anything
+    else passes through stripped."""
+    d = F.regexp_replace(F.upper(_c(code).cast("string")), r"[\s-]", "")
+    return (
+        F.when(
+            d.rlike(r"^\d{9}$"),
+            F.format_string("%s-%s", F.substring(d, 1, 5), F.substring(d, 6, 4)),
+        )
+        .when(d.rlike(r"^\d{5}$"), d)
+        .when(
+            d.rlike(r"^[A-Z]\d[A-Z]\d[A-Z]\d$"),
+            F.format_string("%s %s", F.substring(d, 1, 3), F.substring(d, 4, 3)),
+        )
+        .otherwise(d)
+    )
+
+
+def quality_color(score: Column | str) -> Column:
+    """X25 hex colors (getQualityColor, data-quality.service.js:60-68):
+    ≥90 green, ≥70 blue, ≥50 orange, else red — carried by the UI grid and
+    the Excel report."""
+    s = _c(score)
+    return (
+        F.when(s >= 90, F.lit("#10b981"))
+        .when(s >= 70, F.lit("#3b82f6"))
+        .when(s >= 50, F.lit("#f59e0b"))
+        .otherwise(F.lit("#ef4444"))
+    )

@@ -195,7 +195,10 @@ def minhash_dedup(
 def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     """Connected components by iterated min-label propagation over an edge
     list (a,b). Returns (node, component) with component = min node id.
-    Small-diameter duplicate clusters converge in 2-3 iterations."""
+    Small-diameter duplicate clusters converge in 2-3 iterations; if the
+    loop exhausts ``max_iters`` without converging (cluster diameter >
+    max_iters hops), a warning is logged — labels are then only
+    max_iters-hop minima, not final components."""
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -228,6 +231,14 @@ def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_min did not converge in %d iterations; labels are "
+            "%d-hop minima, not final components (raise max_iters)",
+            max_iters, max_iters,
+        )
     return labels
 
 

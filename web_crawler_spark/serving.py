@@ -28,9 +28,10 @@ from web_crawler_spark.lake import SnapshotTable
 def request_key(urls: list[str], mode: str) -> str:
     """crawl:{urls}-{mode}, hashed deterministically (cache.service.js:59).
 
-    Each URL is a separate hash part (hash64 '|'-joins them), so URL lists
-    that merely concatenate to the same string cannot collide."""
-    return f"req_{hash64('crawl', len(urls), *urls, mode):015x}"
+    Each URL part is length-prefixed before hashing (hash64 '|'-joins
+    parts), so lists whose elements contain '|' cannot collide either —
+    ['a|b','c'] and ['a','b|c'] hash differently."""
+    return f"req_{hash64('crawl', len(urls), *[f'{len(u)}:{u}' for u in urls], mode):015x}"
 
 
 def json_response(
@@ -50,7 +51,7 @@ def json_response(
         "totalRecords": len(rows),
         "cached": cached,
         "mode": mode,
-        "jobId": f"job_{hash64('job', len(job_urls), *job_urls, run_ts):015x}",
+        "jobId": f"job_{hash64('job', len(job_urls), *[f'{len(u)}:{u}' for u in job_urls], run_ts):015x}",
         "crawledAt": run_ts,
     }
 

@@ -91,11 +91,18 @@ def excel_report_frames(results: DataFrame) -> dict[str, DataFrame]:
         F.min("status").alias("status"),
         F.sum("locationsCount").alias("locationsCount"),
     )
+    if "qualityScore" in results.columns and "qualityColor" not in results.columns:
+        # X25 hex color-coding carried by the report
+        # (data-quality.service.js:60-68, bulk-processor.service.js:127-240)
+        from web_crawler_spark.functions.records import quality_color
+
+        results = results.withColumn("qualityColor", quality_color("qualityScore"))
     return {"Summary": summary, "All Locations": results}
 
 
 def write_excel_report(results: DataFrame, path: str) -> str:
-    """S10: two-sheet workbook. Requires openpyxl (driver-side sink)."""
+    """S10: two-sheet workbook with quality color-coded cells. Requires
+    openpyxl (driver-side sink)."""
     frames = excel_report_frames(results)
     if not HAVE_OPENPYXL:  # pragma: no cover
         raise NotImplementedError(
@@ -106,5 +113,16 @@ def write_excel_report(results: DataFrame, path: str) -> str:
 
     with pd.ExcelWriter(path, engine="openpyxl") as xw:  # pragma: no cover
         for sheet, sdf in frames.items():
-            sdf.toPandas().to_excel(xw, sheet_name=sheet, index=False)
+            pdf = sdf.toPandas()
+            pdf.to_excel(xw, sheet_name=sheet, index=False)
+            if "qualityColor" in pdf.columns and "qualityScore" in pdf.columns:
+                from openpyxl.styles import PatternFill
+
+                ws = xw.sheets[sheet]
+                ci = list(pdf.columns).index("qualityScore") + 1
+                for r, hexcol in enumerate(pdf["qualityColor"], start=2):
+                    if hexcol:
+                        ws.cell(row=r, column=ci).fill = PatternFill(
+                            "solid", fgColor=str(hexcol).lstrip("#")
+                        )
     return path  # pragma: no cover
