@@ -151,3 +151,30 @@ def test_crawl_delay_budget_preserves_order(spark, tmp_path):
     for (host, _wave), n in per.items():
         delay = max(web.robots(host_idx[host])["crawl_delay_s"], 1.0)
         assert n <= max(int(math.floor(4.0 / delay)), 1), (host, n, delay)
+
+
+@pytest.mark.parametrize("cap,host_budget", [(10, None), (10, 3), (25, None)])
+def test_locations_found_early_exit(spark, tmp_path, cap, host_budget):
+    """W5: with a location cap the crawl must stop exactly where the
+    single-threaded reference loop stops (professional-crawler.service.js
+    :79-82) — same visit order, same visited set, rows past the stop point
+    left queued — including when a politeness budget forces the stop to
+    land mid-wave vs at a wave boundary."""
+    cfg = CrawlConfig(max_pages=30, max_depth=3, use_bloom=False,
+                      host_wave_budget=host_budget, max_locations=cap)
+    driver = CrawlDriver(spark, WEB, str(tmp_path / f"cap_{cap}_{host_budget}"), cfg)
+    driver.run(max_waves=60)
+    got = _spark_results(driver)
+
+    want = crawl_all(WEB, max_pages=30, max_depth=3, max_locations=cap)
+    stopped_early = False
+    for seed, res in want.items():
+        seed_host = seed.split("//", 1)[1].split("/", 1)[0]
+        g = got[seed_host]
+        assert g["visits"] == res.visit_order, seed
+        assert g["discovered"] == res.discovered, seed
+        assert set(g["discovered"]) == res.seen_set, seed
+        total = sum(WEB.n_locations(*WEB.page_index(u)) for u in res.visit_order)
+        if total >= cap and len(res.visit_order) < 30:
+            stopped_early = True
+    assert stopped_early, "fixture must actually trigger the cap"

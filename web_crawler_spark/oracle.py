@@ -75,8 +75,13 @@ def crawl_site(
     max_pages: int = 50,
     max_depth: int = 3,
     check_robots: bool = False,
+    max_locations: int | None = None,
 ) -> CrawlResult:
-    """Reference crawlEntireSite over one seed (one site)."""
+    """Reference crawlEntireSite over one seed (one site).
+
+    ``max_locations``: W5 early exit (professional-crawler.service.js:79-82)
+    — the loop stops before popping the next URL once the cumulative
+    extracted-location count reaches the cap; unpopped rows stay queued."""
     res = CrawlResult()
     base_host = seed_url.split("//", 1)[1].split("/", 1)[0]
     visited: set[str] = set()
@@ -85,7 +90,10 @@ def crawl_site(
     res.discovered.append(seed_url)
     res.discovered_wave[seed_url] = 0
 
+    locations_found = 0
     while to_visit and len(visited) < max_pages:
+        if max_locations is not None and locations_found >= max_locations:
+            break
         url, depth = to_visit.pop(0)
         if url in visited or depth > max_depth:
             continue
@@ -99,6 +107,7 @@ def crawl_site(
             continue  # blocked page still counts as visited (it was shifted)
         res.visit_order.append(url)
         res.visit_depth[url] = depth
+        locations_found += web.n_locations(h, p)
         for link in discover_links_on_page(web, h, p, base_host):
             if link not in visited and link not in all_discovered:
                 all_discovered.add(link)
@@ -119,10 +128,12 @@ def crawl_all(
     max_pages: int = 50,
     max_depth: int = 3,
     check_robots: bool = False,
+    max_locations: int | None = None,
 ) -> dict[str, CrawlResult]:
     """Sequential per-seed crawls — the reference loops over the seed list
     (crawler.service.js:55-133); each site crawl is independent."""
     return {
-        seed: crawl_site(web, seed, max_pages, max_depth, check_robots)
+        seed: crawl_site(web, seed, max_pages, max_depth, check_robots,
+                         max_locations)
         for seed in web.seed_urls()
     }

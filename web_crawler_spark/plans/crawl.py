@@ -25,6 +25,21 @@ the snapshot summary → a killed run resumes from the last complete wave
 Scale design: all joins/windows partition by seed_host (embarrassingly
 parallel across sites); the seen-set anti-join is Bloom-pre-pruned; the
 fetch stage is salted across executors to break hot-host skew.
+
+Wave write cost is O(wave delta), not O(frontier): the frontier is a
+merge-on-read pair of tables — an append-only BASE of discovery rows
+(status 'queued' at birth, immutable) plus an append-only DELTA of status
+transitions (url → visited/error/robots_blocked/depth_skipped, at most
+one per url). Each wave appends only its new discoveries to base and its
+transitions to delta; ``frontier()`` reconstructs current state with a
+base⟕delta join, and every ``compact_every`` waves (and at completion)
+the merged view is folded into base and the delta truncated. At 10^10
+rows this turns the per-wave frontier cost from a full-table
+read+join+rewrite into two delta-sized appends plus a column-pruned read.
+Crash windows are safe by idempotence: transitions set absolute values
+(re-applying is a no-op), re-running a half-committed wave re-discovers
+the same URLs into an anti-join that now drops them, and duplicate page
+appends are deduped on read (the delta append is the wave commit point).
 """
 
 from __future__ import annotations
@@ -57,6 +72,17 @@ FRONTIER_SCHEMA = T.StructType(
 )
 
 
+DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_host", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("wave_visited", T.IntegerType(), True),
+        T.StructField("visit_seq", T.LongType(), True),
+    ]
+)
+
+
 @dataclass
 class CrawlConfig:
     max_pages: int = 50          # per seed (site-crawler.service.js:130)
@@ -68,6 +94,10 @@ class CrawlConfig:
     salt_partitions: int | None = None
     keep_snapshots: int = 3
     ordering: str = "strict"     # strict = bit-identical; fast = hash order
+    compact_every: int = 8       # fold delta into base every k waves
+    # W5: stop visiting a seed once its cumulative extracted-location count
+    # reaches this (professional-crawler.service.js:79-82, default 50 there)
+    max_locations: int | None = None
 
 
 class CrawlDriver:
@@ -80,6 +110,7 @@ class CrawlDriver:
         self.cfg = config or CrawlConfig()
         self.workdir = workdir
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
+        self.delta_tbl = SnapshotTable(os.path.join(workdir, "frontier_delta"))
         self.pages_tbl = SnapshotTable(os.path.join(workdir, "pages"))
         self.bloom_tbl = SnapshotTable(os.path.join(workdir, "seen_bloom"))
         self.state_path = os.path.join(workdir, "crawl_state.json")
@@ -97,6 +128,84 @@ class CrawlDriver:
         with open(self.state_path) as fh:
             return json.load(fh)
 
+    # ---------------------------------------- running per-seed aggregates --
+    # Stored in each snapshot's summary metadata (the Iceberg pattern the
+    # north_rule asks for): every base append carries the running per-seed
+    # max enqueue_seq, every delta append the running per-seed visit and
+    # location counts. Each table's summary describes exactly its own
+    # committed content, so budgets derived from them are crash-consistent
+    # with the data a wave reads — no O(frontier) scan, no side state.
+    def _base_agg(self) -> dict[str, int]:
+        cur = self.frontier_tbl.current()
+        agg = (cur or {}).get("summary", {}).get("max_seq")
+        if agg is not None:
+            return dict(agg)
+        # legacy checkpoint without summary aggregates: recover by scan
+        rows = (
+            self.frontier_tbl.read(self.spark)
+            .groupBy("seed_host")
+            .agg(F.max("enqueue_seq").alias("m"))
+            .collect()
+        )
+        return {r["seed_host"]: r["m"] for r in rows}
+
+    def _delta_agg(self) -> tuple[dict[str, int], dict[str, int]]:
+        cur = self.delta_tbl.current() if self.delta_tbl.exists() else None
+        s = (cur or {}).get("summary", {})
+        return dict(s.get("visited_n", {})), dict(s.get("loc_found", {}))
+
+    # ------------------------------------------------- merge-on-read view --
+    def _delta(self) -> DataFrame | None:
+        if not self.delta_tbl.exists():
+            return None
+        d = self.delta_tbl.read(self.spark)
+        return d if d.columns else None
+
+    def frontier(self) -> DataFrame:
+        """Current frontier state: base ⟕ status-delta (merge-on-read)."""
+        base = self.frontier_tbl.read(self.spark)
+        delta = self._delta()
+        if delta is None:
+            return base
+        d = delta.select(
+            "seed_host", "url",
+            F.col("status").alias("_dstatus"),
+            F.col("wave_visited").alias("_dwave"),
+            F.col("visit_seq").alias("_dseq"),
+        )
+        return (
+            base.join(d, ["seed_host", "url"], "left")
+            .withColumn("status", F.coalesce("_dstatus", "status"))
+            .withColumn("wave_visited", F.coalesce("_dwave", "wave_visited"))
+            .withColumn("visit_seq", F.coalesce("_dseq", "visit_seq"))
+            .drop("_dstatus", "_dwave", "_dseq")
+        )
+
+    def _compact(self, wave: int) -> None:
+        """Fold the delta into base (one O(frontier) rewrite per
+        ``compact_every`` waves instead of per wave) and truncate it. The
+        running aggregates are carried forward in both new snapshots'
+        summaries, so they survive the fold and later snapshot expiry."""
+        if self._delta() is None:
+            return
+        visited_n, loc_found = self._delta_agg()
+        # safe to write lazily from the merged plan: overwrite writes a NEW
+        # file set; the old base files it reads live until expire_snapshots
+        merged = self.frontier()
+        self.frontier_tbl.overwrite(
+            merged,
+            summary={"wave": wave, "op": "compact", "max_seq": self._base_agg()},
+            lineage_key="seed_host",
+        )
+        empty = self.spark.createDataFrame([], DELTA_SCHEMA)
+        self.delta_tbl.overwrite(
+            empty,
+            summary={
+                "wave": wave, "op": "truncate",
+                "visited_n": visited_n, "loc_found": loc_found,
+            },
+        )
+
     # ------------------------------------------------------------ seeds ---
     def _seed_frontier(self) -> DataFrame:
         rows = [
@@ -112,14 +221,21 @@ class CrawlDriver:
         if resume and self.frontier_tbl.exists():
             state = self.load_state()
             wave = state["wave"] if state else 0
-            frontier = self.frontier_tbl.read(spark)
             if state and state.get("done"):
-                return frontier
+                return self.frontier()
         else:
             wave = 0
-            frontier = self._seed_frontier()
+            seeds = self._seed_frontier()
             self.frontier_tbl.overwrite(
-                frontier, summary={"wave": 0, "op": "seed"}, lineage_key="seed_host"
+                seeds,
+                summary={
+                    "wave": 0, "op": "seed",
+                    "max_seq": {
+                        url.split("//", 1)[1].split("/", 1)[0]: 0
+                        for url in self.web.seed_urls()
+                    },
+                },
+                lineage_key="seed_host",
             )
             self._save_state(0, done=False)
 
@@ -133,38 +249,71 @@ class CrawlDriver:
 
         while wave < max_waves:
             wave += 1
-            progressed = self._run_wave(frontier, wave, robots_df)
-            frontier = self.frontier_tbl.read(spark)
+            progressed = self._run_wave(wave, robots_df)
             if not progressed:
+                self._compact(wave)
                 self._save_state(wave, done=True)
                 break
+            if self.cfg.compact_every and wave % self.cfg.compact_every == 0:
+                self._compact(wave)
             self._save_state(wave, done=False)
-        return frontier
+        return self.frontier()
 
-    def _run_wave(self, frontier: DataFrame, wave: int, robots_df) -> bool:
+    def _run_wave(self, wave: int, robots_df) -> bool:
         """One wave: budgeted visit of lowest-seq queued rows → fetch →
         link expansion → seen anti-join → append. Returns False when no
-        work remains (all budgets exhausted or queue drained)."""
-        cfg = self.cfg
+        work remains (all budgets exhausted or queue drained).
 
-        queued = frontier.filter(F.col("status") == "queued")
+        All writes are delta-sized appends (new discoveries → base table,
+        status transitions → delta table); the only full-base work is a
+        column-pruned read for candidate selection and the seen anti-join.
+        Budgets come from the running per-seed aggregates in the snapshot
+        summaries (O(#seeds) driver state; for seed sets beyond ~10^5 move
+        them to a side table keyed like the frontier)."""
+        cfg = self.cfg
+        spark = self.spark
+
+        base = self.frontier_tbl.read(spark)
+        delta = self._delta()
+        # after compaction base statuses are baked; before, an anti-join vs
+        # the delta keys IS the merge for the queued slice (urls transition
+        # at most once)
+        queued = base.filter(F.col("status") == "queued")
+        if delta is not None:
+            queued = queued.join(
+                delta.select("seed_host", "url"), ["seed_host", "url"], "left_anti"
+            )
         # depth gate (W6): popped-and-skipped, no budget consumed
         too_deep = queued.filter(F.col("depth") > cfg.max_depth)
         visitable = queued.filter(F.col("depth") <= cfg.max_depth)
 
-        # remaining per-seed maxPages budget (small aggregate)
-        visited_counts = (
-            frontier.filter(F.col("status").isin("visited", "error", "robots_blocked"))
-            .groupBy("seed_host")
-            .count()
-        )
-        all_seeds = frontier.select("seed_host").distinct()
-        remaining = (
-            all_seeds.join(visited_counts, "seed_host", "left")
-            .select(
-                "seed_host",
-                (F.lit(cfg.max_pages) - F.coalesce(F.col("count"), F.lit(0))).alias("remaining"),
-            )
+        max_seq_d = self._base_agg()
+        visited_n, loc_found = self._delta_agg()
+        if delta is None and not self.delta_tbl.exists():
+            # fresh-from-compacted-base case (e.g. legacy checkpoint):
+            # visit counts live in base statuses, recover once by scan
+            cur = self.frontier_tbl.current() or {}
+            if cur.get("summary", {}).get("op") not in ("seed",):
+                rows = (
+                    base.filter(
+                        F.col("status").isin("visited", "error", "robots_blocked")
+                    )
+                    .groupBy("seed_host").count().collect()
+                )
+                for r in rows:
+                    visited_n[r["seed_host"]] = visited_n.get(r["seed_host"], 0) + r["count"]
+
+        def _remaining(seed: str) -> int:
+            if (
+                cfg.max_locations is not None
+                and loc_found.get(seed, 0) >= cfg.max_locations
+            ):
+                return 0  # W5: location cap reached → seed takes no pages
+            return max(0, cfg.max_pages - visited_n.get(seed, 0))
+
+        remaining = spark.createDataFrame(
+            [(s, _remaining(s)) for s in max_seq_d],
+            "seed_host string, remaining int",
         )
 
         take = FR.take_budgeted(
@@ -183,7 +332,88 @@ class CrawlDriver:
 
         fetched = fetch_pages(take, self.web, cfg.salt_partitions).persist()
         n_fetched = fetched.count()
-        if n_fetched == 0 and n_blocked == 0 and too_deep.isEmpty():
+
+        # ---- W5 in-wave cutoff (professional-crawler.service.js:79-82) ----
+        # the reference checks locationsFound before visiting EACH url, so
+        # the visited set per seed is the maximal visit-order prefix where
+        # every page's preceding cumulative count is below the cap. Pages
+        # fetched speculatively beyond the cutoff stay queued (untransitioned)
+        # and their links are not expanded.
+        if cfg.max_locations is not None:
+            carry = spark.createDataFrame(
+                [(s, loc_found.get(s, 0)) for s in max_seq_d],
+                "seed_host string, _carry long",
+            )
+            fb = fetched.select(
+                "seed_host", "url", "visit_seq", F.col("n_locations").alias("_nl")
+            )
+            if blocked is not None:
+                fb = fb.unionByName(
+                    blocked.select(
+                        "seed_host", "url", "visit_seq", F.lit(0).alias("_nl")
+                    )
+                )
+            wv = Window.partitionBy("seed_host").orderBy("visit_seq")
+            keep_keys = (
+                fb.join(F.broadcast(carry), "seed_host", "left")
+                .withColumn("_prev", F.sum("_nl").over(wv) - F.col("_nl"))
+                .filter(
+                    F.coalesce(F.col("_carry"), F.lit(0)) + F.col("_prev")
+                    < cfg.max_locations
+                )
+                .select("seed_host", "url")
+            )
+            kept = fetched.join(keep_keys, ["seed_host", "url"], "left_semi").persist()
+            n_fetched = kept.count()
+            fetched.unpersist()
+            fetched = kept
+            if blocked is not None:
+                bk = blocked.join(keep_keys, ["seed_host", "url"], "left_semi").persist()
+                n_blocked = bk.count()
+                blocked.unpersist()
+                blocked = bk
+
+        # running location totals must reflect this wave BEFORE the deep-row
+        # gate and the early-exit decision below
+        if cfg.max_locations is not None:
+            for r in (
+                fetched.filter(F.col("fetch_ok"))
+                .groupBy("seed_host").agg(F.sum("n_locations").alias("n")).collect()
+            ):
+                loc_found[r["seed_host"]] = loc_found.get(r["seed_host"], 0) + int(r["n"] or 0)
+
+        # ---- depth-skip gate (W6 x W5 interaction) ------------------------
+        # Without a location cap every queued too-deep row can be popped-and-
+        # skipped this wave (the single-threaded loop eventually pops them
+        # all). With a cap, the reference loop STOPS once locationsFound >=
+        # cap, so a capped seed's deep rows after the last visited position
+        # are never popped — they must stay queued, and a fully capped seed
+        # must not keep the wave loop alive.
+        if cfg.max_locations is None:
+            deep_trans = too_deep
+        else:
+            capped_seeds = [
+                s2 for s2, n in loc_found.items() if n >= cfg.max_locations
+            ]
+            vk_rows = fetched.groupBy("seed_host").agg(
+                F.max("visit_seq").alias("_vk")
+            )
+            if blocked is not None:
+                vk_rows = (
+                    vk_rows.unionByName(
+                        blocked.groupBy("seed_host").agg(F.max("visit_seq").alias("_vk"))
+                    )
+                    .groupBy("seed_host").agg(F.max("_vk").alias("_vk"))
+                )
+            deep_trans = (
+                too_deep.join(F.broadcast(vk_rows), "seed_host", "left")
+                .filter(
+                    (~F.col("seed_host").isin(capped_seeds) if capped_seeds else F.lit(True))
+                    | (F.col("_vk").isNotNull() & (F.col("enqueue_seq") < F.col("_vk")))
+                )
+                .drop("_vk")
+            )
+        if n_fetched == 0 and n_blocked == 0 and deep_trans.isEmpty():
             if blocked is not None:
                 blocked.unpersist()
             fetched.unpersist()
@@ -206,16 +436,20 @@ class CrawlDriver:
         cand = FR.clean_candidate_links(links)
         cand = FR.first_occurrence_per_page(cand)
         # persisted: feeds the anti-join, the dedup metric, and (via
-        # new_frontier_rows) the frontier overwrite — one computation, not 3
+        # new_frontier_rows) the base append — one computation, not 3
         cand = FR.dedup_first_discoverer(cand).persist()
         bloom = (
             self.bloom_tbl.read(self.spark)
             if cfg.use_bloom and self.bloom_tbl.exists()
             else None
         )
-        new = FR.anti_join_seen(cand, frontier, bloom=bloom)
+        # seen set == base discovery rows (delta only changes status)
+        new = FR.anti_join_seen(cand, base, bloom=bloom)
 
-        max_seq = frontier.groupBy("seed_host").agg(F.max("enqueue_seq").alias("max_seq"))
+        max_seq = spark.createDataFrame(
+            [(s, m) for s, m in max_seq_d.items()],
+            "seed_host string, max_seq long",
+        )
         if cfg.ordering == "strict":
             new = FR.assign_enqueue_seq(new, max_seq)
         else:
@@ -240,60 +474,49 @@ class CrawlDriver:
             F.lit(None).cast("long").alias("visit_seq"),
         ).persist()
 
-        # ---- frontier state transition ------------------------------------
-        visited_keys = fetched.select(
-            "seed_host", "url", F.col("fetch_ok").alias("_ok"),
-            F.col("visit_seq").alias("_vseq"),
+        # ---- status transitions (the wave's frontier delta) ---------------
+        transitions = fetched.select(
+            "seed_host", "url",
+            F.when(F.col("fetch_ok"), F.lit("visited"))
+            .otherwise(F.lit("error")).alias("status"),
+            F.lit(wave).alias("wave_visited"),
+            F.col("visit_seq"),
         )
         if blocked is not None:
-            visited_keys = visited_keys.unionByName(
+            transitions = transitions.unionByName(
                 blocked.select(
-                    "seed_host", "url", F.lit(None).cast("boolean").alias("_ok"),
-                    F.col("visit_seq").alias("_vseq"),
+                    "seed_host", "url", F.lit("robots_blocked").alias("status"),
+                    F.lit(wave).alias("wave_visited"), F.col("visit_seq"),
                 )
             )
-        updated = (
-            frontier.join(visited_keys, ["seed_host", "url"], "left")
-            .withColumn(
-                "status",
-                F.when(F.col("_vseq").isNotNull() & F.col("_ok"), F.lit("visited"))
-                .when(F.col("_vseq").isNotNull() & ~F.col("_ok"), F.lit("error"))
-                .when(F.col("_vseq").isNotNull() & F.col("_ok").isNull(), F.lit("robots_blocked"))
-                .otherwise(F.col("status")),
+        transitions = transitions.unionByName(
+            deep_trans.select(
+                "seed_host", "url", F.lit("depth_skipped").alias("status"),
+                F.lit(None).cast("int").alias("wave_visited"),
+                F.lit(None).cast("long").alias("visit_seq"),
             )
-            .withColumn(
-                "wave_visited",
-                F.when(F.col("_vseq").isNotNull(), F.lit(wave)).otherwise(F.col("wave_visited")),
-            )
-            .withColumn(
-                "visit_seq",
-                F.when(F.col("_vseq").isNotNull(), F.col("_vseq")).otherwise(F.col("visit_seq")),
-            )
-            .drop("_ok", "_vseq")
-        )
-        # depth-skipped rows: mark so they stop being candidates
-        deep_keys = too_deep.select("seed_host", F.col("url").alias("_durl"))
-        updated = (
-            updated.join(
-                deep_keys.withColumnRenamed("_durl", "url").withColumn("_deep", F.lit(True)),
-                ["seed_host", "url"],
-                "left",
-            )
-            .withColumn(
-                "status",
-                F.when(
-                    F.col("_deep").isNotNull() & (F.col("status") == "queued"),
-                    F.lit("depth_skipped"),
-                ).otherwise(F.col("status")),
-            )
-            .drop("_deep")
-        )
+        ).persist()
 
-        next_frontier = updated.unionByName(new_frontier_rows)
-
-        # ---- metrics + checkpoint (Iceberg-style snapshot summary) --------
+        # ---- running aggregates for the snapshot summaries (O(delta)) ----
         n_new = new_frontier_rows.count()
         n_cand = cand.count()
+        for r in (
+            new_frontier_rows.groupBy("seed_host")
+            .agg(F.max("enqueue_seq").alias("m")).collect()
+        ):
+            max_seq_d[r["seed_host"]] = max(max_seq_d.get(r["seed_host"], 0), r["m"])
+        for r in (
+            transitions.filter(F.col("status") != "depth_skipped")
+            .groupBy("seed_host").count().collect()
+        ):
+            visited_n[r["seed_host"]] = visited_n.get(r["seed_host"], 0) + r["count"]
+        if cfg.max_locations is None:
+            for r in (
+                fetched.filter(F.col("fetch_ok"))
+                .groupBy("seed_host").agg(F.sum("n_locations").alias("n")).collect()
+            ):
+                loc_found[r["seed_host"]] = loc_found.get(r["seed_host"], 0) + int(r["n"] or 0)
+
         summary = {
             "wave": wave,
             "pages_fetched": n_fetched,
@@ -301,11 +524,15 @@ class CrawlDriver:
             "candidates": n_cand,
             "deduped_out": n_cand - n_new,
             "new_urls": n_new,
+            "visited_n": visited_n,
+            "loc_found": loc_found,
         }
-        # pages first, frontier second: the frontier snapshot is the commit
-        # point of the wave. A crash between the two leaves a duplicate
-        # pages append for a wave that will re-run — readers dedup on
-        # (seed_host, url), so the duplicate is harmless.
+        # Commit order: pages → bloom → base append → delta append (the
+        # delta append is the wave's commit point). Every earlier write is
+        # safe to repeat: duplicate page appends dedup on read, bloom OR is
+        # idempotent, and a re-run wave re-discovers the same URLs into an
+        # anti-join that now drops them (so the base never double-appends
+        # and enqueue_seqs never collide).
         self.pages_tbl.append(
             fetched,
             summary={"wave": wave, "rows": n_fetched},
@@ -319,22 +546,30 @@ class CrawlDriver:
 
             delta_src = new_frontier_rows.select("url")
             if not self.bloom_tbl.exists():
-                delta_src = delta_src.unionByName(frontier.select("url"))
-            delta = SF.build_bloom(delta_src)
+                delta_src = delta_src.unionByName(base.select("url"))
+            bl_delta = SF.build_bloom(delta_src)
             merged = (
-                SF.merge_blooms(self.bloom_tbl.read(self.spark), delta)
+                SF.merge_blooms(self.bloom_tbl.read(self.spark), bl_delta)
                 if self.bloom_tbl.exists()
-                else delta
+                else bl_delta
             )
             self.bloom_tbl.overwrite(merged, summary={"wave": wave})
-        self.frontier_tbl.overwrite(next_frontier, summary=summary, lineage_key="seed_host")
+        if n_new > 0:
+            self.frontier_tbl.append(
+                new_frontier_rows,
+                summary={"wave": wave, "op": "discover", "max_seq": max_seq_d},
+                lineage_key="seed_host",
+            )
+        self.delta_tbl.append(transitions, summary=summary, lineage_key="seed_host")
         self.frontier_tbl.expire_snapshots(self.cfg.keep_snapshots)
+        self.delta_tbl.expire_snapshots(self.cfg.keep_snapshots)
         self.pages_tbl.expire_snapshots(self.cfg.keep_snapshots)
         self.bloom_tbl.expire_snapshots(self.cfg.keep_snapshots)
 
         fetched.unpersist()
         cand.unpersist()
         new_frontier_rows.unpersist()
+        transitions.unpersist()
         if blocked is not None:
             blocked.unpersist()
         # progress iff we visited, blocked, or retired deep rows
@@ -342,17 +577,18 @@ class CrawlDriver:
 
     # ------------------------------------------------------------ results -
     def visit_order(self) -> DataFrame:
-        """Fetched pages in reference FIFO order, per seed."""
-        f = self.frontier_tbl.read(self.spark)
+        """Fetched pages in reference FIFO order, per seed (merge-on-read:
+        correct mid-run too; after completion base is compacted)."""
+        f = self.frontier()
         return f.filter(F.col("status").isin("visited", "error")).orderBy(
             "seed_host", "visit_seq"
         )
 
     def discovered(self) -> DataFrame:
-        return self.frontier_tbl.read(self.spark).orderBy("seed_host", "enqueue_seq")
+        return self.frontier().orderBy("seed_host", "enqueue_seq")
 
     def prioritized(self) -> DataFrame:
         """Phase-2 prioritized URL list (W1 bucket sort)."""
-        return FR.priority_rank(self.frontier_tbl.read(self.spark)).orderBy(
+        return FR.priority_rank(self.frontier()).orderBy(
             "seed_host", "priority_rank"
         )

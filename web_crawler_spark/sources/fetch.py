@@ -26,7 +26,8 @@ from web_crawler_spark.synthetic.web import SyntheticWeb
 
 FETCH_RESULT_FIELDS = (
     "url string, seed_host string, depth int, enqueue_seq long, "
-    "wave int, visit_seq long, body string, xhr_json string, fetch_ok boolean"
+    "wave int, visit_seq long, body string, xhr_json string, "
+    "fetch_ok boolean, n_locations int"
 )
 
 
@@ -36,22 +37,27 @@ def make_fetch_udf(web: SyntheticWeb):
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # module-level client init would go here (once per worker)
         for pdf in batches:
-            bodies, xhrs, oks = [], [], []
+            bodies, xhrs, oks, nlocs = [], [], [], []
             for url in pdf["url"]:
                 idx = web.page_index(url)
                 if idx is None:
                     bodies.append(None)
                     xhrs.append(None)
                     oks.append(False)
+                    nlocs.append(0)
                 else:
                     h, p = idx
                     bodies.append(web.body(h, p))
                     xhrs.append(web.xhr_json(h, p))
                     oks.append(True)
+                    # W5 early-exit input: location records this page yields
+                    # (professional-crawler.service.js:79-82 counts them)
+                    nlocs.append(web.n_locations(h, p))
             out = pdf[["url", "seed_host", "depth", "enqueue_seq", "wave", "visit_seq"]].copy()
             out["body"] = bodies
             out["xhr_json"] = xhrs
             out["fetch_ok"] = oks
+            out["n_locations"] = pd.array(nlocs, dtype="int32")
             yield out
 
     return fetch_batches
