@@ -72,3 +72,70 @@ def test_salted_fetch_spreads_hot_host(spark):
     assert len(parts) >= 4, parts
     mean = sum(parts.values()) / len(parts)
     assert max(parts.values()) <= 2 * mean, parts  # no straggler partition
+
+
+# ---------------------------------------------------------------------------
+# Near-dup blocking defaults under adversarial skew: corpora built so the
+# OLD defaults (first normalized token / signs of the first 8 dims) would
+# put every row in ONE bucket and go quadratic. The shipped defaults
+# (MinHash bands / corpus-sized multi-band hyperplane LSH) must keep the
+# candidate volume ~linear AND still find every planted near-duplicate.
+# ---------------------------------------------------------------------------
+def test_ngram_default_blocking_survives_common_prefix_corpus(spark):
+    from web_crawler_spark.operators import dedup as D
+
+    n = 600
+    rows = []
+    for i in range(n):
+        # every doc starts with "the" → first-token blocking = 1 block
+        body = f"the report {i} covers sector {i % 7} with metric {i * 37 % 1000}"
+        rows.append((2 * i, body))
+        if i % 10 == 0:  # planted near-dup twin
+            rows.append((2 * i + 1, body + " appendix"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cand = D.minhash_lsh_candidates(df, "doc_id", "text")
+    n_cand = cand.count()
+    total = df.count()
+    # linear-ish candidate volume, nowhere near the ~180k all-pairs blow-up
+    assert n_cand < 10 * total, n_cand
+
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(0, n, 10)}
+    assert planted <= got, planted - got
+
+
+def test_embedding_default_blocking_survives_identical_sign_prefix(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    n = 500
+    rows = []
+    for i in range(n):
+        # first 8 dims all positive → old fixed-8-dim-sign default = 1 bucket
+        v = [abs(rng.gauss(0, 1)) + 0.1 for _ in range(8)] + [
+            rng.gauss(0, 1) for _ in range(56)
+        ]
+        rows.append((2 * i, [float(x) for x in v]))
+        if i % 10 == 0:  # planted twin: tiny perturbation, cosine ≈ 1
+            tv = [float(x + 1e-4) for x in v]
+            rows.append((2 * i + 1, tv))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # auto-sized n_bits from the corpus: buckets must actually split the
+    # identical-sign-prefix corpus instead of one quadratic bucket
+    pairs = D.embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.98)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(0, n, 10)}
+    assert planted <= got, planted - got
+
+    planes = D.hyperplane_weights(4, 4, 64)
+    keys = D._band_keys_udf(planes, 64)(F.col("embedding"))
+    ex = df.select("vec_id", F.explode(keys).alias("blk"))
+    max_bucket = ex.groupBy("blk").count().agg(F.max("count")).collect()[0][0]
+    assert max_bucket < df.count() // 2, max_bucket

@@ -1401,25 +1401,59 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_neardup",
-    oracle=f"""
-    WITH c AS (
-      SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
-      FROM embeddings
-    )
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-             / ({_NORM2_SQL.format(a='a.embedding')} * {_NORM2_SQL.format(a='b.embedding')}), 6)
-             AS cosine
-    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-          / ({_NORM2_SQL.format(a='a.embedding')} * {_NORM2_SQL.format(a='b.embedding')}) >= 0.3
-    """,
+    oracle=None,  # registered below — built from the shared hyperplanes
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within sign-LSH blocks (≥ 0.3)."""
+    """Embedding-cosine near-dup pairs (≥ 0.3) via the multi-band
+    quantized-hyperplane LSH default (4 bands × 8 bits pinned here so the
+    oracle is stable; corpus-size-derived n_bits is the library default,
+    exercised in tests/test_skew.py). The DuckDB oracle re-derives the
+    same band keys with integer arithmetic."""
     e = load(spark, sf_dir, "embeddings")
-    pairs = D.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+    pairs = D.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_bands=4, n_bits=8, dim=64
+    )
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def _emb_neardup_oracle() -> str:
+    planes = D.hyperplane_weights(4, 8, 64)
+    band_exprs = []
+    for band in range(4):
+        bits = []
+        for wrow in planes[band]:
+            wl = "[" + ",".join(str(int(w)) for w in wrow) + "]"
+            dot = (
+                "list_sum(list_transform(generate_series(1, 64), i -> "
+                f"trunc((embedding)[i]::DOUBLE * 1048576.0)::BIGINT * ({wl}[i])::BIGINT))"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        band_exprs.append(f"concat('{band}:', " + ", ".join(bits) + ")")
+    buckets = ",\n        ".join(band_exprs)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, unnest([
+        {buckets}
+      ]) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT cand.a, cand.b,
+           round({_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+             / ({_NORM2_SQL.format(a='ea.embedding')} * {_NORM2_SQL.format(a='eb.embedding')}), 6)
+             AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.a
+    JOIN embeddings eb ON eb.vec_id = cand.b
+    WHERE {_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+          / ({_NORM2_SQL.format(a='ea.embedding')} * {_NORM2_SQL.format(a='eb.embedding')}) >= 0.3
+    """
+
+
+_ORACLES["embedding_neardup"] = _emb_neardup_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -349,17 +349,40 @@ def ngram_jaccard_pairs(
     block_col: Column | None = None,
     k: int = 3,
     threshold: float = 0.5,
+    perms: int = 8,
+    band_size: int = 2,
 ) -> DataFrame:
     """J4-style blocked similarity self-join with exact shingle Jaccard.
 
-    block_col defaults to a cheap prefix key (first normalized token) —
-    callers at scale should pass a better blocking key (LSH bands, length
-    band, language). Only intra-block pairs are compared.
+    With no ``block_col`` the candidate set comes from MinHash LSH banding
+    (the module's own band machinery): skew-safe by construction — band
+    keys hash the whole signature, so "the"-headed corpora don't pile
+    into one block the way a naive first-token prefix key would. Pass an
+    explicit ``block_col`` (source, language, length band) only when the
+    domain guarantees similar docs share it. Only candidate pairs are
+    exact-verified.
     """
-    block = block_col if block_col is not None else F.split(TX.normalize_text(text_col), " ")[0]
+    if block_col is None:
+        cand = minhash_lsh_candidates(df, id_col, text_col, k, perms, band_size)
+        sh = df.select(
+            F.col(id_col).alias("_sid"),
+            F.array_distinct(TX.shingles(text_col, k)).alias("_sh"),
+        )
+        return (
+            cand.join(sh.withColumnRenamed("_sid", "a").withColumnRenamed("_sh", "_sha"), "a")
+            .join(sh.withColumnRenamed("_sid", "b").withColumnRenamed("_sh", "_shb"), "b")
+            .select(
+                "a", "b",
+                (
+                    F.size(F.array_intersect("_sha", "_shb")).cast("double")
+                    / F.size(F.array_union("_sha", "_shb"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     base = df.select(
         F.col(id_col).alias("_id"),
-        block.alias("_blk"),
+        block_col.alias("_blk"),
         F.array_distinct(TX.shingles(text_col, k)).alias("_sh"),
     )
     a, b = base.alias("a"), base.alias("b")
@@ -390,23 +413,151 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def hyperplane_weights(
+    n_bands: int, n_bits: int, dim: int, seed: int = 0x5EED
+) -> list[list[list[float]]]:
+    """Deterministic ±1 random-hyperplane weights: ``[band][bit][dim]``.
+    Seeded — same (n_bands, n_bits, dim, seed) always yields the same
+    planes, so reruns and cross-engine oracles are reproducible."""
+    import random
+
+    out = []
+    for band in range(n_bands):
+        rng = random.Random(seed * 1_000_003 + band)
+        out.append(
+            [[float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_bits)]
+        )
+    return out
+
+
+_EMB_KEY_CACHE: list = []  # last invocation's persisted key table
+_QUANT = 1 << 20  # hyperplane dot quantization (2^-20 granularity)
+
+
+def _band_keys_udf(planes: list[list[list[float]]], dim: int):
+    """Arrow-batched band-key computation: one numpy int64 matmul per
+    batch instead of n_bands×n_bits interpreted HOF aggregates per row.
+
+    Sign bits of ±1-hyperplane dots over 2^20-quantized elements — integer
+    arithmetic end-to-end, so bucket assignment is exact,
+    summation-order-free, and bit-identical across engines (a float sum's
+    sign could flip in the last ulp between different reduction orders).
+    np.trunc + int64 cast truncates toward zero, matching SQL
+    trunc()::BIGINT and Spark's double→long cast."""
+    import numpy as np
+    import pandas as pd
+
+    n_bands = len(planes)
+    n_bits = len(planes[0])
+    W = np.array(
+        [[planes[band][j][i] for band in range(n_bands) for j in range(n_bits)]
+         for i in range(dim)],
+        dtype=np.int64,
+    )  # (dim, n_bands*n_bits)
+
+    def keys(vs):
+        M = np.stack(vs.to_numpy())  # (n, dim)
+        Q = np.trunc(M.astype(np.float64) * float(_QUANT)).astype(np.int64)
+        B = (Q @ W) >= 0  # (n, n_bands*n_bits)
+        out = []
+        for row in B:
+            out.append(
+                [
+                    f"{band}:"
+                    + "".join("1" if row[band * n_bits + j] else "0" for j in range(n_bits))
+                    for band in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    # module uses `from __future__ import annotations`, which stringifies
+    # inline hints — pandas_udf needs real type objects to infer SCALAR
+    keys.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(keys, "array<string>")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: Column | str | None = None,
     threshold: float = 0.95,
+    n_bands: int = 4,
+    n_bits: int | None = None,
+    dim: int | None = None,
+    seed: int = 0x5EED,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: blocked self-join (block = sign-pattern
-    LSH of the first dims unless caller overrides) + cosine filter."""
+    """Embedding-cosine near-dup: multi-band random-hyperplane LSH
+    candidates + exact cosine verify.
+
+    Default blocking is ``n_bands`` independent sign-LSH bands of
+    ``n_bits`` hyperplanes each — n_bits derived from the corpus size
+    (avg bucket ≈ 64 rows) so buckets stay bounded at any scale, and
+    multiple bands restore the recall a single projection loses. A naive
+    fixed low-bit block (e.g. signs of the first 8 dims) is the scale
+    trap: at 10^10 rows every one of its 256 buckets holds ~4×10^7 rows
+    and the intra-bucket self-join goes quadratic. Candidates are
+    de-duplicated across bands before the exact cosine verify. Pass
+    ``block_col`` to override blocking entirely."""
     if block_col is None:
-        v = F.col(vec_col)
-        block = F.concat_ws(
-            "",
-            *[F.when(v[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(8)],
+        if dim is None:
+            dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        if n_bits is None:
+            import math as _m
+
+            n = df.count()
+            n_bits = max(4, min(24, _m.ceil(_m.log2(max(n, 128) / 64.0))))
+        planes = hyperplane_weights(n_bands, n_bits, dim, seed)
+        keys = _band_keys_udf(planes, dim)(F.col(vec_col))
+        exploded = df.select(
+            F.col(id_col).alias("_id"), F.explode(keys).alias("_blk")
         )
-    else:
-        block = F.col(block_col) if isinstance(block_col, str) else block_col
+        # persist: the key UDF feeds both sides of the self-join — compute
+        # the Arrow-batched matmul once, not twice (evict the previous
+        # invocation's cache in long-lived sessions)
+        while _EMB_KEY_CACHE:
+            _EMB_KEY_CACHE.pop().unpersist()
+        exploded = exploded.persist()
+        _EMB_KEY_CACHE.append(exploded)
+        a, b = exploded.alias("a"), exploded.alias("b")
+        cand = (
+            a.join(b, "_blk")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
+            .distinct()
+        )
+        # per-vector norms computed once on the row side, not per pair —
+        # the verify join then evaluates a single dot per candidate
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("_v"), F.lit(0.0), lambda s, v: s + (v * v).cast("double")
+            )
+        )
+        vecs = df.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+        ).withColumn("_n", norm)
+        dot = F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        return (
+            cand.join(
+                vecs.select(
+                    F.col("_vid").alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+                ),
+                "a",
+            )
+            .join(
+                vecs.select(
+                    F.col("_vid").alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+                ),
+                "b",
+            )
+            .select("a", "b", (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
     base = df.select(F.col(id_col).alias("_id"), block.alias("_blk"), F.col(vec_col).alias("_v"))
     a, b = base.alias("a"), base.alias("b")
     return (

@@ -72,7 +72,7 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -80,7 +80,17 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: bucket corpus by sign-LSH; each query probes its own
     bucket plus all Hamming-``probe_hamming`` neighbors; exact cosine +
-    rank inside the probed set only."""
+    rank inside the probed set only.
+
+    ``n_bits=None`` derives the bucket width from the corpus size (avg
+    bucket ≈ 64 rows) — a fixed low bit-count is the scale trap: at 10^10
+    rows each of 2^8 buckets would hold ~4×10^7 vectors and the probe
+    join goes quadratic."""
+    if n_bits is None:
+        import math
+
+        n = corpus.count()
+        n_bits = max(4, min(24, math.ceil(math.log2(max(n, 128) / 64.0))))
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_cv"), sign_bucket(vec_col, n_bits).alias("bucket")
     )
