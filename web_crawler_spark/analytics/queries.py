@@ -1804,6 +1804,84 @@ def q_geocode_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_geo_oracle() -> str:
+    h = lambda salt: _H60.format(  # noqa: E731
+        expr=f"concat('{salt}|', address_norm)"
+    )
+    return f"""
+    WITH recs AS (
+      SELECT c_custkey,
+             concat(1 + c_custkey % 999, ' Oak Avenue') AS street,
+             c_mktsegment AS city,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN (c_custkey % 1200000) / 10000.0 - 60.0 END AS latitude,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN (c_custkey % 3600000) / 10000.0 - 180.0 END AS longitude
+      FROM customer
+    ), keyed AS (
+      SELECT *, {_ADDR_NORM_SQL} AS address_norm FROM recs
+    ), d AS (
+      SELECT *,
+             ({h('geo-hit-google')} % 100) < 70 AS h1,
+             ({h('geo-hit-nominatim')} % 100) < 80 AS h2,
+             ({h('geo-hit-mapquest')} % 100) < 60 AS h3
+      FROM keyed
+    )
+    SELECT c_custkey,
+           round(coalesce(latitude,
+             CASE WHEN h1 THEN ({h('geo-lat-google')} % 120000000) / 1000000 - 60.0
+                  WHEN h2 THEN ({h('geo-lat-nominatim')} % 120000000) / 1000000 - 60.0
+                  WHEN h3 THEN ({h('geo-lat-mapquest')} % 120000000) / 1000000 - 60.0
+             END), 6) AS latitude,
+           round(coalesce(longitude,
+             CASE WHEN h1 THEN ({h('geo-lon-google')} % 360000000) / 1000000 - 180.0
+                  WHEN h2 THEN ({h('geo-lon-nominatim')} % 360000000) / 1000000 - 180.0
+                  WHEN h3 THEN ({h('geo-lon-mapquest')} % 360000000) / 1000000 - 180.0
+             END), 6) AS longitude,
+           CASE WHEN latitude IS NOT NULL THEN 'source'
+                WHEN h1 THEN 'google'
+                WHEN h2 THEN 'nominatim'
+                WHEN h3 THEN 'mapquest'
+                ELSE 'none' END AS geo_provider
+    FROM d
+    """
+
+
+@query("multi_geocode_cascade", oracle=_multi_geo_oracle())
+def q_multi_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider-cascade geocoding (multi-geocoding.service.js:8-31): try
+    Google → Nominatim → MapQuest in order, first answer wins, provenance
+    in ``geo_provider`` ('source' for rows that already had coordinates,
+    'none' when every provider missed). One broadcast dim join — the
+    cascade folds into a when-chain; the oracle re-derives coverage and
+    coordinates from the same md5 contract."""
+    from web_crawler_spark.plans import enrich as EN
+
+    c = load(spark, sf_dir, "customer")
+    recs = c.select(
+        "c_custkey",
+        F.concat((F.lit(1) + F.col("c_custkey") % 999), F.lit(" Oak Avenue")).alias(
+            "street"
+        ),
+        F.col("c_mktsegment").alias("city"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.col("c_custkey") % 1200000 / 10000.0 - 60.0,
+        ).alias("latitude"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.col("c_custkey") % 3600000 / 10000.0 - 180.0,
+        ).alias("longitude"),
+    )
+    out = EN.multi_geocode_enrich(recs)
+    return out.select(
+        "c_custkey",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "geo_provider",
+    )
+
+
 @query("fuzzy_dedup_greedy")
 def q_fuzzy_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/J4: the order-sensitive greedy cluster-merge

@@ -75,6 +75,95 @@ def geocode_enrich(records: DataFrame, dim: DataFrame | None = None) -> DataFram
     )
 
 
+# Provider cascade (multi-geocoding.service.js:8-31): try Google Maps →
+# Nominatim → MapQuest in order, first non-empty answer wins, provenance
+# recorded. Coverage percentages model "this provider had an answer";
+# coordinates are per-provider hash-derived (real providers disagree
+# slightly, so the winning provider visibly determines the output).
+GEO_PROVIDERS: list[tuple[str, int]] = [
+    ("google", 70),
+    ("nominatim", 80),
+    ("mapquest", 60),
+]
+
+
+def multi_geocode_dim_for(
+    records: DataFrame,
+    providers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Cascade dimension: one row per distinct normalized address carrying
+    the FIRST answering provider's coordinates + its name. The whole
+    cascade folds into a single when-chain over md5-derived coverage and
+    coordinates — one broadcast join downstream, no per-provider passes.
+    """
+    providers = providers or GEO_PROVIDERS
+    addrs = records.select(
+        F.lower(F.trim(F.concat_ws(", ", "street", "city"))).alias("address_norm")
+    ).distinct()
+    a = F.col("address_norm")
+
+    def hit(name: str, pct: int):
+        return F.pmod(hash64_col(F.lit(f"geo-hit-{name}"), a), F.lit(100)) < pct
+
+    def lat(name: str):
+        return (
+            F.pmod(hash64_col(F.lit(f"geo-lat-{name}"), a), F.lit(120_000_000))
+            / 1_000_000 - 60.0
+        )
+
+    def lon(name: str):
+        return (
+            F.pmod(hash64_col(F.lit(f"geo-lon-{name}"), a), F.lit(360_000_000))
+            / 1_000_000 - 180.0
+        )
+
+    prov_expr = lat_expr = lon_expr = None
+    for name, pct in providers:
+        cond = hit(name, pct)
+        if prov_expr is None:
+            prov_expr = F.when(cond, F.lit(name))
+            lat_expr = F.when(cond, lat(name))
+            lon_expr = F.when(cond, lon(name))
+        else:
+            prov_expr = prov_expr.when(cond, F.lit(name))
+            lat_expr = lat_expr.when(cond, lat(name))
+            lon_expr = lon_expr.when(cond, lon(name))
+    return addrs.select(
+        "address_norm",
+        lat_expr.alias("geo_lat"),
+        lon_expr.alias("geo_lon"),
+        prov_expr.alias("geo_provider"),
+    )
+
+
+def multi_geocode_enrich(
+    records: DataFrame,
+    dim: DataFrame | None = None,
+    providers: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """J3+J8 with provider-cascade provenance: rows with coordinates pass
+    through (`geo_provider='source'`); rows the cascade answered get that
+    provider's coordinates and name; unanswered rows stay NULL with
+    `geo_provider='none'` (the reference's getEmptyResult)."""
+    dim = dim if dim is not None else multi_geocode_dim_for(records, providers)
+    keyed = records.withColumn(
+        "address_norm", F.lower(F.trim(F.concat_ws(", ", "street", "city")))
+    )
+    joined = keyed.join(F.broadcast(dim), "address_norm", "left")
+    had_coords = F.col("latitude").isNotNull()
+    return (
+        joined.withColumn(
+            "geo_provider",
+            F.when(had_coords, F.lit("source")).otherwise(
+                F.coalesce(F.col("geo_provider"), F.lit("none"))
+            ),
+        )
+        .withColumn("latitude", F.coalesce(F.col("latitude"), F.col("geo_lat")))
+        .withColumn("longitude", F.coalesce(F.col("longitude"), F.col("geo_lon")))
+        .drop("geo_lat", "geo_lon", "address_norm")
+    )
+
+
 def to_canonical_records(raw: DataFrame) -> DataFrame:
     """F14: project enriched raw records into the canonical shape
     (crawler.service.js:449-464) with the full envelope."""
