@@ -81,7 +81,9 @@ def main() -> None:
     records.unpersist()
     pipe_s = time.time() - t1
 
-    frontier = driver.frontier_tbl.read(spark)
+    # merge-on-read view: correct even if the run stopped at max_waves
+    # before completion-compaction folded the status delta into base
+    frontier = driver.frontier()
     visited = frontier.filter(frontier.status == "visited").count()
     total = frontier.count()
     print(

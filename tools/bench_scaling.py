@@ -137,8 +137,8 @@ def run_once(cores: int, rows: int, seen_rows: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--rows", type=int, default=4_000_000)
-    ap.add_argument("--seen-rows", type=int, default=2_000_000)
+    ap.add_argument("--rows", type=int, default=12_000_000)
+    ap.add_argument("--seen-rows", type=int, default=6_000_000)
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--levels", type=str, default="2,8")
     args = ap.parse_args()

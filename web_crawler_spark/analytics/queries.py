@@ -2193,6 +2193,384 @@ def q_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Kernel-coverage batch: green-oracle queries for operators previously
+# covered only by pytest (X6, X8, X12, X14, X21/X22, F2/F4, W9/W10).
+# --------------------------------------------------------------------------
+@query(
+    "levenshtein_sim",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey, c_name AS a,
+             CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, len(c_name) - 1)
+                  WHEN c_custkey % 3 = 1 THEN concat(c_name, 'x')
+                  ELSE reverse(c_name) END AS b
+      FROM customer
+    )
+    SELECT c_custkey, a, b,
+           round(1.0 - levenshtein(a, b)::DOUBLE / greatest(len(a), len(b)), 6)
+             AS sim
+    FROM p
+    """,
+)
+def q_levenshtein_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: levenshtein similarity (1 - dist/maxLen,
+    enhanced-deduplication.service.js:191-222) over planted typo /
+    suffix / reversal variants — the JVM built-in, not the Python DP
+    kernel (which tests/test_fuzzy_dedup.py covers)."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    b = (
+        F.when(k % 3 == 0, F.expr("substring(c_name, 1, length(c_name) - 1)"))
+        .when(k % 3 == 1, F.concat("c_name", F.lit("x")))
+        .otherwise(F.reverse("c_name"))
+    )
+    p = c.select("c_custkey", F.col("c_name").alias("a"), b.alias("b"))
+    sim = 1.0 - F.levenshtein("a", "b").cast("double") / F.greatest(
+        F.length("a"), F.length("b")
+    )
+    return p.select("c_custkey", "a", "b", F.round(sim, 6).alias("sim"))
+
+
+_HEIGHT_CASE = "CASE activity " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in R.HEIGHT_BY_ACTIVITY.items()
+) + f" ELSE {R.DEFAULT_HEIGHT} END"
+_ACT_LIST = "['" + "','".join(
+    list(R.HEIGHT_BY_ACTIVITY) + ["Observatory"]
+) + "']"
+
+
+@query(
+    "height_estimate",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey,
+             list_extract({_ACT_LIST}, (p_partkey % 9) + 1) AS activity
+      FROM part
+    )
+    SELECT p_partkey, activity, ({_HEIGHT_CASE})::DOUBLE AS height
+    FROM t
+    """,
+)
+def q_height_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: activity → height-meters literal map with the 25 m default for
+    unknown activities (crawler.service.js:491-506)."""
+    p = load(spark, sf_dir, "part")
+    acts = list(R.HEIGHT_BY_ACTIVITY) + ["Observatory"]
+    act = F.element_at(
+        F.array(*[F.lit(a) for a in acts]), (F.col("p_partkey") % 9 + 1).cast("int")
+    )
+    t = p.select("p_partkey", act.alias("activity"))
+    return t.select(
+        "p_partkey", "activity", R.estimate_height("activity").alias("height")
+    )
+
+
+@query(
+    "map_url_coords",
+    oracle=r"""
+    WITH u AS (
+      SELECT p_partkey,
+             (p_partkey % 1700) / 10.0 - 85.0 AS la,
+             (p_partkey % 3500) / 10.0 - 175.0 AS lo,
+             CASE p_partkey % 5
+               WHEN 0 THEN concat('https://maps.test/@', (p_partkey % 1700) / 10.0 - 85.0, ',', (p_partkey % 3500) / 10.0 - 175.0, ',15z')
+               WHEN 1 THEN concat('https://maps.test/place/!3d', (p_partkey % 1700) / 10.0 - 85.0, '!4d', (p_partkey % 3500) / 10.0 - 175.0)
+               WHEN 2 THEN concat('https://maps.test/?q=', (p_partkey % 1700) / 10.0 - 85.0, ',', (p_partkey % 3500) / 10.0 - 175.0)
+               WHEN 3 THEN concat('https://maps.test/?center=', (p_partkey % 1700) / 10.0 - 85.0, ',', (p_partkey % 3500) / 10.0 - 175.0)
+               ELSE 'https://maps.test/place/nowhere'
+             END AS map_url
+      FROM part
+    )
+    SELECT p_partkey, map_url,
+           CASE WHEN p_partkey % 5 = 4 THEN NULL
+                ELSE round(la, 6) END AS lat,
+           CASE WHEN p_partkey % 5 = 4 THEN NULL
+                ELSE round(lo, 6) END AS lon
+    FROM u
+    """,
+)
+def q_map_url_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: map-URL coordinate cascade (@lat,lon / !3d!4d / ?q= /
+    ?center=, map-detector.service.js:71-129) over synthesized URLs in
+    each pattern plus a no-coordinate URL that must yield NULLs. The
+    oracle re-derives the expected coordinates from the source numbers
+    rather than re-parsing."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    la = (k % 1700) / 10.0 - 85.0
+    lo = (k % 3500) / 10.0 - 175.0
+    url = (
+        F.when(k % 5 == 0, F.concat(F.lit("https://maps.test/@"), la, F.lit(","), lo, F.lit(",15z")))
+        .when(k % 5 == 1, F.concat(F.lit("https://maps.test/place/!3d"), la, F.lit("!4d"), lo))
+        .when(k % 5 == 2, F.concat(F.lit("https://maps.test/?q="), la, F.lit(","), lo))
+        .when(k % 5 == 3, F.concat(F.lit("https://maps.test/?center="), la, F.lit(","), lo))
+        .otherwise(F.lit("https://maps.test/place/nowhere"))
+    )
+    u = p.select("p_partkey", url.alias("map_url"))
+    return u.select(
+        "p_partkey", "map_url",
+        F.round(EX.map_coord_lat(F.col("map_url")), 6).alias("lat"),
+        F.round(EX.map_coord_lon(F.col("map_url")), 6).alias("lon"),
+    )
+
+
+_LF_EXT_RE = U._EXT_RE.replace("'", "''")
+_LF_PAT_RE = U._PAT_RE.replace("'", "''")
+
+
+@query(
+    "link_filter_pipeline",
+    oracle=f"""
+    WITH h AS (
+      SELECT p_partkey,
+             CASE p_partkey % 7
+               WHEN 0 THEN 'javascript:void(0)'
+               WHEN 1 THEN concat('mailto:x', p_partkey, '@h.com')
+               WHEN 2 THEN concat('https://other', p_partkey % 9, '.net/contact')
+               WHEN 3 THEN concat('https://www.h', p_partkey % 9, '.example.com/office?x=1#frag')
+               WHEN 4 THEN concat('https://h', p_partkey % 9, '.example.com/logo.png')
+               WHEN 5 THEN concat('https://h', p_partkey % 9, '.example.com/blog/post')
+               ELSE concat('https://h', p_partkey % 9, '.example.com/about')
+             END AS href,
+             concat('h', p_partkey % 9, '.example.com') AS base_host
+      FROM part
+    )
+    SELECT p_partkey, href,
+           regexp_matches(href, '^(javascript:|mailto:|tel:)') AS is_bad_scheme,
+           regexp_replace(lower(regexp_extract(href, '^https?://([^/?#]+)', 1)),
+                          '^www\.', '')
+             = regexp_replace(lower(base_host), '^www\.', '') AS is_same_domain,
+           regexp_extract(href, '^(https?://[^?#]+)', 1) AS canonical,
+           (regexp_matches(lower(regexp_extract(href, '^(https?://[^?#]+)', 1)), '{_LF_EXT_RE}')
+            OR contains(lower(regexp_extract(href, '^(https?://[^?#]+)', 1)), '#')
+            OR regexp_matches(lower(regexp_extract(href, '^(https?://[^?#]+)', 1)), '{_LF_PAT_RE}'))
+             AS is_excluded
+    FROM h
+    """,
+)
+def q_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F4 + F1 as one pipeline over adversarial hrefs: bad schemes,
+    cross-domain, www-prefixed same-domain, query+fragment junk, excluded
+    extensions and path patterns — each predicate surfaced as a column so
+    the oracle checks every branch (site-crawler.service.js:17,28,30,
+    52-79)."""
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    host9 = (k % 9).cast("string")
+    href = (
+        F.when(k % 7 == 0, F.lit("javascript:void(0)"))
+        .when(k % 7 == 1, F.concat(F.lit("mailto:x"), k, F.lit("@h.com")))
+        .when(k % 7 == 2, F.concat(F.lit("https://other"), host9, F.lit(".net/contact")))
+        .when(k % 7 == 3, F.concat(F.lit("https://www.h"), host9, F.lit(".example.com/office?x=1#frag")))
+        .when(k % 7 == 4, F.concat(F.lit("https://h"), host9, F.lit(".example.com/logo.png")))
+        .when(k % 7 == 5, F.concat(F.lit("https://h"), host9, F.lit(".example.com/blog/post")))
+        .otherwise(F.concat(F.lit("https://h"), host9, F.lit(".example.com/about")))
+    )
+    h = p.select(
+        "p_partkey", href.alias("href"),
+        F.concat(F.lit("h"), host9, F.lit(".example.com")).alias("base_host"),
+    )
+    canon = U.canonicalize("href")
+    return h.select(
+        "p_partkey", "href",
+        U.bad_scheme("href").alias("is_bad_scheme"),
+        U.same_domain("href", "base_host").alias("is_same_domain"),
+        canon.alias("canonical"),
+        U.is_excluded(canon).alias("is_excluded"),
+    )
+
+
+@query(
+    "regex_line_caps",
+    oracle="""
+    WITH t AS (
+      SELECT s_suppkey, 3 + s_suppkey % 90 AS n_lines FROM supplier
+    ), lines AS (
+      SELECT s_suppkey, n_lines,
+             list_transform(generate_series(0, n_lines - 1),
+                            i -> concat(i % 60, ' Main St Zone ', i % 8))
+               AS all_lines
+      FROM t
+    )
+    SELECT s_suppkey,
+           least(n_lines, 50)::BIGINT AS lines_scanned,
+           len(list_distinct(all_lines[1:least(n_lines, 50)]))::BIGINT
+             AS distinct_matches
+    FROM lines
+    """,
+)
+def q_regex_line_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9/W10: first-1000-lines text cap (here 50 to exercise the
+    boundary, heuristic-extractor.service.js:135) + first-K distinct
+    regex-match cap (scraper.service.js:274-284) via slice +
+    array_distinct — pure array algebra, no explode needed."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.lit(3) + F.col("s_suppkey") % 90).alias("n_lines")
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), F.col("n_lines") - 1),
+        lambda i: F.concat(
+            (i % 60).cast("string"), F.lit(" Main St Zone "), (i % 8).cast("string")
+        ),
+    )
+    capped = F.slice(lines, 1, 50)
+    return s.select(
+        "s_suppkey",
+        F.least(F.col("n_lines"), F.lit(50)).cast("long").alias("lines_scanned"),
+        F.size(F.array_distinct(capped)).cast("long").alias("distinct_matches"),
+    )
+
+
+def _addr_norm_oracle() -> str:
+    expr = r"regexp_replace(trim(a), '\s+', ' ', 'g')"
+    for full, abbr in R.STREET_ABBREV.items():
+        pat = r"\b" + full.replace(".", r"\.") + r"\b"
+        expr = f"regexp_replace({expr}, '{pat}', '{abbr}', 'gi')"
+    expr = f"regexp_replace({expr}, '[,;]+$', '', 'g')"
+    expr = f"regexp_replace({expr}, " + r"'(\d+)\s*-\s*(\d+)', '\1-\2', 'g')"
+    return f"""
+    WITH t AS (
+      SELECT p_partkey,
+             concat(1 + p_partkey % 999, ' ',
+                    list_extract(['Main street', 'Oak avenue', 'High road',
+                                  'Dock boulevard,', 'Elm drive;;',
+                                  'PARKWAY  Plaza', 'Sunset   terrace'],
+                                 (p_partkey % 7) + 1),
+                    CASE WHEN p_partkey % 3 = 0
+                         THEN concat(' Suite ', p_partkey % 50, ' - ',
+                                     1 + p_partkey % 50)
+                         ELSE '' END) AS a
+      FROM part
+    )
+    SELECT p_partkey, a AS raw, {expr} AS normalized FROM t
+    """
+
+
+@query("address_normalize", oracle=_addr_norm_oracle())
+def q_address_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: canonical street-address formatter (normalizeAddress,
+    address-normalizer.service.js:107-125) — whitespace collapse, street
+    abbreviations (case-insensitive), trailing punctuation strip, range
+    tightening — over mixed-case, comma/semicolon-trailed, range-bearing
+    inputs. Oracle applies the same chain in DuckDB regex syntax."""
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    streets = F.array(*[F.lit(x) for x in [
+        "Main street", "Oak avenue", "High road", "Dock boulevard,",
+        "Elm drive;;", "PARKWAY  Plaza", "Sunset   terrace",
+    ]])
+    raw = F.concat(
+        (F.lit(1) + k % 999).cast("string"), F.lit(" "),
+        F.element_at(streets, (k % 7 + 1).cast("int")),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" Suite "), (k % 50).cast("string"), F.lit(" - "),
+                     (F.lit(1) + k % 50).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = p.select("p_partkey", raw.alias("a"))
+    return t.select(
+        "p_partkey", F.col("a").alias("raw"),
+        R.normalize_address_canonical("a").alias("normalized"),
+    )
+
+
+@query(
+    "page_classify",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             concat('https://h', p_partkey % 9, '.example.com',
+                    list_extract(['/contact', '/office/hq', '/about/us',
+                                  '/company/team', '/facility/1',
+                                  '/products/x'], (p_partkey % 6) + 1)) AS url,
+             concat('<html><h2>',
+                    list_extract(['Contact our Office', 'Our Locations',
+                                  'Products', 'Address and Hours'],
+                                 (p_partkey % 4) + 1),
+                    '</h2><div id="root">',
+                    CASE WHEN p_partkey % 2 = 0 THEN '' ELSE 'content body here' END,
+                    '</div>',
+                    repeat('<p>filler paragraph text</p>', p_partkey % 3 * 12),
+                    '</html>') AS body
+      FROM part
+    ), scored AS (
+      SELECT p_partkey, url, body,
+             CASE WHEN regexp_matches(lower(url), '/(contact|locations?)($|/)') THEN 0.95
+                  WHEN regexp_matches(lower(url), '/(office|store|branch|find|where|address)') THEN 0.90
+                  WHEN regexp_matches(lower(url), '/about/us($|/)') THEN 0.85
+                  WHEN regexp_matches(lower(url), '/(about|company|corporate)') THEN 0.70
+                  WHEN regexp_matches(lower(url), '/(headquarter|facility|site)') THEN 0.65
+                  ELSE 0.0 END AS url_conf,
+             (CASE WHEN contains(lower(array_to_string(regexp_extract_all(body, '<h[1-3]>([^<]*)</h[1-3]>', 1), ' ')), 'contact') THEN 1 ELSE 0 END
+              + CASE WHEN contains(lower(array_to_string(regexp_extract_all(body, '<h[1-3]>([^<]*)</h[1-3]>', 1), ' ')), 'location') THEN 1 ELSE 0 END
+              + CASE WHEN contains(lower(array_to_string(regexp_extract_all(body, '<h[1-3]>([^<]*)</h[1-3]>', 1), ' ')), 'office') THEN 1 ELSE 0 END
+              + CASE WHEN contains(lower(array_to_string(regexp_extract_all(body, '<h[1-3]>([^<]*)</h[1-3]>', 1), ' ')), 'address') THEN 1 ELSE 0 END) AS kw
+      FROM t
+    ), conf AS (
+      SELECT p_partkey, url, body,
+             greatest(url_conf,
+                      CASE WHEN kw > 0 THEN least(0.60 + kw * 0.10, 0.85)
+                           ELSE 0.0 END) AS confidence
+      FROM scored
+    )
+    SELECT p_partkey, url,
+           (regexp_matches(body, '<div id="(root|app)">\s*</div>')
+            OR len(regexp_replace(body, '<[^>]*>', '', 'g')) < 200) AS needs_js,
+           CASE WHEN confidence >= 0.85 THEN 'location_page'
+                WHEN confidence >= 0.60 THEN 'company_page'
+                ELSE 'other' END AS page_type,
+           round(confidence, 4) AS confidence,
+           CASE WHEN confidence >= 0.85 THEN 1
+                WHEN confidence >= 0.7 THEN 2
+                WHEN confidence >= 0.6 THEN 3
+                ELSE 4 END AS priority
+    FROM conf
+    """,
+)
+def q_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21+X22: SPA needs-JS heuristic (framework root div / tiny text,
+    playwright-renderer.service.js:324-335) and the page classifier
+    (URL-pattern table ⊕ heading-keyword score, max of the two,
+    page-classifier.service.js:15-151) over synthesized URL+body
+    combinations hitting every branch."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    paths = F.array(*[F.lit(x) for x in [
+        "/contact", "/office/hq", "/about/us", "/company/team",
+        "/facility/1", "/products/x",
+    ]])
+    heads = F.array(*[F.lit(x) for x in [
+        "Contact our Office", "Our Locations", "Products", "Address and Hours",
+    ]])
+    url = F.concat(
+        F.lit("https://h"), (k % 9).cast("string"), F.lit(".example.com"),
+        F.element_at(paths, (k % 6 + 1).cast("int")),
+    )
+    body = F.concat(
+        F.lit("<html><h2>"), F.element_at(heads, (k % 4 + 1).cast("int")),
+        F.lit('</h2><div id="root">'),
+        F.when(k % 2 == 0, F.lit("")).otherwise(F.lit("content body here")),
+        F.lit("</div>"),
+        F.repeat(F.lit("<p>filler paragraph text</p>"), (k % 3 * 12).cast("int")),
+        F.lit("</html>"),
+    )
+    t = p.select("p_partkey", url.alias("url"), body.alias("body"))
+    cls = EX.classify_page("url", "body")
+    return t.select(
+        "p_partkey", "url",
+        EX.needs_js("body").alias("needs_js"),
+        cls["page_type"].alias("page_type"),
+        F.round(cls["confidence"], 4).alias("confidence"),
+        cls["priority"].alias("priority"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Pinned VALUES-literal oracles for the non-SQL-expressible queries
 # (greedy/iterative/media ops). crawl_bfs_frontier's literal comes from the
 # independent single-threaded Python oracle (web_crawler_spark/oracle.py);

@@ -291,3 +291,44 @@ def quality_color(score: Column | str) -> Column:
         .when(s >= 50, F.lit("#f59e0b"))
         .otherwise(F.lit("#ef4444"))
     )
+
+
+# --- X6: canonical street-address formatter (normalizeAddress,
+# address-normalizer.service.js:107-125; abbrev map :29-46, restated) ------
+STREET_ABBREV = {
+    "street": "St", "st.": "St", "str": "St",
+    "avenue": "Ave", "ave.": "Ave", "av": "Ave",
+    "road": "Rd", "rd.": "Rd",
+    "boulevard": "Blvd", "blvd.": "Blvd",
+    "drive": "Dr", "dr.": "Dr",
+    "lane": "Ln", "ln.": "Ln",
+    "court": "Ct", "ct.": "Ct",
+    "place": "Pl", "pl.": "Pl",
+    "square": "Sq", "sq.": "Sq",
+    "terrace": "Ter", "ter.": "Ter",
+    "parkway": "Pkwy", "pkwy.": "Pkwy",
+    "highway": "Hwy", "hwy.": "Hwy",
+    "building": "Bldg", "bldg.": "Bldg",
+    "suite": "Ste", "ste.": "Ste",
+    "floor": "Fl", "fl.": "Fl", "flr": "Fl",
+    "apartment": "Apt", "apt.": "Apt",
+}
+
+
+def normalize_address_canonical(address: Column | str) -> Column:
+    """X6: trim + collapse whitespace, standardize street-type words to
+    their abbreviations (case-insensitive, word-bounded), strip trailing
+    ``[,;]``, tighten ``N - M`` ranges to ``N-M``.
+
+    Deviation from the reference, documented: its ``new RegExp(`\\b${full}\\b`)``
+    leaves the '.' in dotted keys ('st.', 'ave.', …) as a regex wildcard,
+    which would also rewrite arbitrary words ('sta ' → 'St '); we escape
+    the dot and match the literal token, which is the evident intent."""
+    s = F.trim(_c(address).cast("string"))
+    s = F.regexp_replace(s, r"\s+", " ")
+    for full, abbr in STREET_ABBREV.items():
+        pat = "(?i)\\b" + full.replace(".", "\\.") + "\\b"
+        s = F.regexp_replace(s, pat, abbr)
+    s = F.regexp_replace(s, r"[,;]+$", "")
+    s = F.regexp_replace(s, r"(\d+)\s*-\s*(\d+)", r"$1-$2")
+    return s
