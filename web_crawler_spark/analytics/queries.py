@@ -2570,6 +2570,234 @@ def q_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonld_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey % 170) - 85 + 0.5 AS la,
+             (s_suppkey % 350) - 175 + 0.25 AS lo
+      FROM supplier
+    )
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/contact') AS sourceUrl,
+           concat('h', s_suppkey % 9, '.example.com') AS seed_host,
+           0.95 AS confidence,
+           concat('Acme Branch ', s_suppkey) AS locationName,
+           concat(1 + s_suppkey % 999, ' Oak Ave') AS street,
+           concat('City', s_suppkey % 40) AS city,
+           printf('%05d', 10000 + s_suppkey % 89999) AS postcode,
+           round(la, 2) AS latitude,
+           round(lo, 2) AS longitude,
+           concat('(212) 555-', 1000 + s_suppkey % 9000) AS phone
+    FROM s
+    """,
+)
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: the JSON-LD extractor (from_json + @graph explode + location
+    @type filter, structured-data-extractor.service.js:31-161) over
+    synthesized page bodies. Each body carries a 2-item @graph — one
+    LocalBusiness that must extract and one WebSite that must be filtered
+    — so the type gate is exercised; the oracle reconstructs the expected
+    record from the source numbers without parsing."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    la = F.format_string("%.2f", (k % 170) - 85 + 0.5)
+    lo = F.format_string("%.2f", (k % 350) - 175 + 0.25)
+    jsonld = F.concat(
+        F.lit('{"@graph": [{"@type": "WebSite", "name": "ignore me"}, '
+              '{"@type": "LocalBusiness", "name": "Acme Branch '),
+        k.cast("string"),
+        F.lit('", "address": {"streetAddress": "'),
+        (F.lit(1) + k % 999).cast("string"), F.lit(" Oak Ave"),
+        F.lit('", "addressLocality": "City'), (k % 40).cast("string"),
+        F.lit('", "postalCode": "'),
+        F.format_string("%05d", (F.lit(10000) + k % 89999).cast("int")),
+        F.lit('"}, "geo": {"latitude": '), la, F.lit(', "longitude": '), lo,
+        F.lit('}, "telephone": "(212) 555-'),
+        (F.lit(1000) + k % 9000).cast("string"),
+        F.lit('"}]}'),
+    )
+    body = F.concat(
+        F.lit('<html><script type="application/ld+json">'), jsonld,
+        F.lit("</script></html>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/contact")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        body.alias("body"),
+    )
+    out = EX.extract_jsonld(pages)
+    return out.select(
+        "sourceUrl", "seed_host", "confidence", "locationName", "street",
+        "city", "postcode",
+        F.round("latitude", 2).alias("latitude"),
+        F.round("longitude", 2).alias("longitude"),
+        "phone",
+    )
+
+
+@query(
+    "microdata_extract",
+    oracle="""
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/about') AS sourceUrl,
+           0.9 AS confidence,
+           concat('Depot ', s_suppkey) AS locationName,
+           concat(1 + s_suppkey % 500, ' Dock Rd') AS street,
+           concat('Port', s_suppkey % 25) AS city,
+           printf('%05d', 20000 + s_suppkey % 79999) AS postcode
+    FROM supplier
+    """,
+)
+def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: the microdata extractor (itemscope block split + per-block
+    itemprop pulls, structured-data-extractor.service.js:166-265) over
+    synthesized single-line itemscope blocks."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    block = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/LocalBusiness">'
+              '<span itemprop="name">'),
+        F.lit("Depot "), k.cast("string"),
+        F.lit('</span><span itemprop="streetAddress">'),
+        (F.lit(1) + k % 500).cast("string"), F.lit(" Dock Rd"),
+        F.lit('</span><span itemprop="addressLocality">Port'),
+        (k % 25).cast("string"),
+        F.lit('</span><span itemprop="postalCode">'),
+        F.format_string("%05d", (F.lit(20000) + k % 79999).cast("int")),
+        F.lit("</span></div>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/about")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        F.concat(F.lit("<html>"), block, F.lit("</html>")).alias("body"),
+    )
+    out = EX.extract_microdata(pages)
+    return out.select(
+        "sourceUrl", "confidence", "locationName", "street", "city", "postcode"
+    )
+
+
+@query(
+    "inline_script_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey % 170) - 85 + 0.5 AS la,
+             (s_suppkey % 350) - 175 + 0.25 AS lo
+      FROM supplier
+    )
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/stores') AS sourceUrl,
+           0.85 AS confidence,
+           concat('Outlet ', s_suppkey) AS locationName,
+           concat(1 + s_suppkey % 300, ' Elm Ln') AS street,
+           concat('Town', s_suppkey % 30) AS city,
+           round(la, 2) AS latitude,
+           round(lo, 2) AS longitude
+    FROM s
+    """,
+)
+def q_inline_script_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: the inline-script JSON miner (window.X = [...] regex →
+    from_json → explode, location-extractor.service.js:561-597) over
+    synthesized script blobs; street/city split out of the combined
+    address string by the operator's own regexes."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    la = F.format_string("%.2f", (k % 170) - 85 + 0.5)
+    lo = F.format_string("%.2f", (k % 350) - 175 + 0.25)
+    blob = F.concat(
+        F.lit('<script>window.storeData = [{"name": "Outlet '),
+        k.cast("string"),
+        F.lit('", "address": "'), (F.lit(1) + k % 300).cast("string"),
+        F.lit(" Elm Ln, Town"), (k % 30).cast("string"),
+        F.lit('", "lat": '), la, F.lit(', "lng": '), lo,
+        F.lit("}];</script>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/stores")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        F.concat(F.lit("<html>"), blob, F.lit("</html>")).alias("body"),
+    )
+    out = EX.extract_inline_script(pages)
+    return out.select(
+        "sourceUrl", "confidence", "locationName", "street", "city",
+        F.round("latitude", 2).alias("latitude"),
+        F.round("longitude", 2).alias("longitude"),
+    )
+
+
+@query(
+    "robots_gate_filter",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey,
+             concat('h', p_partkey % 6, '.example.com') AS seed_host,
+             p_partkey % 6 AS hid,
+             list_extract(['/admin/panel', '/blog/post7', '/office',
+                           '/contact', '/admin', '/about'],
+                          (p_partkey % 6) + 1) AS path
+      FROM part
+    )
+    SELECT p_partkey,
+           concat('https://', seed_host, path) AS url,
+           (hid % 2 = 0 AND hid % 5 != 0
+            AND (starts_with(path, '/admin') OR starts_with(path, '/blog')))
+             AS is_blocked
+    FROM f
+    """,
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F5+J2: the robots gate — broadcast-join per-host robots rules
+    onto candidate URLs, disallow-prefix path matching, permissive when
+    the robots fetch failed (robots.service.js:44-53,63-71). Even hosts
+    disallow /admin and /blog; hosts divisible by 5 simulate a failed
+    robots fetch and must pass everything."""
+    from web_crawler_spark.operators import frontier as FR
+    from web_crawler_spark.schemas import ROBOTS
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    paths = F.array(*[F.lit(x) for x in [
+        "/admin/panel", "/blog/post7", "/office", "/contact", "/admin", "/about",
+    ]])
+    frontier = p.select(
+        "p_partkey",
+        F.concat(F.lit("h"), (k % 6).cast("string"), F.lit(".example.com")).alias("seed_host"),
+        F.concat(
+            F.lit("https://h"), (k % 6).cast("string"), F.lit(".example.com"),
+            F.element_at(paths, (k % 6 + 1).cast("int")),
+        ).alias("url"),
+    )
+    robots_rows = []
+    for h in range(6):
+        robots_rows.append(
+            {
+                "host": f"h{h}.example.com",
+                "fetch_ok": h % 5 != 0,
+                "crawl_delay_s": 0.0,
+                "disallow_prefixes": ["/admin", "/blog"] if h % 2 == 0 else [],
+            }
+        )
+    robots = spark.createDataFrame(robots_rows, ROBOTS)
+    allowed, blocked = FR.robots_gate(frontier, robots)
+    out = allowed.withColumn("is_blocked", F.lit(False)).unionByName(
+        blocked.withColumn("is_blocked", F.lit(True))
+    )
+    return out.select("p_partkey", "url", "is_blocked")
+
+
 # --------------------------------------------------------------------------
 # Pinned VALUES-literal oracles for the non-SQL-expressible queries
 # (greedy/iterative/media ops). crawl_bfs_frontier's literal comes from the
