@@ -2798,6 +2798,116 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "url", "is_blocked")
 
 
+@query(
+    "text_line_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             concat('Branch ', s_suppkey) AS nm,
+             concat(1 + s_suppkey % 400, ' Pine Rd') AS st,
+             concat('Ville', s_suppkey % 20) AS ct,
+             printf('%05d', 30000 + s_suppkey % 69999) AS pc,
+             concat('(415) 555-', 1000 + s_suppkey % 9000) AS ph,
+             concat('branch', s_suppkey, '@corp.com') AS em
+      FROM supplier
+    )
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/p') AS sourceUrl,
+           0.8 AS confidence,
+           nm AS locationName, st AS street, ct AS city, pc AS postcode,
+           'USA' AS country, ph AS phone, em AS email
+    FROM s
+    """,
+)
+def q_text_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/F9/F13: the plain-text contact-line battery over <p> blocks —
+    the matching line extracts name/street/city/postcode/country/phone/
+    email; a sub-20-char line and a non-address line in the same body
+    must be dropped by the length window and the shape pattern
+    (heuristic-extractor.service.js:189-215, length gates :64-135)."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    nm = F.concat(F.lit("Branch "), k.cast("string"))
+    st = F.concat((F.lit(1) + k % 400).cast("string"), F.lit(" Pine Rd"))
+    ct = F.concat(F.lit("Ville"), (k % 20).cast("string"))
+    pc = F.format_string("%05d", (F.lit(30000) + k % 69999).cast("int"))
+    ph = F.concat(F.lit("(415) 555-"), (F.lit(1000) + k % 9000).cast("string"))
+    em = F.concat(F.lit("branch"), k.cast("string"), F.lit("@corp.com"))
+    good = F.concat(
+        nm, F.lit(": "), st, F.lit(", "), ct, F.lit(", "), pc,
+        F.lit(" USA. Call "), ph, F.lit(" or email "), em, F.lit(" today"),
+    )
+    body = F.concat(
+        F.lit("<html><p>tiny</p><p>"), good,
+        F.lit("</p><p>This paragraph talks about products, not places, at all.</p></html>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        body.alias("body"),
+    )
+    out = EX.extract_text(pages)
+    return out.select(
+        "sourceUrl", "confidence", "locationName", "street", "city",
+        "postcode", "country", F.trim("phone").alias("phone"), "email",
+    )
+
+
+@query(
+    "hours_web_social",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, 6 + s_suppkey % 6 AS h1, 2 + s_suppkey % 8 AS h2
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           concat('Hours: ', h1, 'am - ', h2, 'pm') AS hours,
+           concat('https://partner', s_suppkey, '.com') AS websites,
+           concat('https://www.facebook.com/acme', s_suppkey) AS facebook,
+           concat('https://twitter.com/acme', s_suppkey) AS twitter,
+           CAST(NULL AS VARCHAR) AS linkedin,
+           CAST(NULL AS VARCHAR) AS instagram
+    FROM s
+    """,
+)
+def q_hours_web_social(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 (hours/websites/social): the opening-hours regex battery over
+    page text, website origins minus social hosts, and last-seen social
+    link per network (contact-extractor.service.js:93-231) — the
+    mailto/tel hrefs and social hosts must not leak into websites."""
+    from web_crawler_spark.functions import contact as CT
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    text = F.concat(
+        F.lit("Open weekdays. Hours: "), (F.lit(6) + k % 6).cast("string"),
+        F.lit("am - "), (F.lit(2) + k % 8).cast("string"),
+        F.lit("pm every week."),
+    )
+    hrefs = F.array(
+        F.concat(F.lit("https://facebook.com/legacy"), k.cast("string")),
+        F.concat(F.lit("https://www.facebook.com/acme"), k.cast("string")),
+        F.concat(F.lit("https://partner"), k.cast("string"), F.lit(".com/page?ref=1")),
+        F.concat(F.lit("https://twitter.com/acme"), k.cast("string")),
+        F.lit("mailto:info@acme.com"),
+        F.lit("tel:+1-212-555-0000"),
+    )
+    rows = s.select("s_suppkey", text.alias("text"), hrefs.alias("hrefs"))
+    social = CT.extract_social(F.col("hrefs"))
+    return rows.select(
+        "s_suppkey",
+        F.concat_ws("; ", CT.extract_hours("text")).alias("hours"),
+        F.concat_ws("; ", CT.extract_websites(F.col("hrefs"))).alias("websites"),
+        social["facebook"].alias("facebook"),
+        social["twitter"].alias("twitter"),
+        social["linkedin"].alias("linkedin"),
+        social["instagram"].alias("instagram"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Pinned VALUES-literal oracles for the non-SQL-expressible queries
 # (greedy/iterative/media ops). crawl_bfs_frontier's literal comes from the
