@@ -609,6 +609,48 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_native",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window operator —
+    the "let Catalyst do it" twin of the lag-window `sessionize` query
+    (and of the stateful streaming sessionizer; session_window also runs
+    in Structured Streaming with a watermark). Boundary note: a session
+    window spans [first, last + gap), so a gap of exactly 30 min starts a
+    NEW session here, while the lag formulation splits only on gap >
+    30 min — the oracle uses >= accordingly (no exact-boundary gaps exist
+    in the dataset, verified at both SFs). The NTZ wall clock converts to
+    an instant deterministically (timestamp_micros), never through the
+    session timezone."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts_i",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz)))"
+        ),
+    )
+    sessions = e.groupBy(
+        "user_id", F.session_window("ts_i", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.7 scalar kernels
 # --------------------------------------------------------------------------
@@ -2905,6 +2947,59 @@ def q_hours_web_social(spark: SparkSession, sf_dir: str) -> DataFrame:
         social["twitter"].alias("twitter"),
         social["linkedin"].alias("linkedin"),
         social["instagram"].alias("instagram"),
+    )
+
+
+@query(
+    "xhr_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey % 170) - 85 + 0.5 AS la,
+             (s_suppkey % 350) - 175 + 0.25 AS lo
+      FROM supplier
+    )
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/app') AS sourceUrl,
+           0.85 AS confidence,
+           concat('Kiosk ', s_suppkey) AS locationName,
+           concat(1 + s_suppkey % 250, ' Bay St') AS street,
+           concat('Cove', s_suppkey % 30) AS city,
+           round(la, 2) AS latitude,
+           round(lo, 2) AS longitude
+    FROM s
+    """,
+)
+def q_xhr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17/S3: the captured-XHR JSON extractor (array-bearing 'locations'
+    key → rows, playwright-renderer.service.js:220-317) over synthesized
+    xhr_json payloads — the SPA path's structured data, fed from the
+    fetch stage's xhr_json column."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    la = F.format_string("%.2f", (k % 170) - 85 + 0.5)
+    lo = F.format_string("%.2f", (k % 350) - 175 + 0.25)
+    xhr = F.concat(
+        F.lit('{"locations": [{"name": "Kiosk '), k.cast("string"),
+        F.lit('", "address": "'), (F.lit(1) + k % 250).cast("string"),
+        F.lit(" Bay St, Cove"), (k % 30).cast("string"),
+        F.lit('", "latitude": '), la, F.lit(', "longitude": '), lo,
+        F.lit("}]}"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/app")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        F.lit("<html><div id=\"root\"></div></html>").alias("body"),
+        xhr.alias("xhr_json"),
+    )
+    out = EX.extract_xhr(pages)
+    return out.select(
+        "sourceUrl", "confidence", "locationName", "street", "city",
+        F.round("latitude", 2).alias("latitude"),
+        F.round("longitude", 2).alias("longitude"),
     )
 
 
