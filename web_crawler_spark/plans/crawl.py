@@ -331,7 +331,6 @@ class CrawlDriver:
             blocked, n_blocked = None, 0
 
         fetched = fetch_pages(take, self.web, cfg.salt_partitions).persist()
-        n_fetched = fetched.count()
 
         # ---- W5 in-wave cutoff (professional-crawler.service.js:79-82) ----
         # the reference checks locationsFound before visiting EACH url, so
@@ -364,23 +363,44 @@ class CrawlDriver:
                 .select("seed_host", "url")
             )
             kept = fetched.join(keep_keys, ["seed_host", "url"], "left_semi").persist()
-            n_fetched = kept.count()
             fetched.unpersist()
             fetched = kept
             if blocked is not None:
                 bk = blocked.join(keep_keys, ["seed_host", "url"], "left_semi").persist()
-                n_blocked = bk.count()
                 blocked.unpersist()
                 blocked = bk
 
-        # running location totals must reflect this wave BEFORE the deep-row
-        # gate and the early-exit decision below
-        if cfg.max_locations is not None:
-            for r in (
-                fetched.filter(F.col("fetch_ok"))
-                .groupBy("seed_host").agg(F.sum("n_locations").alias("n")).collect()
-            ):
-                loc_found[r["seed_host"]] = loc_found.get(r["seed_host"], 0) + int(r["n"] or 0)
+        # ---- per-seed wave stats: ONE action over fetched (and one over
+        # blocked) yields visit counts, location sums, and last visited
+        # position — the driver loop stays O(#seeds) per wave, not
+        # O(actions x stages)
+        fstats = {
+            r["seed_host"]: r
+            for r in fetched.groupBy("seed_host").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(
+                    F.when(F.col("fetch_ok"), F.col("n_locations")).otherwise(F.lit(0))
+                ).alias("_nl"),
+                F.max("visit_seq").alias("_vk"),
+            ).collect()
+        }
+        n_fetched = sum(r["_n"] for r in fstats.values())
+        bstats: dict = {}
+        if blocked is not None:
+            bstats = {
+                r["seed_host"]: r
+                for r in blocked.groupBy("seed_host").agg(
+                    F.count(F.lit(1)).alias("_n"), F.max("visit_seq").alias("_vk")
+                ).collect()
+            }
+            n_blocked = sum(r["_n"] for r in bstats.values())
+        for seed in set(fstats) | set(bstats):
+            n_tr = fstats.get(seed, {"_n": 0})["_n"] + (
+                bstats[seed]["_n"] if seed in bstats else 0
+            )
+            visited_n[seed] = visited_n.get(seed, 0) + n_tr
+            if cfg.max_locations is not None and seed in fstats:
+                loc_found[seed] = loc_found.get(seed, 0) + int(fstats[seed]["_nl"] or 0)
 
         # ---- depth-skip gate (W6 x W5 interaction) ------------------------
         # Without a location cap every queued too-deep row can be popped-and-
@@ -395,16 +415,18 @@ class CrawlDriver:
             capped_seeds = [
                 s2 for s2, n in loc_found.items() if n >= cfg.max_locations
             ]
-            vk_rows = fetched.groupBy("seed_host").agg(
-                F.max("visit_seq").alias("_vk")
+            def _vk_of(d, seed):
+                v = d[seed]["_vk"] if seed in d else None
+                return -1 if v is None else v
+
+            vk = {
+                seed: max(_vk_of(fstats, seed), _vk_of(bstats, seed))
+                for seed in set(fstats) | set(bstats)
+            }
+            vk_rows = spark.createDataFrame(
+                [(seed, v) for seed, v in vk.items()],
+                "seed_host string, _vk long",
             )
-            if blocked is not None:
-                vk_rows = (
-                    vk_rows.unionByName(
-                        blocked.groupBy("seed_host").agg(F.max("visit_seq").alias("_vk"))
-                    )
-                    .groupBy("seed_host").agg(F.max("_vk").alias("_vk"))
-                )
             deep_trans = (
                 too_deep.join(F.broadcast(vk_rows), "seed_host", "left")
                 .filter(
@@ -497,26 +519,16 @@ class CrawlDriver:
             )
         ).persist()
 
-        # ---- running aggregates for the snapshot summaries (O(delta)) ----
-        n_new = new_frontier_rows.count()
+        # ---- new-discovery aggregates: one action gives count + max seq --
+        n_new = 0
+        for r in new_frontier_rows.groupBy("seed_host").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("enqueue_seq").alias("_m")
+        ).collect():
+            n_new += r["_n"]
+            max_seq_d[r["seed_host"]] = max(
+                max_seq_d.get(r["seed_host"], 0), r["_m"]
+            )
         n_cand = cand.count()
-        for r in (
-            new_frontier_rows.groupBy("seed_host")
-            .agg(F.max("enqueue_seq").alias("m")).collect()
-        ):
-            max_seq_d[r["seed_host"]] = max(max_seq_d.get(r["seed_host"], 0), r["m"])
-        for r in (
-            transitions.filter(F.col("status") != "depth_skipped")
-            .groupBy("seed_host").count().collect()
-        ):
-            visited_n[r["seed_host"]] = visited_n.get(r["seed_host"], 0) + r["count"]
-        if cfg.max_locations is None:
-            for r in (
-                fetched.filter(F.col("fetch_ok"))
-                .groupBy("seed_host").agg(F.sum("n_locations").alias("n")).collect()
-            ):
-                loc_found[r["seed_host"]] = loc_found.get(r["seed_host"], 0) + int(r["n"] or 0)
-
         summary = {
             "wave": wave,
             "pages_fetched": n_fetched,
