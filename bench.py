@@ -52,6 +52,16 @@ def main() -> None:
     spark = get_spark("wcs_bench")
     registry = Q.queries()
 
+    # untimed warm-up: JVM/JIT + whole-stage-codegen compile + Python
+    # worker spin-up happen once here instead of inflating the first
+    # timed query (standard bench practice; the timed numbers are the
+    # steady state a long-running engine actually delivers)
+    warm = registry["dim_join_rollup"](spark, sf_dir)
+    warm.count()
+    # audio_features is tiny but walks the Arrow/pandas-UDF path, so the
+    # Python workers exist before any timed UDF-bearing query runs
+    registry["audio_features"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
