@@ -3003,6 +3003,92 @@ def q_xhr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "h3_sequential_extract",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             concat('City', s_suppkey % 30) AS c1,
+             concat(1 + s_suppkey % 400, ' Elm Rd') AS st1,
+             printf('%05d', 30000 + s_suppkey % 69999) AS pc1,
+             concat('Town', s_suppkey % 20) AS c2,
+             concat(1 + s_suppkey % 250, ' Oak St') AS st2,
+             printf('%05d', 40000 + s_suppkey % 59999) AS pc2
+      FROM supplier
+    )
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/global') AS sourceUrl,
+           0.8 AS confidence, c1 AS locationName, st1 AS street, c1 AS city,
+           pc1 AS postcode, 'USA' AS country
+    FROM s
+    UNION ALL
+    SELECT concat('https://h', s_suppkey % 9, '.example.com/global'),
+           0.8, c2, st2, c2, pc2, 'CANADA'
+    FROM s
+    """,
+)
+def q_h3_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 "Nutanix pattern": sequential h3 scan — ALL-CAPS h3 = country,
+    title-case h3 = city, following <p> = address (the one justified
+    mapInPandas extractor; location-extractor.service.js:656-698). Each
+    body carries two country sections plus an orphan <p> before any city
+    that must NOT emit; the oracle reconstructs both expected rows."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    body = F.concat(
+        F.lit("<html><p>orphan paragraph, 11111</p><h3>USA</h3><h3>City"),
+        (k % 30).cast("string"),
+        F.lit("</h3><p>"), (F.lit(1) + k % 400).cast("string"),
+        F.lit(" Elm Rd, "),
+        F.format_string("%05d", (F.lit(30000) + k % 69999).cast("int")),
+        F.lit("</p><h3>CANADA</h3><h3>Town"), (k % 20).cast("string"),
+        F.lit("</h3><p>"), (F.lit(1) + k % 250).cast("string"),
+        F.lit(" Oak St, "),
+        F.format_string("%05d", (F.lit(40000) + k % 59999).cast("int")),
+        F.lit("</p></html>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/global")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        body.alias("body"),
+    )
+    out = EX.extract_h3_sequential(pages)
+    return out.select(
+        "sourceUrl", "confidence", "locationName", "street", "city",
+        "postcode", "country",
+    )
+
+
+@query(
+    "deterministic_ids",
+    oracle="""
+    SELECT o_orderkey,
+           concat('loc_', lpad(format('{:x}',
+             cast(('0x' || substr(md5(concat('loc|', concat('https://x.com/p', o_orderkey), '|', o_orderkey % 1000)), 1, 15)) as ubigint)::bigint), 15, '0')) AS row_id
+    FROM orders
+    """,
+)
+def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29/X30: deterministic row ids — the reference's
+    ``loc_{{Date.now()}}_{{urlhash}}_{{rand}}`` (address-normalizer.service.js
+    :262-280) is nondeterministic by construction; the engine replaces it
+    with the md5-60-bit hash of (url, seq) so reruns are bit-identical.
+    The oracle recomputes the same hash in SQL."""
+    from web_crawler_spark.hashing import stable_row_id
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("https://x.com/p"), k.cast("string"))
+    rid = F.concat(
+        F.lit("loc_"),
+        F.lpad(F.conv(stable_row_id(F.lit("loc"), url, k % 1000).cast("string"), 10, 16), 15, "0"),
+    )
+    return o.select("o_orderkey", F.lower(rid).alias("row_id"))
+
+
 # --------------------------------------------------------------------------
 # Pinned VALUES-literal oracles for the non-SQL-expressible queries
 # (greedy/iterative/media ops). crawl_bfs_frontier's literal comes from the
