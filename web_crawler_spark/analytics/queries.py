@@ -1533,6 +1533,49 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return driver.visit_order().select("seed_host", "url", "depth", "visit_seq", "status")
 
 
+@query("crawl_progress")
+def q_crawl_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 + §2.8 progress stream: the per-wave crawl metrics the engine
+    writes into its snapshot summary metadata (pagesProcessed /
+    locationsFound-style counters, progress-tracker.service.js:36-55;
+    north_rule "fetch/dedup metrics into snapshot metadata") surfaced as a
+    DataFrame — one row per wave with pages fetched, candidate links,
+    dedup drops, and new URLs. Deterministic fixture; golden-pinned
+    oracle (tools/pin_oracles.py)."""
+    import tempfile
+
+    from web_crawler_spark.plans.crawl import CrawlConfig, CrawlDriver
+    from web_crawler_spark.synthetic.web import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=3, pages_per_host=25, seed=42)
+    cfg = CrawlConfig(max_pages=12, max_depth=3, use_bloom=False,
+                      keep_snapshots=1000, compact_every=1000)
+    driver = CrawlDriver(spark, web, tempfile.mkdtemp(prefix="wcs_prog_"), cfg)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        driver.run(max_waves=20)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = [
+        (
+            s["summary"]["wave"],
+            s["summary"].get("pages_fetched", 0),
+            s["summary"].get("candidates", 0),
+            s["summary"].get("deduped_out", 0),
+            s["summary"].get("new_urls", 0),
+            sum(s["summary"].get("visited_n", {}).values()),
+        )
+        for s in driver.delta_tbl.snapshots()
+        if "pages_fetched" in s.get("summary", {})
+    ]
+    return spark.createDataFrame(
+        rows,
+        "wave int, pages_fetched long, candidates long, deduped_out long,"
+        " new_urls long, total_visited long",
+    )
+
+
 @query("image_phash_dedup")
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup on the payload table: synthesize deterministic
