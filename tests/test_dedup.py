@@ -100,6 +100,16 @@ def test_connected_min(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_min_deep_chain(spark):
+    # a single diameter-99 path: bounded naive propagation (the old
+    # max_iters=10 behavior) could only label 10 hops; hook+compress must
+    # converge to the exact min label in O(log d) rounds
+    edges = [(i, i + 1) for i in range(1, 100)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    comp = {r["node"]: r["component"] for r in D.connected_min(pairs).collect()}
+    assert comp == {n: 1 for n in range(1, 101)}
+
+
 def test_embedding_neardup_and_cosine(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),

@@ -176,6 +176,60 @@ def test_excel_report_structure(spark):
     assert summ == {"Acme": 5, "Bar": 0}
 
 
+def test_excel_report_stdlib_xlsx(spark, tmp_path):
+    """S10 end-to-end without openpyxl: the written .xlsx is a real zip
+    whose sheet XML carries the data and whose styles carry the X25
+    quality-color solid fills, wired to the qualityScore cells."""
+    import os
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    rows = [
+        ("Acme", "https://acme.com", "done", 3, 95),
+        ("Bar", "https://bar.org", "error", 0, 40),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "companyName string, url string, status string, locationsCount int,"
+        " qualityScore int",
+    )
+    path = os.path.join(str(tmp_path), "report.xlsx")
+    BK.write_excel_report(df, path)
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
+        assert names == ["Summary", "All Locations"]
+
+        # All Locations sheet (second): values + per-cell style on
+        # qualityScore
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet2.xml"))
+        texts = [t.text for t in sheet.findall(".//m:is/m:t", ns)]
+        assert "Acme" in texts and "https://bar.org" in texts
+        header = texts[: len(df.columns) + 1]  # + qualityColor added by frames
+        qs_col = header.index("qualityScore")
+        styled = {
+            c.get("r"): c.get("s")
+            for c in sheet.findall(".//m:c", ns)
+            if c.get("s") not in (None, "0")
+        }
+        # both data rows carry a fill on the qualityScore column
+        from web_crawler_spark.sources.bulk import _col_letter
+
+        assert f"{_col_letter(qs_col)}2" in styled
+        assert f"{_col_letter(qs_col)}3" in styled
+
+        # styles: the Excellent (#10b981) and Poor (#ef4444) solid fills
+        styles = z.read("xl/styles.xml").decode()
+        assert "FF10B981" in styles and "FFEF4444" in styles
+        assert 'patternType="solid"' in styles
+
+        # the package is openable by a picky consumer: all rel targets exist
+        assert "[Content_Types].xml" in z.namelist()
+        assert "xl/_rels/workbook.xml.rels" in z.namelist()
+
+
 def test_first_working_sitemap_unknown_paths_rank_last(spark):
     # a robots-harvested custom path must NOT beat conventional ones
     rows = [

@@ -212,53 +212,54 @@ def q_url_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grid_filter_sort",
+    "grid_slice",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
-    FROM customer
-    WHERE contains(lower(c_name), '00001')
-      AND contains(lower(c_mktsegment), 'a')
-    ORDER BY c_acctbal DESC NULLS LAST, c_custkey
-    LIMIT 50
-    """,
-)
-def q_grid_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11+W7: conjunctive contains-filter + sort (UI CustomDataGrid)."""
-    cust = load(spark, sf_dir, "customer")
-    v = grid.contains_filter(cust, {"c_name": "00001", "c_mktsegment": "a"})
-    return (
-        v.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
-        .limit(50)
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    SELECT 'filter_sort' AS variant, c_custkey, c_name, c_mktsegment,
+           round(c_acctbal, 2) AS acctbal
+    FROM (
+      SELECT * FROM customer
+      WHERE contains(lower(c_name), '00001')
+        AND contains(lower(c_mktsegment), 'a')
+      ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+      LIMIT 50
     )
-
-
-@query(
-    "grid_paginate",
-    oracle="""
-    SELECT c_custkey, c_name, c_acctbal FROM customer
-    ORDER BY c_name LIMIT 20 OFFSET 40
-    """,
-)
-def q_grid_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8: page 3 (size 20) of the name-sorted customer grid."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    return grid.paginate(grid.sort_view(cust, "c_name"), page=3, size=20)
-
-
-@query(
-    "quality_range_filter",
-    oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    UNION ALL
+    SELECT 'paginate', c_custkey, c_name, NULL, round(c_acctbal, 2)
+    FROM (SELECT * FROM customer ORDER BY c_name LIMIT 20 OFFSET 40)
+    UNION ALL
+    SELECT 'range', c_custkey, c_name, NULL, round(c_acctbal, 2)
     FROM customer WHERE c_acctbal BETWEEN 1000 AND 5000
     """,
 )
-def q_quality_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12: '1000-5000'-style range filter."""
+def q_grid_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11+F12+W7+W8: the UI grid pipeline's three slices (CustomDataGrid)
+    — conjunctive contains-filter + sort + limit, page 3 of the name-sorted
+    grid, and the '1000-5000' quality-range filter — unioned under a
+    variant tag so each slice keeps its independent oracle coverage."""
     cust = load(spark, sf_dir, "customer")
-    return grid.range_filter(cust, "c_acctbal", "1000-5000").select(
-        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    fs = (
+        grid.contains_filter(cust, {"c_name": "00001", "c_mktsegment": "a"})
+        .orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
+        .limit(50)
+        .select(
+            F.lit("filter_sort").alias("variant"), "c_custkey", "c_name",
+            "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"),
+        )
     )
+    pg = grid.paginate(
+        grid.sort_view(cust.select("c_custkey", "c_name", "c_acctbal"), "c_name"),
+        page=3, size=20,
+    ).select(
+        F.lit("paginate").alias("variant"), "c_custkey", "c_name",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    rg = grid.range_filter(cust, "c_acctbal", "1000-5000").select(
+        F.lit("range").alias("variant"), "c_custkey", "c_name",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    return fs.unionByName(pg).unionByName(rg)
 
 
 # --------------------------------------------------------------------------
@@ -387,34 +388,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_first_wins",
+    "dedup_policies",
     oracle="""
-    SELECT l_orderkey, l_partkey AS first_partkey, l_quantity AS first_qty
+    SELECT 'first_wins' AS policy, l_orderkey AS grp, l_partkey AS chosen,
+           round(l_quantity, 2) AS val
     FROM (
       SELECT *, row_number() OVER (PARTITION BY l_orderkey
                                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
       FROM lineitem
     ) WHERE rn = 1
-    """,
-)
-def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: first-wins exact dedup via explicit ingest-order window."""
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "_ord",
-        F.struct("l_linenumber", "l_partkey", "l_suppkey"),
-    )
-    return D.dedup_first_wins(li, "l_orderkey", "_ord").select(
-        "l_orderkey",
-        F.col("l_partkey").alias("first_partkey"),
-        F.col("l_quantity").alias("first_qty"),
-    )
-
-
-@query(
-    "dedup_best_wins",
-    oracle="""
-    SELECT l_partkey, l_orderkey AS best_orderkey,
-           round(l_extendedprice, 2) AS best_price
+    UNION ALL
+    SELECT 'best_wins', l_partkey, l_orderkey, round(l_extendedprice, 2)
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY l_partkey
@@ -423,21 +407,34 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def q_dedup_best_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: best-wins dedup (highest info score, deterministic tiebreak)."""
+def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: the two exact-dedup survivor policies — first-wins via the
+    explicit ingest-order window and best-wins (highest score,
+    deterministic tiebreak) — unioned under a policy tag."""
     li = load(spark, sf_dir, "lineitem")
+    first = D.dedup_first_wins(
+        li.withColumn("_ord", F.struct("l_linenumber", "l_partkey", "l_suppkey")),
+        "l_orderkey", "_ord",
+    ).select(
+        F.lit("first_wins").alias("policy"),
+        F.col("l_orderkey").alias("grp"),
+        F.col("l_partkey").alias("chosen"),
+        F.round("l_quantity", 2).alias("val"),
+    )
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
-    return (
+    best = (
         li.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
-            "l_partkey",
-            F.col("l_orderkey").alias("best_orderkey"),
-            F.round("l_extendedprice", 2).alias("best_price"),
+            F.lit("best_wins").alias("policy"),
+            F.col("l_partkey").alias("grp"),
+            F.col("l_orderkey").alias("chosen"),
+            F.round("l_extendedprice", 2).alias("val"),
         )
     )
+    return first.unionByName(best)
 
 
 @query(
@@ -578,7 +575,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
              THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -610,7 +607,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sessionize_native",
+    "sessionize_variants",
     oracle="""
     WITH g AS (
       SELECT user_id, ts,
@@ -619,22 +616,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
+    ),
+    gs AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT 'native' AS variant, user_id,
+           sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
+    UNION ALL
+    SELECT 'streaming', user_id,
+           sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+    FROM gs GROUP BY user_id
     """,
 )
-def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization via Spark's NATIVE session_window operator —
-    the "let Catalyst do it" twin of the lag-window `sessionize` query
-    (and of the stateful streaming sessionizer; session_window also runs
-    in Structured Streaming with a watermark). Boundary note: a session
-    window spans [first, last + gap), so a gap of exactly 30 min starts a
-    NEW session here, while the lag formulation splits only on gap >
-    30 min — the oracle uses >= accordingly (no exact-boundary gaps exist
-    in the dataset, verified at both SFs). The NTZ wall clock converts to
-    an instant deterministically (timestamp_micros), never through the
-    session timezone."""
+def q_sessionize_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization by the two non-lag engines, tagged by variant:
+
+    'native' — Spark's session_window operator ("let Catalyst do it").
+    Boundary note: a session window spans [first, last + gap), so a gap of
+    exactly 30 min starts a NEW session here, while the lag formulation
+    splits only on gap > 30 min — that branch's oracle uses >= accordingly
+    (no exact-boundary gaps exist in the dataset, verified at both SFs).
+    The NTZ wall clock converts to an instant deterministically
+    (timestamp_micros), never through the session timezone.
+
+    'streaming' — the applyInPandasWithState stateful sessionizer run as a
+    real Structured Streaming query (file source → stateful operator →
+    memory sink, availableNow), aggregated per user against the same batch
+    lag-window oracle as `sessionize` (> gap semantics): streaming and
+    batch must agree on session counts."""
     e = load(spark, sf_dir, "events").withColumn(
         "ts_i",
         F.expr(
@@ -645,10 +660,40 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = e.groupBy(
         "user_id", F.session_window("ts_i", "30 minutes")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    return sessions.groupBy("user_id").agg(
+    native = sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
+    ).select(F.lit("native").alias("variant"), "user_id", "n_sessions", "n_events")
+
+    import os
+    import shutil
+    import tempfile
+
+    from web_crawler_spark.streaming import events as SE
+
+    src = tempfile.mkdtemp(prefix="wcs_sess_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
     )
+    stream = SE.stream_events(spark, src, max_files=None)
+    (
+        SE.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wcs_sessionize_stream_q")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.sql("SELECT * FROM wcs_sessionize_stream_q")
+    # single-batch emissions: one row per session (closed) + one open per
+    # user; aggregate to the oracle's per-user shape
+    streaming = emitted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("streaming").alias("variant"), "user_id", "n_sessions", "n_events")
+    return native.unionByName(streaming)
 
 
 # --------------------------------------------------------------------------
@@ -758,7 +803,18 @@ _ISO_DIM_SQL = ",".join(
              CASE WHEN c_custkey % 3 = 0 THEN c.name
                   WHEN c_custkey % 3 = 1 THEN upper(c.name)
                   ELSE lower(c.iso2) END AS country_raw,
-             c.iso2 AS c_iso2,
+             -- engine rule order: the 2-letter passthrough fires BEFORE the
+             -- name map ('uk' -> 'UK', not 'GB'; normalizeCountry,
+             -- address-normalizer.service.js:186-188)
+             CASE WHEN regexp_matches(lower(trim(
+                    CASE WHEN c_custkey % 3 = 0 THEN c.name
+                         WHEN c_custkey % 3 = 1 THEN upper(c.name)
+                         ELSE lower(c.iso2) END)), '^[a-z]{{2}}$')
+                  THEN upper(trim(
+                    CASE WHEN c_custkey % 3 = 0 THEN c.name
+                         WHEN c_custkey % 3 = 1 THEN upper(c.name)
+                         ELSE lower(c.iso2) END))
+                  ELSE c.iso2 END AS c_iso2,
              CASE WHEN c_custkey % 3 = 0 THEN
                     printf('%09d', c_custkey % 1000000000)
                   WHEN c_custkey % 3 = 1 THEN
@@ -767,13 +823,16 @@ _ISO_DIM_SQL = ",".join(
                   ELSE printf('%05d', c_custkey % 100000) END AS postal_raw
       FROM customer
       JOIN sdim s ON s.i = c_custkey % 50
-      JOIN cdim c ON c.i = c_custkey % {len(_CNAMES)}
+      -- name index decorrelated from the %3 variant selector (c_custkey//3
+      -- cycles the full name list within every variant), so 2-letter names
+      -- ARE exercised as raw full-name inputs
+      JOIN cdim c ON c.i = (c_custkey // 3) % {len(_CNAMES)}
     )
     SELECT c_custkey, state_raw,
            upper(trim(state_want)) AS state,
            country_raw,
-           upper(c_iso2) AS country_iso2,
-           coalesce(i.iso3, upper(c_iso2)) AS country_iso3,
+           c_iso2 AS country_iso2,
+           coalesce(i.iso3, c_iso2) AS country_iso3,
            postal_raw,
            CASE WHEN c_custkey % 3 = 0 THEN
                   concat(substr(postal_raw, 1, 5), '-', substr(postal_raw, 6, 4))
@@ -781,7 +840,7 @@ _ISO_DIM_SQL = ",".join(
                   upper(concat('t', c_custkey % 10, 'x ',
                                (c_custkey // 10) % 10, 'b', c_custkey % 7))
                 ELSE postal_raw END AS postal
-    FROM rec LEFT JOIN idim i ON i.iso2 = upper(c_iso2)
+    FROM rec LEFT JOIN idim i ON i.iso2 = c_iso2
     """,
 )
 def q_state_country(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,8 +858,12 @@ def q_state_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     cisos = F.array(*[F.lit(R.COUNTRY_NAME_TO_ISO2[n]) for n in _CNAMES])
     sname = F.element_at(snames, (k % 50 + 1).cast("int"))
     sabbr = F.element_at(sabbrs, (k % 50 + 1).cast("int"))
-    cname = F.element_at(cnames, (k % len(_CNAMES) + 1).cast("int"))
-    ciso = F.element_at(cisos, (k % len(_CNAMES) + 1).cast("int"))
+    # decorrelated from the %3 variant (see oracle note): c_custkey//3
+    # cycles the name list inside each variant, exercising 2-letter names
+    # ('uk', 'us', ...) as raw inputs where the passthrough rule fires
+    cidx = (F.expr("c_custkey div 3") % len(_CNAMES) + 1).cast("int")
+    cname = F.element_at(cnames, cidx)
+    ciso = F.element_at(cisos, cidx)
     rec = c.select(
         "c_custkey",
         F.when(k % 4 == 0, F.lower(sname))
@@ -1067,48 +1130,24 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
 
 
 @query(
-    "token_stats",
+    "text_metrics",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, n_chars, {_TOKS_SQL.format(col='text')} AS toks,
-             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
-      FROM documents
-    )
-    SELECT doc_id, n_chars, len(toks) AS n_tokens, bpe_tokens,
-           len(list_distinct(toks)) AS n_unique
-    FROM t
-    """,
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) per document."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(TX.normalize_text("text"), " ")
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).alias("n_tokens"),
-        TX.bpe_token_count("text").alias("bpe_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
-    )
-
-
-@query(
-    "text_quality",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, text, {_TOKS_SQL.format(col='text')} AS toks,
+      SELECT doc_id, n_chars, text, {_TOKS_SQL.format(col='text')} AS toks,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
       FROM documents
     ),
     m AS (
-      SELECT doc_id, length(text) AS n,
+      SELECT doc_id, n_chars, toks, bpe_tokens, length(text) AS n,
              CASE WHEN len(toks) > 0 THEN
                len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
              ELSE 0.0 END AS sw_ratio,
              CASE WHEN length(text) > 0 THEN n_punct::DOUBLE / length(text) ELSE 0.0 END AS p_ratio
       FROM t
     )
-    SELECT doc_id,
+    SELECT doc_id, n_chars, len(toks) AS n_tokens, bpe_tokens,
+           len(list_distinct(toks)) AS n_unique,
            round(sw_ratio, 6) AS stopword_ratio,
            round(p_ratio, 6) AS punct_ratio,
            (CASE WHEN n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
@@ -1117,11 +1156,19 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus quality scoring: length/stopword/punctuation components."""
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics in one scan: token counting (whitespace +
+    BPE-ish regex), distinct-token counts, and the corpus quality score's
+    length/stopword/punctuation components — one row per document, a
+    single narrow projection over the documents table."""
     d = load(spark, sf_dir, "documents")
+    toks = F.split(TX.normalize_text("text"), " ")
     return d.select(
         "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        TX.bpe_token_count("text").alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         TX.quality_score_text("text").alias("quality"),
@@ -1326,7 +1373,7 @@ def _simhash_oracle() -> str:
       FROM sim
     )
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
     FROM blocks a JOIN blocks b USING (block)
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -1355,40 +1402,6 @@ _DOT_SQL = (
 _NORM2_SQL = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ({a})[i]::DOUBLE * ({a})[i]::DOUBLE)))"
 
 
-@query(
-    "ann_bruteforce_topk",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-    scored AS (
-      SELECT q.query_id, c.vec_id,
-             round({_DOT_SQL.format(a='q.qe', b='c.embedding')}
-               / ({_NORM2_SQL.format(a='q.qe')} * {_NORM2_SQL.format(a='c.embedding')}), 6)
-               AS cosine
-      FROM q, embeddings c
-    )
-    SELECT query_id, vec_id, cosine, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, vec_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-)
-def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5: broadcast queries × corpus, ranked on the
-    6-dp-rounded cosine with vec_id tiebreak (cross-engine determinism)."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
-    )
-    scored = e.join(F.broadcast(q)).select(
-        "query_id",
-        "vec_id",
-        F.round(D.cosine_sim(F.col("_qv"), F.col("embedding")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
-
-
 _BUCKET_SQL = (
     "("
     + " + ".join(f"(CASE WHEN ({{v}})[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
@@ -1397,9 +1410,17 @@ _BUCKET_SQL = (
 
 
 @query(
-    "ann_lsh_topk",
+    "ann_topk",
     oracle=f"""
-    WITH c AS (
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    brute AS (
+      SELECT q.query_id, c.vec_id,
+             round({_DOT_SQL.format(a='q.qe', b='c.embedding')}
+               / ({_NORM2_SQL.format(a='q.qe')} * {_NORM2_SQL.format(a='c.embedding')}), 6)
+               AS cosine
+      FROM q, embeddings c
+    ),
+    c AS (
       SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
       FROM embeddings
     ),
@@ -1412,7 +1433,7 @@ _BUCKET_SQL = (
       SELECT query_id, qe, xor(qb, unnest([0,1,2,4,8,16,32,64,128])) AS bucket
       FROM q0
     ),
-    scored AS (
+    lsh AS (
       SELECT query_id, vec_id,
              max(round({_DOT_SQL.format(a='qe', b='c.embedding')}
                / ({_NORM2_SQL.format(a='qe')} * {_NORM2_SQL.format(a='c.embedding')}), 6))
@@ -1420,25 +1441,54 @@ _BUCKET_SQL = (
       FROM probes JOIN c USING (bucket)
       GROUP BY query_id, vec_id
     )
-    SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT 'brute' AS variant, query_id, vec_id, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id) AS rank
-      FROM scored
+      FROM brute
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'lsh', query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM lsh
     ) WHERE rank <= 5
     """,
 )
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN with Hamming-1 multi-probe: the oracle mirrors the
-    bucketing exactly, so this checks the approximate operator's semantics
-    (probe set + rank), not an idealized exact search."""
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 under both strategies, tagged by variant: 'brute' = exact
+    cosine (broadcast queries × corpus, the right plan for small query
+    sets), 'lsh' = sign-LSH with Hamming-1 multi-probe (the scale path).
+    The oracle mirrors the LSH bucketing exactly, so the approximate
+    operator's semantics (probe set + rank) are checked, not an idealized
+    exact search. Ranks use the 6-dp-rounded cosine with vec_id tiebreak
+    (cross-engine determinism)."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    topk = SIM.lsh_topk(e, q, k=5, n_bits=8, probe_hamming=1, query_id_col="vec_id")
-    # re-round for the comparison boundary; rank computed on rounded value
-    # inside lsh_topk? No — recompute rank on rounded cosine for determinism
-    scored = topk.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(D.cosine_sim(F.col("_qv"), F.col("embedding")), 6).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    brute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.lit("brute").alias("variant"), "query_id", "vec_id", "cosine", "rank")
+    )
+    topk = SIM.lsh_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_bits=8, probe_hamming=1,
+        query_id_col="vec_id",
+    )
+    # rank recomputed on the ROUNDED cosine for cross-engine determinism
+    lsh_scored = topk.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    lsh = (
+        lsh_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.lit("lsh").alias("variant"), "query_id", "vec_id", "cosine", "rank")
+    )
+    return brute.unionByName(lsh)
 
 
 @query(
@@ -1829,66 +1879,6 @@ _ADDR_NORM_SQL = "lower(trim(concat_ws(', ', street, city)))"
 _H60 = "cast(('0x' || substr(md5({expr}), 1, 15)) as ubigint)::bigint"
 
 
-@query(
-    "geocode_enrich",
-    oracle=f"""
-    WITH recs AS (
-      SELECT c_custkey,
-             concat(1 + c_custkey % 999, ' Oak Avenue') AS street,
-             c_mktsegment AS city,
-             CASE WHEN c_custkey % 4 = 0
-                  THEN (c_custkey % 1200000) / 10000.0 - 60.0 END AS latitude,
-             CASE WHEN c_custkey % 4 = 0
-                  THEN (c_custkey % 3600000) / 10000.0 - 180.0 END AS longitude
-      FROM customer
-    ), keyed AS (
-      SELECT *, {_ADDR_NORM_SQL} AS address_norm FROM recs
-    )
-    SELECT c_custkey,
-           round(coalesce(latitude,
-             ({_H60.format(expr="concat('geo-lat|', address_norm)")} % 120000000)
-               / 1000000 - 60.0), 6) AS latitude,
-           round(coalesce(longitude,
-             ({_H60.format(expr="concat('geo-lon|', address_norm)")} % 360000000)
-               / 1000000 - 180.0), 6) AS longitude,
-           latitude IS NULL AS geocoded
-    FROM keyed
-    """,
-)
-def q_geocode_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3+J8: rows lacking coordinates get them from the geocode dimension
-    (the md5-derived deterministic provider, broadcast-joined on the
-    normalized address); rows with coordinates pass through (coalesce
-    merge-back, professional-crawler.service.js:262-266). Fully
-    JVM-side — the md5 derivation has an exact DuckDB mirror."""
-    from web_crawler_spark.plans import enrich as EN
-
-    c = load(spark, sf_dir, "customer")
-    recs = c.select(
-        "c_custkey",
-        F.concat((F.lit(1) + F.col("c_custkey") % 999), F.lit(" Oak Avenue")).alias(
-            "street"
-        ),
-        F.col("c_mktsegment").alias("city"),
-        F.when(
-            F.col("c_custkey") % 4 == 0,
-            F.col("c_custkey") % 1200000 / 10000.0 - 60.0,
-        ).alias("latitude"),
-        F.when(
-            F.col("c_custkey") % 4 == 0,
-            F.col("c_custkey") % 3600000 / 10000.0 - 180.0,
-        ).alias("longitude"),
-    )
-    out = EN.geocode_enrich(recs)
-    # 'geocoded' flags rows the dim filled (original coords were null)
-    return out.select(
-        "c_custkey",
-        F.round("latitude", 6).alias("latitude"),
-        F.round("longitude", 6).alias("longitude"),
-        F.col("geocoded"),
-    )
-
-
 def _multi_geo_oracle() -> str:
     h = lambda salt: _H60.format(  # noqa: E731
         expr=f"concat('{salt}|', address_norm)"
@@ -1932,14 +1922,55 @@ def _multi_geo_oracle() -> str:
     """
 
 
-@query("multi_geocode_cascade", oracle=_multi_geo_oracle())
-def q_multi_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Provider-cascade geocoding (multi-geocoding.service.js:8-31): try
-    Google → Nominatim → MapQuest in order, first answer wins, provenance
-    in ``geo_provider`` ('source' for rows that already had coordinates,
-    'none' when every provider missed). One broadcast dim join — the
-    cascade folds into a when-chain; the oracle re-derives coverage and
-    coordinates from the same md5 contract."""
+def _geocode_cascade_oracle() -> str:
+    single = f"""
+    WITH recs AS (
+      SELECT c_custkey,
+             concat(1 + c_custkey % 999, ' Oak Avenue') AS street,
+             c_mktsegment AS city,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN (c_custkey % 1200000) / 10000.0 - 60.0 END AS latitude,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN (c_custkey % 3600000) / 10000.0 - 180.0 END AS longitude
+      FROM customer
+    ), keyed AS (
+      SELECT *, {_ADDR_NORM_SQL} AS address_norm FROM recs
+    )
+    SELECT c_custkey,
+           round(coalesce(latitude,
+             ({_H60.format(expr="concat('geo-lat|', address_norm)")} % 120000000)
+               / 1000000 - 60.0), 6) AS latitude,
+           round(coalesce(longitude,
+             ({_H60.format(expr="concat('geo-lon|', address_norm)")} % 360000000)
+               / 1000000 - 180.0), 6) AS longitude,
+           CASE WHEN latitude IS NULL THEN 'dim' ELSE 'source' END AS provider
+    FROM keyed
+    """
+    return f"""
+    SELECT 'single' AS variant, c_custkey, latitude, longitude, provider
+    FROM ({single})
+    UNION ALL
+    SELECT 'cascade', c_custkey, latitude, longitude, geo_provider
+    FROM ({_multi_geo_oracle()})
+    """
+
+
+@query("geocode_cascade", oracle=_geocode_cascade_oracle())
+def q_geocode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J8 under both provider topologies, tagged by variant:
+
+    'single' — rows lacking coordinates get them from the one geocode
+    dimension (the md5-derived deterministic provider, broadcast-joined on
+    the normalized address); rows with coordinates pass through (coalesce
+    merge-back, professional-crawler.service.js:262-266); provider records
+    whether the dim filled the row.
+
+    'cascade' — provider-cascade geocoding (multi-geocoding.service.js:
+    8-31): Google → Nominatim → MapQuest in order, first answer wins,
+    provenance in provider ('source' for rows that already had
+    coordinates, 'none' when every provider missed). One broadcast dim
+    join each — the cascade folds into a when-chain; the oracle re-derives
+    coverage and coordinates from the same md5 contract."""
     from web_crawler_spark.plans import enrich as EN
 
     c = load(spark, sf_dir, "customer")
@@ -1958,13 +1989,21 @@ def q_multi_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 3600000 / 10000.0 - 180.0,
         ).alias("longitude"),
     )
-    out = EN.multi_geocode_enrich(recs)
-    return out.select(
+    single = EN.geocode_enrich(recs).select(
+        F.lit("single").alias("variant"),
         "c_custkey",
         F.round("latitude", 6).alias("latitude"),
         F.round("longitude", 6).alias("longitude"),
-        "geo_provider",
+        F.when(F.col("geocoded"), F.lit("dim")).otherwise(F.lit("source")).alias("provider"),
     )
+    cascade = EN.multi_geocode_enrich(recs).select(
+        F.lit("cascade").alias("variant"),
+        "c_custkey",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        F.col("geo_provider").alias("provider"),
+    )
+    return single.unionByName(cascade)
 
 
 @query("fuzzy_dedup_greedy")
@@ -2150,43 +2189,47 @@ def q_word_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "connected_components",
     oracle="""
-    WITH nodes AS (
-      SELECT c_custkey AS node FROM customer WHERE c_custkey < 1000
-      UNION
-      SELECT c_custkey + 1 FROM customer
-      WHERE c_custkey < 1000 AND c_custkey % 5 <> 4
-    )
-    SELECT node, node - (node % 5) AS component FROM nodes
+    SELECT c_custkey AS node,
+           c_custkey - (c_custkey % 40) AS component
+    FROM customer WHERE c_custkey < 1000
     """,
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative min-label propagation (the dedup cluster-id assignment
-    behind minhash_dedup): a deterministic chain graph — edge (n, n+1)
-    unless n≡4 (mod 5) — whose components are provably the 5-blocks, so
-    the oracle is the closed form n - (n mod 5) while Spark runs the
-    actual fixed-point loop with per-iteration convergence checks."""
-    edges = (
+    """Hook+compress connected components (the dedup cluster-id assignment
+    behind minhash_dedup) on a deliberately DEEP chain graph: edge
+    (n, n+1) unless n≡39 (mod 40), so every component is a path of
+    diameter up to 39 — far past what bounded naive propagation (the
+    round-1/2 max_iters=10 hazard) could label, but ~6 pointer-jumping
+    rounds. Edges come from a self-join so both endpoints provably exist
+    in the key range at every SF (customer keys are consecutive from 0);
+    the oracle is the closed form 40*floor(n/40) while Spark runs the
+    actual fixed-point loop with per-iteration convergence checks,
+    raising on non-convergence."""
+    c = (
         load(spark, sf_dir, "customer")
-        .filter((F.col("c_custkey") < 1000) & (F.col("c_custkey") % 5 != 4))
-        .select(
-            F.col("c_custkey").alias("a"), (F.col("c_custkey") + 1).alias("b")
-        )
+        .filter(F.col("c_custkey") < 1000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    edges = (
+        c.alias("x")
+        .join(c.alias("y"), F.col("x.k") + 1 == F.col("y.k"))
+        .filter(F.col("x.k") % 40 != 39)
+        .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
     )
     return D.connected_min(edges).select("node", "component")
 
 
-@query(
-    "image_resize",
-    oracle="""
+_IMAGE_RESIZE_ORACLE = """
     SELECT printf('img_%012d', i) AS image_id, 16 AS w, 16 AS h,
            'png' AS fmt, true AS decode_ok
     FROM generate_series(0, 119) t(i)
     UNION ALL
     SELECT printf('img_%012d_dup', i), 16, 16, 'png', true
     FROM generate_series(0, 119) t(i) WHERE i % 10 = 0
-    """,
-)
-def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _image_resize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize: decode → nearest-neighbor 16x16 → PNG re-encode
     over Arrow batches; the deterministic id/shape envelope is the oracle
     (pixel correctness is unit-tested against the numpy kernel)."""
@@ -2199,8 +2242,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("audio_features")
-def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audio_features_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: per-clip duration/RMS/zero-crossing features over
     synthesized PCM capsules (deterministic tones keyed by id)."""
     import pandas as pd
@@ -2226,64 +2268,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sessionize_streaming",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 OR
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             THEN 1 ELSE 0 END AS new_session
-      FROM events
-    )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
-    FROM g GROUP BY user_id
-    """,
-)
-def q_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applyInPandasWithState gap sessionizer run as a real Structured
-    Streaming query (file source → stateful operator → memory sink,
-    availableNow), aggregated per user and checked against the SAME batch
-    lag-window oracle as the batch `sessionize` query — streaming and
-    batch must agree on session counts."""
-    import os
-    import shutil
-    import tempfile
-
-    from web_crawler_spark.streaming import events as SE
-
-    src = tempfile.mkdtemp(prefix="wcs_sess_stream_")
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src, "events.parquet"),
-    )
-    stream = SE.stream_events(spark, src, max_files=None)
-    (
-        SE.sessionize_stream(stream)
-        .writeStream.format("memory")
-        .queryName("wcs_sessionize_stream_q")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    emitted = spark.sql("SELECT * FROM wcs_sessionize_stream_q")
-    # single-batch emissions: one row per session (closed) + one open per
-    # user; aggregate to the oracle's per-user shape
-    return emitted.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-    )
-
-
 # --------------------------------------------------------------------------
 # Kernel-coverage batch: green-oracle queries for operators previously
 # covered only by pytest (X6, X8, X12, X14, X21/X22, F2/F4, W9/W10).
 # --------------------------------------------------------------------------
-@query(
-    "levenshtein_sim",
-    oracle="""
+_LEV_ORACLE = """
     WITH p AS (
       SELECT c_custkey, c_name AS a,
              CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, len(c_name) - 1)
@@ -2295,9 +2284,10 @@ def q_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1.0 - levenshtein(a, b)::DOUBLE / greatest(len(a), len(b)), 6)
              AS sim
     FROM p
-    """,
-)
-def q_levenshtein_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _levenshtein_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8: levenshtein similarity (1 - dist/maxLen,
     enhanced-deduplication.service.js:191-222) over planted typo /
     suffix / reversal variants — the JVM built-in, not the Python DP
@@ -2324,9 +2314,7 @@ _ACT_LIST = "['" + "','".join(
 ) + "']"
 
 
-@query(
-    "height_estimate",
-    oracle=f"""
+_HEIGHT_ORACLE = f"""
     WITH t AS (
       SELECT p_partkey,
              list_extract({_ACT_LIST}, (p_partkey % 9) + 1) AS activity
@@ -2334,9 +2322,10 @@ _ACT_LIST = "['" + "','".join(
     )
     SELECT p_partkey, activity, ({_HEIGHT_CASE})::DOUBLE AS height
     FROM t
-    """,
-)
-def q_height_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _height_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12: activity → height-meters literal map with the 25 m default for
     unknown activities (crawler.service.js:491-506)."""
     p = load(spark, sf_dir, "part")
@@ -2350,9 +2339,7 @@ def q_height_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "map_url_coords",
-    oracle=r"""
+_MAP_URL_ORACLE = r"""
     WITH u AS (
       SELECT p_partkey,
              (p_partkey % 1700) / 10.0 - 85.0 AS la,
@@ -2372,9 +2359,10 @@ def q_height_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN p_partkey % 5 = 4 THEN NULL
                 ELSE round(lo, 6) END AS lon
     FROM u
-    """,
-)
-def q_map_url_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _map_url_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X14: map-URL coordinate cascade (@lat,lon / !3d!4d / ?q= /
     ?center=, map-detector.service.js:71-129) over synthesized URLs in
     each pattern plus a no-coordinate URL that must yield NULLs. The
@@ -2405,9 +2393,7 @@ _LF_EXT_RE = U._EXT_RE.replace("'", "''")
 _LF_PAT_RE = U._PAT_RE.replace("'", "''")
 
 
-@query(
-    "link_filter_pipeline",
-    oracle=f"""
+_LINK_FILTER_ORACLE = f"""
     WITH h AS (
       SELECT p_partkey,
              CASE p_partkey % 7
@@ -2433,9 +2419,10 @@ _LF_PAT_RE = U._PAT_RE.replace("'", "''")
             OR regexp_matches(lower(regexp_extract(href, '^(https?://[^?#]+)', 1)), '{_LF_PAT_RE}'))
              AS is_excluded
     FROM h
-    """,
-)
-def q_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _link_filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3/F4 + F1 as one pipeline over adversarial hrefs: bad schemes,
     cross-domain, www-prefixed same-domain, query+fragment junk, excluded
     extensions and path patterns — each predicate surfaced as a column so
@@ -2467,9 +2454,7 @@ def q_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "regex_line_caps",
-    oracle="""
+_LINE_CAPS_ORACLE = """
     WITH t AS (
       SELECT s_suppkey, 3 + s_suppkey % 90 AS n_lines FROM supplier
     ), lines AS (
@@ -2484,9 +2469,10 @@ def q_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(all_lines[1:least(n_lines, 50)]))::BIGINT
              AS distinct_matches
     FROM lines
-    """,
-)
-def q_regex_line_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _line_caps_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9/W10: first-1000-lines text cap (here 50 to exercise the
     boundary, heuristic-extractor.service.js:135) + first-K distinct
     regex-match cap (scraper.service.js:274-284) via slice +
@@ -2533,8 +2519,7 @@ def _addr_norm_oracle() -> str:
     """
 
 
-@query("address_normalize", oracle=_addr_norm_oracle())
-def q_address_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _address_normalize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: canonical street-address formatter (normalizeAddress,
     address-normalizer.service.js:107-125) — whitespace collapse, street
     abbreviations (case-insensitive), trailing punctuation strip, range
@@ -2562,9 +2547,7 @@ def q_address_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "page_classify",
-    oracle="""
+_PAGE_CLASSIFY_ORACLE = """
     WITH t AS (
       SELECT p_partkey,
              concat('https://h', p_partkey % 9, '.example.com',
@@ -2613,9 +2596,10 @@ def q_address_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN confidence >= 0.6 THEN 3
                 ELSE 4 END AS priority
     FROM conf
-    """,
-)
-def q_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _page_classify_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21+X22: SPA needs-JS heuristic (framework root div / tiny text,
     playwright-renderer.service.js:324-335) and the page classifier
     (URL-pattern table ⊕ heading-keyword score, max of the two,
@@ -2655,9 +2639,7 @@ def q_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "jsonld_extract",
-    oracle="""
+_JSONLD_ORACLE = """
     WITH s AS (
       SELECT s_suppkey,
              (s_suppkey % 170) - 85 + 0.5 AS la,
@@ -2675,9 +2657,10 @@ def q_page_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lo, 2) AS longitude,
            concat('(212) 555-', 1000 + s_suppkey % 9000) AS phone
     FROM s
-    """,
-)
-def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _jsonld_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15: the JSON-LD extractor (from_json + @graph explode + location
     @type filter, structured-data-extractor.service.js:31-161) over
     synthesized page bodies. Each body carries a 2-item @graph — one
@@ -2725,9 +2708,7 @@ def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "microdata_extract",
-    oracle="""
+_MICRODATA_ORACLE = """
     SELECT concat('https://h', s_suppkey % 9, '.example.com/about') AS sourceUrl,
            0.9 AS confidence,
            concat('Depot ', s_suppkey) AS locationName,
@@ -2735,9 +2716,10 @@ def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat('Port', s_suppkey % 25) AS city,
            printf('%05d', 20000 + s_suppkey % 79999) AS postcode
     FROM supplier
-    """,
-)
-def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _microdata_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16: the microdata extractor (itemscope block split + per-block
     itemprop pulls, structured-data-extractor.service.js:166-265) over
     synthesized single-line itemscope blocks."""
@@ -2770,9 +2752,7 @@ def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "inline_script_extract",
-    oracle="""
+_INLINE_SCRIPT_ORACLE = """
     WITH s AS (
       SELECT s_suppkey,
              (s_suppkey % 170) - 85 + 0.5 AS la,
@@ -2787,9 +2767,10 @@ def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(la, 2) AS latitude,
            round(lo, 2) AS longitude
     FROM s
-    """,
-)
-def q_inline_script_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _inline_script_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X19: the inline-script JSON miner (window.X = [...] regex →
     from_json → explode, location-extractor.service.js:561-597) over
     synthesized script blobs; street/city split out of the combined
@@ -2823,9 +2804,7 @@ def q_inline_script_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "robots_gate_filter",
-    oracle="""
+_ROBOTS_GATE_ORACLE = """
     WITH f AS (
       SELECT p_partkey,
              concat('h', p_partkey % 6, '.example.com') AS seed_host,
@@ -2841,9 +2820,10 @@ def q_inline_script_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND (starts_with(path, '/admin') OR starts_with(path, '/blog')))
              AS is_blocked
     FROM f
-    """,
-)
-def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _robots_gate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+F5+J2: the robots gate — broadcast-join per-host robots rules
     onto candidate URLs, disallow-prefix path matching, permissive when
     the robots fetch failed (robots.service.js:44-53,63-71). Even hosts
@@ -2883,9 +2863,7 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "url", "is_blocked")
 
 
-@query(
-    "text_line_extract",
-    oracle="""
+_TEXT_LINE_ORACLE = """
     WITH s AS (
       SELECT s_suppkey,
              concat('Branch ', s_suppkey) AS nm,
@@ -2901,9 +2879,10 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            nm AS locationName, st AS street, ct AS city, pc AS postcode,
            'USA' AS country, ph AS phone, em AS email
     FROM s
-    """,
-)
-def q_text_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _text_line_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/F9/F13: the plain-text contact-line battery over <p> blocks —
     the matching line extracts name/street/city/postcode/country/phone/
     email; a sub-20-char line and a non-address line in the same body
@@ -2941,9 +2920,7 @@ def q_text_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hours_web_social",
-    oracle="""
+_HOURS_SOCIAL_ORACLE = """
     WITH s AS (
       SELECT s_suppkey, 6 + s_suppkey % 6 AS h1, 2 + s_suppkey % 8 AS h2
       FROM supplier
@@ -2956,9 +2933,10 @@ def q_text_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS linkedin,
            CAST(NULL AS VARCHAR) AS instagram
     FROM s
-    """,
-)
-def q_hours_web_social(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _hours_social_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 (hours/websites/social): the opening-hours regex battery over
     page text, website origins minus social hosts, and last-seen social
     link per network (contact-extractor.service.js:93-231) — the
@@ -2993,9 +2971,7 @@ def q_hours_web_social(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "xhr_extract",
-    oracle="""
+_XHR_ORACLE = """
     WITH s AS (
       SELECT s_suppkey,
              (s_suppkey % 170) - 85 + 0.5 AS la,
@@ -3010,9 +2986,10 @@ def q_hours_web_social(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(la, 2) AS latitude,
            round(lo, 2) AS longitude
     FROM s
-    """,
-)
-def q_xhr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _xhr_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X17/S3: the captured-XHR JSON extractor (array-bearing 'locations'
     key → rows, playwright-renderer.service.js:220-317) over synthesized
     xhr_json payloads — the SPA path's structured data, fed from the
@@ -3046,9 +3023,7 @@ def q_xhr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "h3_sequential_extract",
-    oracle="""
+_H3_ORACLE = """
     WITH s AS (
       SELECT s_suppkey,
              concat('City', s_suppkey % 30) AS c1,
@@ -3067,9 +3042,10 @@ def q_xhr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT concat('https://h', s_suppkey % 9, '.example.com/global'),
            0.8, c2, st2, c2, pc2, 'CANADA'
     FROM s
-    """,
-)
-def q_h3_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _h3_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X20 "Nutanix pattern": sequential h3 scan — ALL-CAPS h3 = country,
     title-case h3 = city, following <p> = address (the one justified
     mapInPandas extractor; location-extractor.service.js:656-698). Each
@@ -3105,16 +3081,15 @@ def q_h3_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "deterministic_ids",
-    oracle="""
+_DET_IDS_ORACLE = """
     SELECT o_orderkey,
            concat('loc_', lpad(format('{:x}',
              cast(('0x' || substr(md5(concat('loc|', concat('https://x.com/p', o_orderkey), '|', o_orderkey % 1000)), 1, 15)) as ubigint)::bigint), 15, '0')) AS row_id
     FROM orders
-    """,
-)
-def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _det_ids_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29/X30: deterministic row ids — the reference's
     ``loc_{{Date.now()}}_{{urlhash}}_{{rand}}`` (address-normalizer.service.js
     :262-280) is nondeterministic by construction; the engine replaces it
@@ -3133,12 +3108,393 @@ def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Consolidated kernel-coverage queries: the dedicated per-kernel fixtures
+# above (helpers + oracle fragments) union under a `kernel` tag so every
+# operator keeps an independent driver-checked oracle row while the
+# registry stays inside the driver's 50-query correctness window. Each
+# oracle is the UNION ALL of the per-kernel oracle fragments projected to
+# the shared schema — numeric outputs cast ::DOUBLE / ::BIGINT at the
+# union boundary so DuckDB decimal/hugeint inference can never leak into
+# the driver's hash normalizer.
+# --------------------------------------------------------------------------
+_EXTRACT_KERNELS_ORACLE = (
+    """
+    SELECT 'jsonld' AS kernel, sourceUrl, locationName, street, city, postcode,
+           CAST(NULL AS VARCHAR) AS country, phone, CAST(NULL AS VARCHAR) AS email,
+           confidence::DOUBLE AS confidence, latitude::DOUBLE AS latitude,
+           longitude::DOUBLE AS longitude
+    FROM ("""
+    + _JSONLD_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'microdata', sourceUrl, locationName, street, city, postcode,
+           NULL, NULL, NULL, confidence::DOUBLE, NULL, NULL
+    FROM ("""
+    + _MICRODATA_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'inline_script', sourceUrl, locationName, street, city, NULL,
+           NULL, NULL, NULL, confidence::DOUBLE, latitude::DOUBLE, longitude::DOUBLE
+    FROM ("""
+    + _INLINE_SCRIPT_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'xhr', sourceUrl, locationName, street, city, NULL,
+           NULL, NULL, NULL, confidence::DOUBLE, latitude::DOUBLE, longitude::DOUBLE
+    FROM ("""
+    + _XHR_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'h3_sequential', sourceUrl, locationName, street, city, postcode,
+           country, NULL, NULL, confidence::DOUBLE, NULL, NULL
+    FROM ("""
+    + _H3_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'text_line', sourceUrl, locationName, street, city, postcode,
+           country, phone, email, confidence::DOUBLE, NULL, NULL
+    FROM ("""
+    + _TEXT_LINE_ORACLE
+    + """)
+    """
+)
+
+_EXTRACT_STR_COLS = [
+    "sourceUrl", "locationName", "street", "city", "postcode", "country",
+    "phone", "email",
+]
+
+
+def _align_extract(df: DataFrame, kernel: str) -> DataFrame:
+    cols: list = [F.lit(kernel).alias("kernel")]
+    for c in _EXTRACT_STR_COLS:
+        cols.append(
+            F.col(c).cast("string").alias(c)
+            if c in df.columns
+            else F.lit(None).cast("string").alias(c)
+        )
+    for c in ["confidence", "latitude", "longitude"]:
+        cols.append(
+            F.col(c).cast("double").alias(c)
+            if c in df.columns
+            else F.lit(None).cast("double").alias(c)
+        )
+    return df.select(*cols)
+
+
+@query("extract_kernels", oracle=_EXTRACT_KERNELS_ORACLE)
+def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 (JSON-LD) + X16 (microdata) + X19 (inline-script miner) +
+    X17/S3 (captured-XHR miner) + X20 (sequential-h3 scan) + X1/F9/F13
+    (plain-text contact-line battery): every page-extraction strategy over
+    its dedicated adversarial fixture, unioned under a `kernel` tag into
+    the canonical record schema. Each kernel's helper + oracle fragment is
+    unchanged from its former standalone query — the union only aligns
+    columns (typed NULLs for fields a strategy doesn't produce)."""
+    parts = [
+        _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
+        _align_extract(_microdata_rows(spark, sf_dir), "microdata"),
+        _align_extract(_inline_script_rows(spark, sf_dir), "inline_script"),
+        _align_extract(_xhr_rows(spark, sf_dir), "xhr"),
+        _align_extract(_h3_rows(spark, sf_dir), "h3_sequential"),
+        _align_extract(_text_line_rows(spark, sf_dir), "text_line"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_CRAWL_URL_ORACLE = (
+    """
+    SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
+           is_bad_scheme AS flag_a, is_same_domain AS flag_b,
+           is_excluded AS flag_c,
+           CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon
+    FROM ("""
+    + _LINK_FILTER_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'robots_gate', p_partkey, url, NULL, is_blocked, NULL, NULL,
+           NULL, NULL
+    FROM ("""
+    + _ROBOTS_GATE_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'map_url', p_partkey, map_url, NULL, NULL, NULL, NULL,
+           lat::DOUBLE, lon::DOUBLE
+    FROM ("""
+    + _MAP_URL_ORACLE
+    + """)
+    """
+)
+
+
+@query("crawl_url_kernels", oracle=_CRAWL_URL_ORACLE)
+def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 + S4/J2 + X14 as one tagged union: the link-filter pipeline
+    (bad schemes / same-domain / canonicalization / exclusion), the robots
+    gate (broadcast per-host rules, permissive on failed fetch), and the
+    map-URL coordinate cascade — each over its dedicated fixture."""
+    _ns = F.lit(None).cast("string")
+    _nb = F.lit(None).cast("boolean")
+    _nd = F.lit(None).cast("double")
+    lf = _link_filter_rows(spark, sf_dir).select(
+        F.lit("link_filter").alias("kernel"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.col("href").alias("url"), "canonical",
+        F.col("is_bad_scheme").alias("flag_a"),
+        F.col("is_same_domain").alias("flag_b"),
+        F.col("is_excluded").alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+    )
+    rg = _robots_gate_rows(spark, sf_dir).select(
+        F.lit("robots_gate").alias("kernel"),
+        F.col("p_partkey").cast("long").alias("key"), "url",
+        _ns.alias("canonical"),
+        F.col("is_blocked").alias("flag_a"),
+        _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+    )
+    mu = _map_url_rows(spark, sf_dir).select(
+        F.lit("map_url").alias("kernel"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.col("map_url").alias("url"), _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lon").cast("double").alias("lon"),
+    )
+    return lf.unionByName(rg).unionByName(mu)
+
+
+_RECORDS_KERNELS_ORACLE = (
+    """
+    SELECT 'levenshtein' AS kernel, c_custkey AS key, a AS s1, b AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
+           CAST(NULL AS VARCHAR) AS s5, CAST(NULL AS VARCHAR) AS s6,
+           sim::DOUBLE AS d1, CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS BOOLEAN) AS b1
+    FROM ("""
+    + _LEV_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'height', p_partkey, activity, NULL, NULL, NULL, NULL, NULL,
+           height::DOUBLE, NULL, NULL
+    FROM ("""
+    + _HEIGHT_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'address_normalize', p_partkey, raw, normalized, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL
+    FROM ("""
+    + _addr_norm_oracle()
+    + """)
+    UNION ALL
+    SELECT 'deterministic_ids', o_orderkey, row_id, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL
+    FROM ("""
+    + _DET_IDS_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'page_classify', p_partkey, url, page_type, NULL, NULL, NULL, NULL,
+           confidence::DOUBLE, priority::DOUBLE, needs_js
+    FROM ("""
+    + _PAGE_CLASSIFY_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'hours_web_social', s_suppkey, hours, websites, facebook, twitter,
+           linkedin, instagram, NULL, NULL, NULL
+    FROM ("""
+    + _HOURS_SOCIAL_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'line_caps', s_suppkey, NULL, NULL, NULL, NULL, NULL, NULL,
+           lines_scanned::DOUBLE, distinct_matches::DOUBLE, NULL
+    FROM ("""
+    + _LINE_CAPS_ORACLE
+    + """)
+    """
+)
+
+
+@query("records_kernels", oracle=_RECORDS_KERNELS_ORACLE)
+def q_records_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (levenshtein similarity) + X12 (height estimator) + X6 (canonical
+    address formatter) + X29/X30 (deterministic row ids) + X21/X22 (needs-JS
+    heuristic + page classifier) + X28 (hours/websites/social batteries) +
+    W9/W10 (line/match caps) as one tagged union over their dedicated
+    fixtures. Generic columns: s1-s6 strings, d1/d2 doubles, b1 boolean —
+    every kernel output still flows into the driver's value hash."""
+    _ns = F.lit(None).cast("string")
+    _nd = F.lit(None).cast("double")
+    _nb = F.lit(None).cast("boolean")
+
+    def pad(df, kernel, key, s=(), d=(), b=None):
+        cols = [F.lit(kernel).alias("kernel"), F.col(key).cast("long").alias("key")]
+        for i in range(6):
+            cols.append(
+                F.col(s[i]).cast("string").alias(f"s{i+1}")
+                if i < len(s) and s[i] is not None
+                else _ns.alias(f"s{i+1}")
+            )
+        for i in range(2):
+            cols.append(
+                F.col(d[i]).cast("double").alias(f"d{i+1}")
+                if i < len(d) and d[i] is not None
+                else _nd.alias(f"d{i+1}")
+            )
+        cols.append(F.col(b).alias("b1") if b else _nb.alias("b1"))
+        return df.select(*cols)
+
+    parts = [
+        pad(_levenshtein_rows(spark, sf_dir), "levenshtein", "c_custkey",
+            s=("a", "b"), d=("sim",)),
+        pad(_height_rows(spark, sf_dir), "height", "p_partkey",
+            s=("activity",), d=("height",)),
+        pad(_address_normalize_rows(spark, sf_dir), "address_normalize",
+            "p_partkey", s=("raw", "normalized")),
+        pad(_det_ids_rows(spark, sf_dir), "deterministic_ids", "o_orderkey",
+            s=("row_id",)),
+        pad(_page_classify_rows(spark, sf_dir), "page_classify", "p_partkey",
+            s=("url", "page_type"), d=("confidence", "priority"), b="needs_js"),
+        pad(_hours_social_rows(spark, sf_dir), "hours_web_social", "s_suppkey",
+            s=("hours", "websites", "facebook", "twitter", "linkedin",
+               "instagram")),
+        pad(_line_caps_rows(spark, sf_dir), "line_caps", "s_suppkey",
+            d=("lines_scanned", "distinct_matches")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---- media: image resize + audio features + video frame sampling ---------
+from web_crawler_spark.analytics.golden import GOLDEN_ORACLES as _GOLDEN  # noqa: E402
+
+_VIDEO_FRAMES_ORACLE = """
+    WITH v AS (
+      SELECT i, 2 + i % 5 AS nf, 8 + (i % 3) * 4 AS fh, 6 + (i % 2) * 4 AS fw
+      FROM generate_series(0, 39) t(i)
+    )
+    SELECT printf('vid_%06d', i) AS media_id,
+           unnest(list_filter(generate_series(0, nf - 1), x -> x % 2 = 0))
+             AS frame_idx,
+           fw AS w, fh AS h, true AS decode_ok
+    FROM v WHERE i % 9 <> 0
+    UNION ALL
+    SELECT printf('vid_%06d', i), NULL, NULL, NULL, false
+    FROM v WHERE i % 9 = 0
+    """
+
+_MEDIA_FEATURES_ORACLE = (
+    """
+    SELECT 'image_resize' AS kernel, image_id AS media_id,
+           CAST(NULL AS BIGINT) AS frame_idx, w::BIGINT AS w, h::BIGINT AS h,
+           fmt, CAST(NULL AS DOUBLE) AS duration_s, CAST(NULL AS DOUBLE) AS rms,
+           CAST(NULL AS BIGINT) AS zero_crossings, decode_ok
+    FROM ("""
+    + _IMAGE_RESIZE_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'audio', audio_id, NULL, NULL, NULL, NULL,
+           duration_s::DOUBLE, rms::DOUBLE, zero_crossings::BIGINT, decode_ok
+    FROM ("""
+    + _GOLDEN["audio_features"]
+    + """)
+    UNION ALL
+    SELECT 'video', media_id, frame_idx::BIGINT, w::BIGINT, h::BIGINT,
+           CASE WHEN decode_ok THEN 'png' END,
+           NULL, NULL, NULL, decode_ok
+    FROM ("""
+    + _VIDEO_FRAMES_ORACLE
+    + """)
+    """
+)
+
+
+def _video_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video: deterministic MINIVID capsules — 2+i%5 frames of
+    (8+(i%3)*4) x (6+(i%2)*4) px, every 9th id poisoned with a non-video
+    payload — through the frame-sampling UDTF (media.sample_frames,
+    every_n=2). Frame dims/counts are closed-form, so the oracle derives
+    the expected (id, frame_idx, w, h, decode_ok) envelope in SQL; pixel
+    round-trip correctness is unit-tested in tests/test_media.py."""
+    import pandas as pd
+
+    from web_crawler_spark import media as M
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 9 == 0:
+                    rows.append((f"vid_{i:06d}", b"NOTAVIDEO"))
+                else:
+                    nf = 2 + i % 5
+                    fh = 8 + (i % 3) * 4
+                    fw = 6 + (i % 2) * 4
+                    frames = [
+                        np.full((fh, fw, 3), (i * 13 + j * 7) % 256, np.uint8)
+                        for j in range(nf)
+                    ]
+                    rows.append((f"vid_{i:06d}", M.encode_video(frames)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    videos = spark.range(40).mapInPandas(gen, "video_id string, bytes binary")
+    return M.sample_frames(videos, every_n=2)
+
+
+@query("media_features", oracle=_MEDIA_FEATURES_ORACLE)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal payload battery as one tagged union: image decode →
+    16x16 nearest-neighbor resize → PNG re-encode envelope, per-clip audio
+    features (duration/RMS/zero-crossings over PCM capsules; golden-pinned
+    oracle — tools/pin_oracles.py), and video frame sampling (every 2nd
+    frame of MINIVID capsules, poison rows yield decode_ok=false). All
+    three run Arrow-batched mapInPandas over binary payload columns — the
+    production plumbing shape for opaque media at scale."""
+    _nd = F.lit(None).cast("double")
+    _nl = F.lit(None).cast("long")
+    _ns = F.lit(None).cast("string")
+    img = _image_resize_rows(spark, sf_dir).select(
+        F.lit("image_resize").alias("kernel"),
+        F.col("image_id").alias("media_id"), _nl.alias("frame_idx"),
+        F.col("w").cast("long").alias("w"), F.col("h").cast("long").alias("h"),
+        "fmt", _nd.alias("duration_s"), _nd.alias("rms"),
+        _nl.alias("zero_crossings"), "decode_ok",
+    )
+    aud = _audio_features_rows(spark, sf_dir).select(
+        F.lit("audio").alias("kernel"),
+        F.col("audio_id").alias("media_id"), _nl.alias("frame_idx"),
+        _nl.alias("w"), _nl.alias("h"), _ns.alias("fmt"),
+        F.col("duration_s").cast("double").alias("duration_s"),
+        F.col("rms").cast("double").alias("rms"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        "decode_ok",
+    )
+    vid = _video_frames_rows(spark, sf_dir).select(
+        F.lit("video").alias("kernel"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("w").cast("long").alias("w"), F.col("h").cast("long").alias("h"),
+        F.when(F.col("decode_ok"), F.lit("png")).alias("fmt"),
+        _nd.alias("duration_s"), _nd.alias("rms"),
+        _nl.alias("zero_crossings"), "decode_ok",
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+# --------------------------------------------------------------------------
 # Pinned VALUES-literal oracles for the non-SQL-expressible queries
 # (greedy/iterative/media ops). crawl_bfs_frontier's literal comes from the
 # independent single-threaded Python oracle (web_crawler_spark/oracle.py);
 # the rest are golden pins of deterministic output at sf0.01 — provenance
-# documented in analytics/golden.py / tools/pin_oracles.py.
+# documented in analytics/golden.py / tools/pin_oracles.py. Only keys with
+# a live registry entry are installed (retired standalone queries keep
+# their pins in golden.py as source literals for the consolidated oracles).
 # --------------------------------------------------------------------------
-from web_crawler_spark.analytics.golden import GOLDEN_ORACLES as _GOLDEN  # noqa: E402
-
-_ORACLES.update(_GOLDEN)
+_ORACLES.update({k: v for k, v in _GOLDEN.items() if k in _QUERIES})

@@ -192,13 +192,22 @@ def minhash_dedup(
     )
 
 
-def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
-    """Connected components by iterated min-label propagation over an edge
-    list (a,b). Returns (node, component) with component = min node id.
-    Small-diameter duplicate clusters converge in 2-3 iterations; if the
-    loop exhausts ``max_iters`` without converging (cluster diameter >
-    max_iters hops), a warning is logged — labels are then only
-    max_iters-hop minima, not final components."""
+def connected_min(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over an edge list (a,b) by alternating min-label
+    propagation ("hook": pull the minimum label across each edge) with
+    pointer jumping ("compress": relabel through the label table itself,
+    component <- component[component]). Returns (node, component) with
+    component = min node id of the component.
+
+    Compression makes convergence O(log diameter) outer iterations instead
+    of O(diameter): labels form a pointer forest (component <= node), and
+    each compress halves chain depth while each hook extends reach by one
+    edge — so chained duplicate families of diameter d (the 100 TB hazard
+    for naive propagation, e.g. A~B~C~...~Z transitive near-dup chains)
+    resolve in ~log2(d) rounds. max_iters=25 therefore covers diameters up
+    to ~2^25 hops; if the fixpoint is still not reached the function FAILS
+    LOUDLY (RuntimeError) rather than returning silently degraded labels.
+    """
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -206,18 +215,32 @@ def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         "component", F.col("node")
     )
     for _ in range(max_iters):
+        # hook: component <- min(component, min over neighbors' component)
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(edges.a.alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        hooked = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias(
                     "component"
                 ),
+            )
+        )
+        # compress (pointer jump): component <- component[component]. Every
+        # label is itself a node id in the same component, so the lookup
+        # stays within the component and labels only ever decrease.
+        comp_map = hooked.select(
+            F.col("node").alias("_cnode"), F.col("component").alias("_ccomp")
+        )
+        new_labels = (
+            hooked.join(comp_map, hooked.component == comp_map._cnode, "left")
+            .select(
+                "node",
+                F.coalesce("_ccomp", "component").alias("component"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -232,12 +255,10 @@ def connected_min(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         if changed == 0:
             break
     else:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "connected_min did not converge in %d iterations; labels are "
-            "%d-hop minima, not final components (raise max_iters)",
-            max_iters, max_iters,
+        raise RuntimeError(
+            f"connected_min did not converge in {max_iters} hook+compress "
+            f"iterations (component diameter > ~2^{max_iters}); labels "
+            "would be partial — refusing to return degraded components"
         )
     return labels
 
@@ -430,7 +451,6 @@ def hyperplane_weights(
     return out
 
 
-_EMB_KEY_CACHE: list = []  # last invocation's persisted key table
 _QUANT = 1 << 20  # hyperplane dot quantization (2^-20 granularity)
 
 
@@ -512,13 +532,12 @@ def embedding_neardup_pairs(
         exploded = df.select(
             F.col(id_col).alias("_id"), F.explode(keys).alias("_blk")
         )
-        # persist: the key UDF feeds both sides of the self-join — compute
-        # the Arrow-batched matmul once, not twice (evict the previous
-        # invocation's cache in long-lived sessions)
-        while _EMB_KEY_CACHE:
-            _EMB_KEY_CACHE.pop().unpersist()
-        exploded = exploded.persist()
-        _EMB_KEY_CACHE.append(exploded)
+        # materialize once: the key UDF feeds both sides of the self-join —
+        # an eager localCheckpoint computes the Arrow-batched matmul a
+        # single time and truncates lineage, scoped to THIS invocation (no
+        # process-global cache to evict, thread-safe across concurrent
+        # jobs; the blocks are released when the DataFrame is GC'd)
+        exploded = exploded.localCheckpoint(eager=True)
         a, b = exploded.alias("a"), exploded.alias("b")
         cand = (
             a.join(b, "_blk")
