@@ -1872,6 +1872,45 @@ def q_bulk_csv_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BK.coalesce_synonyms(frame)
 
 
+@query(
+    "csv_export_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, ', has "quoted, commas"') AS note
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def q_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 as driver-checked evidence: rows with embedded commas and quotes
+    go through the RFC-4180 CSV export sink (quoteAll + double-quote
+    doubling, CustomDataGrid.jsx:168-190) and are read back by a strict
+    CSV reader — the oracle is the pre-export content, so any escaping
+    defect breaks the value hash."""
+    import tempfile
+
+    from web_crawler_spark.sources import bulk as BK
+
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.concat("c_name", F.lit(', has "quoted, commas"')).alias("note"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="wcs_csvrt_") + "/export"
+    BK.export_csv(c, out, columns=["c_custkey", "note"])
+    back = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "note"
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.3 J3/J8 geocode enrichment + A4/J4 greedy fuzzy dedup + pipeline
 # --------------------------------------------------------------------------
