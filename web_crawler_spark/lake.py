@@ -108,9 +108,15 @@ class SnapshotTable:
         summary: dict | None = None,
         partition_by: list[str] | None = None,
         lineage_key: str | None = None,
+        lineage: dict | None = None,
     ) -> dict:
+        """``lineage`` lets a caller that already holds the per-partition
+        row counts (e.g. from an aggregate it ran anyway) skip the
+        read-back job — the same move Iceberg writers make by collecting
+        per-file stats during the write instead of rescanning."""
         rel = self._write_files(df, partition_by)
-        lineage = self._lineage(df, lineage_key, rel)
+        if lineage is None:
+            lineage = self._lineage(df, lineage_key, rel)
         return self._commit("append", [rel], summary or {}, lineage)
 
     def overwrite(
@@ -119,9 +125,11 @@ class SnapshotTable:
         summary: dict | None = None,
         partition_by: list[str] | None = None,
         lineage_key: str | None = None,
+        lineage: dict | None = None,
     ) -> dict:
         rel = self._write_files(df, partition_by)
-        lineage = self._lineage(df, lineage_key, rel)
+        if lineage is None:
+            lineage = self._lineage(df, lineage_key, rel)
         return self._commit("overwrite", [rel], summary or {}, lineage)
 
     # ------------------------------------------------------------ read ----

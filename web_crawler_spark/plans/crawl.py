@@ -325,10 +325,12 @@ class CrawlDriver:
 
         if robots_df is not None and cfg.check_robots:
             take, blocked = FR.robots_gate(take, robots_df)
+            # no count here: the per-seed bstats aggregate below is the one
+            # action that both materializes the persist and yields n_blocked
             blocked = blocked.persist()
-            n_blocked = blocked.count()
         else:
-            blocked, n_blocked = None, 0
+            blocked = None
+        n_blocked = 0
 
         fetched = fetch_pages(take, self.web, cfg.salt_partitions).persist()
 
@@ -519,12 +521,15 @@ class CrawlDriver:
             )
         ).persist()
 
-        # ---- new-discovery aggregates: one action gives count + max seq --
+        # ---- new-discovery aggregates: one action gives count + max seq
+        # (and doubles as the frontier append's per-partition lineage) ----
         n_new = 0
+        new_lineage: dict[str, int] = {}
         for r in new_frontier_rows.groupBy("seed_host").agg(
             F.count(F.lit(1)).alias("_n"), F.max("enqueue_seq").alias("_m")
         ).collect():
             n_new += r["_n"]
+            new_lineage[r["seed_host"]] = int(r["_n"])
             max_seq_d[r["seed_host"]] = max(
                 max_seq_d.get(r["seed_host"], 0), r["_m"]
             )
@@ -545,10 +550,15 @@ class CrawlDriver:
         # idempotent, and a re-run wave re-discovers the same URLs into an
         # anti-join that now drops them (so the base never double-appends
         # and enqueue_seqs never collide).
+        # lineage passed from the aggregates already collected above — no
+        # read-back job per append (2 fewer Spark jobs per wave; the delta
+        # append below keeps the read-back since deep-skip rows have no
+        # driver-side per-seed counts)
         self.pages_tbl.append(
             fetched,
             summary={"wave": wave, "rows": n_fetched},
             lineage_key="seed_host",
+            lineage={s: int(r["_n"]) for s, r in fstats.items()},
         )
         if cfg.use_bloom:
             # incremental seen-set sketch: OR the new URLs into the side
@@ -571,6 +581,7 @@ class CrawlDriver:
                 new_frontier_rows,
                 summary={"wave": wave, "op": "discover", "max_seq": max_seq_d},
                 lineage_key="seed_host",
+                lineage=new_lineage,
             )
         self.delta_tbl.append(transitions, summary=summary, lineage_key="seed_host")
         self.frontier_tbl.expire_snapshots(self.cfg.keep_snapshots)
