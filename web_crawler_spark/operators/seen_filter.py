@@ -76,8 +76,13 @@ def build_bloom(
     )
 
 
-def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Per-bucket bitwise OR of two bloom tables (either may miss buckets)."""
+def collapse_blooms(df: DataFrame) -> DataFrame:
+    """Per-bucket bitwise OR over any number of bloom rows per bucket.
+
+    This is the merge-on-read half of O(delta) bloom maintenance: wave
+    deltas are appended as extra ``(bucket, bitmap)`` rows and collapsed
+    to one row per bucket here (OR is associative/commutative/idempotent,
+    so re-appended deltas from a replayed wave are harmless)."""
 
     def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
         maps = [np.frombuffer(m, dtype=np.uint8) for m in pdf["bitmap"] if m is not None]
@@ -86,8 +91,18 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
             out |= m
         return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "bitmap": [out.tobytes()]})
 
-    both = a.select("bucket", "bitmap").unionByName(b.select("bucket", "bitmap"))
-    return both.groupBy("bucket").applyInPandas(or_group, schema="bucket int, bitmap binary")
+    return (
+        df.select("bucket", "bitmap")
+        .groupBy("bucket")
+        .applyInPandas(or_group, schema="bucket int, bitmap binary")
+    )
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-bucket bitwise OR of two bloom tables (either may miss buckets)."""
+    return collapse_blooms(
+        a.select("bucket", "bitmap").unionByName(b.select("bucket", "bitmap"))
+    )
 
 
 def prune(

@@ -181,11 +181,35 @@ class CrawlDriver:
             .drop("_dstatus", "_dwave", "_dseq")
         )
 
+    def _read_bloom(self) -> DataFrame | None:
+        """Seen-set sketch, merged on read: appended wave deltas are extra
+        rows per bucket; collapse to one row per bucket only when deltas
+        have accumulated (single-fileset reads skip the OR shuffle)."""
+        if not self.bloom_tbl.exists():
+            return None
+        df = self.bloom_tbl.read(self.spark)
+        snap = self.bloom_tbl.current()
+        if snap and len(snap["files"]) > 1:
+            from web_crawler_spark.operators import seen_filter as SF
+
+            df = SF.collapse_blooms(df)
+        return df
+
     def _compact(self, wave: int) -> None:
         """Fold the delta into base (one O(frontier) rewrite per
         ``compact_every`` waves instead of per wave) and truncate it. The
         running aggregates are carried forward in both new snapshots'
         summaries, so they survive the fold and later snapshot expiry."""
+        bl_snap = self.bloom_tbl.current() if self.cfg.use_bloom else None
+        if bl_snap and len(bl_snap["files"]) > 1:
+            # fold accumulated bloom deltas to one row per bucket so
+            # merge-on-read fan-in stays bounded by compact_every
+            from web_crawler_spark.operators import seen_filter as SF
+
+            self.bloom_tbl.overwrite(
+                SF.collapse_blooms(self.bloom_tbl.read(self.spark)),
+                summary={"wave": wave, "op": "compact"},
+            )
         if self._delta() is None:
             return
         visited_n, loc_found = self._delta_agg()
@@ -462,11 +486,7 @@ class CrawlDriver:
         # persisted: feeds the anti-join, the dedup metric, and (via
         # new_frontier_rows) the base append — one computation, not 3
         cand = FR.dedup_first_discoverer(cand).persist()
-        bloom = (
-            self.bloom_tbl.read(self.spark)
-            if cfg.use_bloom and self.bloom_tbl.exists()
-            else None
-        )
+        bloom = self._read_bloom() if cfg.use_bloom else None
         # seen set == base discovery rows (delta only changes status)
         new = FR.anti_join_seen(cand, base, bloom=bloom)
 
@@ -561,21 +581,27 @@ class CrawlDriver:
             lineage={s: int(r["_n"]) for s, r in fstats.items()},
         )
         if cfg.use_bloom:
-            # incremental seen-set sketch: OR the new URLs into the side
-            # table (north_rule: partitioned Bloom persisted next to the
-            # frontier). Cheap: touches only buckets with new URLs.
+            # incremental seen-set sketch (north_rule: partitioned Bloom
+            # persisted next to the frontier). O(delta) like the frontier:
+            # the wave appends ONLY the delta buckets built from its new
+            # URLs; _read_bloom ORs appended rows per bucket and _compact
+            # folds them. The old read-old ∪ delta → overwrite rewrote the
+            # whole sketch every wave — at a 10^10-URL filter that is a
+            # multi-GB rewrite per wave for a KB-sized delta.
             from web_crawler_spark.operators import seen_filter as SF
 
-            delta_src = new_frontier_rows.select("url")
             if not self.bloom_tbl.exists():
-                delta_src = delta_src.unionByName(base.select("url"))
-            bl_delta = SF.build_bloom(delta_src)
-            merged = (
-                SF.merge_blooms(self.bloom_tbl.read(self.spark), bl_delta)
-                if self.bloom_tbl.exists()
-                else bl_delta
-            )
-            self.bloom_tbl.overwrite(merged, summary={"wave": wave})
+                seed_src = new_frontier_rows.select("url").unionByName(
+                    base.select("url")
+                )
+                self.bloom_tbl.overwrite(
+                    SF.build_bloom(seed_src), summary={"wave": wave, "op": "seed"}
+                )
+            elif n_new > 0:
+                self.bloom_tbl.append(
+                    SF.build_bloom(new_frontier_rows.select("url")),
+                    summary={"wave": wave, "op": "delta"},
+                )
         if n_new > 0:
             self.frontier_tbl.append(
                 new_frontier_rows,
