@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -564,23 +565,29 @@ class CrawlDriver:
             "visited_n": visited_n,
             "loc_found": loc_found,
         }
-        # Commit order: pages → bloom → base append → delta append (the
-        # delta append is the wave's commit point). Every earlier write is
-        # safe to repeat: duplicate page appends dedup on read, bloom OR is
-        # idempotent, and a re-run wave re-discovers the same URLs into an
-        # anti-join that now drops them (so the base never double-appends
-        # and enqueue_seqs never collide).
+        # Commit protocol: {pages, bloom delta, base append} are mutually
+        # independent and each replay-safe in ANY completion order
+        # (duplicate page appends dedup on read, bloom OR is idempotent,
+        # and a re-run wave re-discovers the same URLs into an anti-join
+        # that now drops them — the base never double-appends and
+        # enqueue_seqs never collide), so they're submitted CONCURRENTLY;
+        # the delta append stays strictly after the barrier as the wave's
+        # single commit point. Spark job submission is thread-safe and
+        # every write input is a persisted DataFrame, so the three small
+        # write jobs overlap their fixed scheduling/IO cost instead of
+        # paying it serially.
         # lineage passed from the aggregates already collected above — no
-        # read-back job per append (2 fewer Spark jobs per wave; the delta
-        # append below keeps the read-back since deep-skip rows have no
-        # driver-side per-seed counts)
-        self.pages_tbl.append(
-            fetched,
-            summary={"wave": wave, "rows": n_fetched},
-            lineage_key="seed_host",
-            lineage={s: int(r["_n"]) for s, r in fstats.items()},
-        )
-        if cfg.use_bloom:
+        # read-back job per append (the delta append below keeps the
+        # read-back since deep-skip rows have no driver-side counts)
+        def _write_pages() -> None:
+            self.pages_tbl.append(
+                fetched,
+                summary={"wave": wave, "rows": n_fetched},
+                lineage_key="seed_host",
+                lineage={s: int(r["_n"]) for s, r in fstats.items()},
+            )
+
+        def _write_bloom() -> None:
             # incremental seen-set sketch (north_rule: partitioned Bloom
             # persisted next to the frontier). O(delta) like the frontier:
             # the wave appends ONLY the delta buckets built from its new
@@ -602,13 +609,29 @@ class CrawlDriver:
                     SF.build_bloom(new_frontier_rows.select("url")),
                     summary={"wave": wave, "op": "delta"},
                 )
-        if n_new > 0:
+
+        def _write_base() -> None:
             self.frontier_tbl.append(
                 new_frontier_rows,
                 summary={"wave": wave, "op": "discover", "max_seq": max_seq_d},
                 lineage_key="seed_host",
                 lineage=new_lineage,
             )
+
+        writes = [_write_pages]
+        if cfg.use_bloom:
+            writes.append(_write_bloom)
+        if n_new > 0:
+            writes.append(_write_base)
+        if len(writes) == 1:
+            writes[0]()
+        else:
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                futures = [pool.submit(w) for w in writes]
+            # pool __exit__ joined all threads; surface any failure before
+            # the commit-point append below
+            for fut in futures:
+                fut.result()
         self.delta_tbl.append(transitions, summary=summary, lineage_key="seed_host")
         self.frontier_tbl.expire_snapshots(self.cfg.keep_snapshots)
         self.delta_tbl.expire_snapshots(self.cfg.keep_snapshots)
