@@ -36,6 +36,31 @@ def test_lsh_topk_contains_self_and_subset_of_probed(spark):
     assert r1 == {0: 0, 1: 1, 2: 2}  # self bucket always probed → rank 1 = self
 
 
+def test_ivf_topk_self_rank1_partition_and_recall(spark):
+    df = _vecs(spark)
+    q = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    top = SIM.ivf_topk(df, q, k=3, n_centroids=4, nprobe=2, query_id_col="query_id")
+    rows = top.collect()
+    # self is in the query's own (probed-first) list → rank 1 = self
+    r1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}
+    # every query returns exactly k results (probed lists hold ≥ k rows here)
+    from collections import Counter
+
+    assert Counter(r["query_id"] for r in rows) == {0: 3, 1: 3, 2: 3}
+    # nprobe = n_centroids degenerates to exact search: recall@3 == 1
+    full = SIM.ivf_topk(df, q, k=3, n_centroids=4, nprobe=4, query_id_col="query_id")
+    brute = SIM.brute_force_topk(df, q, k=3, query_id_col="query_id")
+    got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    assert got == want
+    # deterministic: same input → same rows
+    again = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+             SIM.ivf_topk(df, q, k=3, n_centroids=4, nprobe=2,
+                          query_id_col="query_id").collect()}
+    assert again == {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
+
+
 def test_grid_pipeline(spark):
     df = spark.createDataFrame(
         [(i, f"name{i}", float(i % 7) if i % 5 else None) for i in range(30)],

@@ -1440,6 +1440,45 @@ _BUCKET_SQL = (
                AS cosine
       FROM probes JOIN c USING (bucket)
       GROUP BY query_id, vec_id
+    ),
+    cents AS (
+      SELECT embedding AS ce,
+             row_number() OVER (ORDER BY vec_id) - 1 AS ci
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    cscore AS (
+      SELECT c.vec_id, c.embedding, cents.ci,
+             round({_DOT_SQL.format(a='c.embedding', b='cents.ce')}
+               / ({_NORM2_SQL.format(a='c.embedding')} * {_NORM2_SQL.format(a='cents.ce')}), 6)
+               AS s
+      FROM embeddings c CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, embedding, ci AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, ci) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qe, ci AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, ci) AS rn
+        FROM (
+          SELECT q.query_id, q.qe, cents.ci, cents.ce,
+                 round({_DOT_SQL.format(a='q.qe', b='cents.ce')}
+                   / ({_NORM2_SQL.format(a='q.qe')} * {_NORM2_SQL.format(a='cents.ce')}), 6)
+                   AS s
+          FROM q CROSS JOIN cents
+        )
+      ) WHERE rn <= 2
+    ),
+    ivf AS (
+      SELECT query_id, a.vec_id,
+             round({_DOT_SQL.format(a='qe', b='a.embedding')}
+               / ({_NORM2_SQL.format(a='qe')} * {_NORM2_SQL.format(a='a.embedding')}), 6)
+               AS cosine
+      FROM qprobe JOIN assign a USING (list_id)
     )
     SELECT 'brute' AS variant, query_id, vec_id, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1452,16 +1491,25 @@ _BUCKET_SQL = (
                                    ORDER BY cosine DESC, vec_id) AS rank
       FROM lsh
     ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivf', query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM ivf
+    ) WHERE rank <= 5
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 under both strategies, tagged by variant: 'brute' = exact
-    cosine (broadcast queries × corpus, the right plan for small query
-    sets), 'lsh' = sign-LSH with Hamming-1 multi-probe (the scale path).
-    The oracle mirrors the LSH bucketing exactly, so the approximate
-    operator's semantics (probe set + rank) are checked, not an idealized
-    exact search. Ranks use the 6-dp-rounded cosine with vec_id tiebreak
-    (cross-engine determinism)."""
+    """ANN top-5 under all three tiers, tagged by variant: 'brute' =
+    exact cosine (broadcast queries × corpus, the right plan for small
+    query sets), 'lsh' = sign-LSH with Hamming-1 multi-probe, 'ivf' =
+    IVF-flat (deterministic 8-centroid coarse codebook → inverted lists
+    → 2-list probe; at cluster scale the corpus partitions by list_id and
+    each query's scan prunes to nprobe/n_centroids of the data). The
+    oracle mirrors each approximate operator's bucketing/assignment
+    exactly, so the probe-set + rank semantics are checked, not an
+    idealized exact search. Ranks use the 6-dp-rounded cosine with
+    vec_id tiebreak (cross-engine determinism)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -1488,7 +1536,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select(F.lit("lsh").alias("variant"), "query_id", "vec_id", "cosine", "rank")
     )
-    return brute.unionByName(lsh)
+    ivf_raw = SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=2,
+        query_id_col="vec_id",
+    )
+    ivf_scored = ivf_raw.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    ivf = (
+        ivf_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine", "rank")
+    )
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 @query(

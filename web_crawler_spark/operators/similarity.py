@@ -109,3 +109,80 @@ def lsh_topk(
     scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: coarse codebook → inverted lists → probe ``nprobe``.
+
+    The third tier next to brute force and LSH: corpus vectors are
+    assigned to their nearest codebook centroid (the inverted list), and
+    each query scores only the vectors in its ``nprobe`` nearest lists.
+    At cluster scale the corpus is written partitioned by ``list_id``
+    once, so a query's scan prunes to nprobe/n_centroids of the data —
+    the IVF index structure of Faiss/Milvus, expressed as partition
+    pruning.
+
+    The codebook is deterministic and cross-engine reproducible: the
+    ``n_centroids`` corpus vectors with the smallest ids (a Lloyd-trained
+    codebook drops in by swapping these literals — the plan shape, which
+    is what matters at scale, is unchanged). Assignment scores round to
+    6 dp before the argmax so Spark and a SQL oracle agree at ulp
+    boundaries; ties break toward the lower centroid index. Assignment
+    is pure whole-stage-codegen column algebra (array_min over
+    (score, index) structs) — no shuffle, no UDF.
+    """
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(corpus.orderBy(id_col).limit(n_centroids).collect())
+    ]
+
+    def _cent_scores(vcol: F.Column) -> list[F.Column]:
+        return [
+            F.round(
+                cosine_sim(vcol, F.array(*[F.lit(x) for x in vec])), 6
+            )
+            for _, vec in cents
+        ]
+
+    def _nearest_list(vcol: F.Column) -> F.Column:
+        # argmax cosine == array_min over (-score, index) structs
+        structs = [
+            F.struct((-s).alias("d"), F.lit(i).alias("i"))
+            for (i, _), s in zip(cents, _cent_scores(vcol))
+        ]
+        return F.array_min(F.array(*structs))["i"]
+
+    def _probe_lists(vcol: F.Column) -> F.Column:
+        structs = [
+            F.struct((-s).alias("d"), F.lit(i).alias("i"))
+            for (i, _), s in zip(cents, _cent_scores(vcol))
+        ]
+        return F.transform(
+            F.slice(F.array_sort(F.array(*structs)), 1, nprobe), lambda s: s["i"]
+        )
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        _nearest_list(F.col(vec_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    # each corpus vector lives in exactly one list → no per-pair dedup
+    scored = c.join(F.broadcast(q), "list_id").select(
+        "query_id", id_col, cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
