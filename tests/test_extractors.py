@@ -126,3 +126,93 @@ def test_classifier_and_needs_js(pages):
                 assert by_url[u]["c"]["confidence"] >= 0.85
             if WEB.strategy(h, p) == "spa":
                 assert by_url[u]["njs"], u
+
+
+# ------------------------------------------------- X31 structural battery --
+# universal-location-extractor.service.js:112-420 — adversarial semantics
+# that distinguish the five DOM-structural strategies from a naive parse.
+_STRUCT_HTML = (
+    "<html><body><h1>Branch directory</h1>"
+    # list: ul gated on office/location keyword; short item dropped
+    "<ul><li>Office Directory: 12 Oak Street, Riverton, 10012 USA, call"
+    " (415) 555-1234</li><li>tiny</li></ul>"
+    # ungated ul: same shape but no office/location/address/contact word
+    "<ul><li>Catalogue item: 99 Elm Street, Lakewood, 20099 USA, ref"
+    " (415) 555-9999</li></ul>"
+    # table: cells joined with ' '; short row dropped
+    "<table><tr><td>Depot No7</td><td>2 Maple Ave,</td><td>Georgetown, TX"
+    " 70002</td></tr><tr><td>n/a</td></tr></table>"
+    # section: heading overrides locationName; component-free one dropped
+    "<section><h3>Harbor Branch.</h3>3 River Road, Springfield, MA 20003,"
+    " Canada. Contact branch@corp.example.com for details.</section>"
+    "<section>We make fine products and offer excellent services to"
+    " customers everywhere around.</section>"
+    # card: LAST country header wins (Canada then United States)
+    "<h2>Canada</h2><h2>United States</h2>"
+    '<div class="location-card"><h4>Bayview</h4>Visit our branch at'
+    " 4 Hill Blvd, 40004</div>"
+    # grid: 'Reach us … Canada' → country US (ordered-substring scan)
+    '<div class="grid-list"><span>Reach us at 5 Sunset Way, Oakdale,'
+    " 50005 Canada</span><span>General words about nothing in particular"
+    " here</span></div></body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def struct_rows(spark):
+    df = spark.createDataFrame(
+        [("https://x.example.com/dir", "x.example.com", _STRUCT_HTML)],
+        "url string, seed_host string, body string",
+    )
+    out = EX.extract_structural(df).collect()
+    return {r["sourceType"]: r for r in out}, out
+
+
+def test_structural_one_row_per_strategy(struct_rows):
+    by_type, rows = struct_rows
+    assert len(rows) == 5, rows
+    assert sorted(by_type) == [
+        "dom_card", "dom_grid", "dom_list", "dom_section", "dom_table"
+    ]
+
+
+def test_structural_list_gate_and_values(struct_rows):
+    by_type, _ = struct_rows
+    r = by_type["dom_list"]
+    # the ungated Catalogue ul (Lakewood) must not leak through
+    assert r["city"] == "Riverton"
+    assert r["street"] == "12 Oak Street"
+    assert r["postcode"] == "10012"
+    assert r["country"] == "USA"
+    assert r["phone"] == "(415) 555-1234"
+
+
+def test_structural_table_cells_joined_with_space(struct_rows):
+    by_type, _ = struct_rows
+    r = by_type["dom_table"]
+    assert r["city"] == "Georgetown"
+    assert r["state"] == "TX"
+    assert r["street"] == "2 Maple Ave"
+
+
+def test_structural_section_heading_overrides_name(struct_rows):
+    by_type, _ = struct_rows
+    r = by_type["dom_section"]
+    assert r["locationName"] == "Harbor Branch."
+    assert r["email"] == "branch@corp.example.com"
+    assert r["state"] == "MA"
+
+
+def test_structural_card_last_country_header_wins(struct_rows):
+    by_type, _ = struct_rows
+    r = by_type["dom_card"]
+    assert r["country"] == "United States"  # not the earlier Canada header
+    assert r["locationName"] == "Bayview"
+    assert r["street"] == "4 Hill Blvd"
+
+
+def test_structural_country_ordered_substring_bug(struct_rows):
+    by_type, _ = struct_rows
+    # 'Reach us … Canada' upper-contains 'US' before the scan reaches
+    # Canada — bug-compatible with extractCountry (:511-521)
+    assert by_type["dom_grid"]["country"] == "US"

@@ -3214,52 +3214,191 @@ def _det_ids_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union boundary so DuckDB decimal/hugeint inference can never leak into
 # the driver's hash normalizer.
 # --------------------------------------------------------------------------
+_U_CITY_L = ["Riverton", "Lakewood", "Fairview", "Brookside", "Kingsport"]
+_U_CITY_T = ["Georgetown", "Harlingen", "Waxahachie", "Rosenberg", "Pearland"]
+_U_CITY_S = ["Springfield", "Brockton", "Plymouth", "Waltham", "Quincy"]
+_U_CITY_C = ["Bayview", "Oakmont", "Hillcrest", "Seabrook", "Westfield"]
+_U_CITY_G = ["Oakdale", "Ferndale", "Glenview", "Maplewood", "Crestline"]
+
+
+def _duck_pick(arr: list[str]) -> str:
+    return ("list_extract([" + ", ".join(f"'{c}'" for c in arr)
+            + "], 1 + s_suppkey % 5)")
+
+
+_STRUCTURAL_ORACLE = (
+    """
+    WITH s AS (
+      SELECT s_suppkey AS k,
+             concat('https://h', s_suppkey % 9, '.example.com/dir') AS sourceUrl,
+             """ + _duck_pick(_U_CITY_L) + """ AS cl,
+             """ + _duck_pick(_U_CITY_T) + """ AS ct,
+             """ + _duck_pick(_U_CITY_S) + """ AS cs,
+             """ + _duck_pick(_U_CITY_C) + """ AS cc,
+             """ + _duck_pick(_U_CITY_G) + """ AS cg
+      FROM supplier
+    )
+    SELECT sourceUrl, 'dom_list' AS sourceType, cl AS locationName,
+           concat(1 + k % 300, ' Oak Street') AS street, cl AS city,
+           CAST(NULL AS VARCHAR) AS state,
+           printf('%05d', 10000 + k % 80000) AS postcode,
+           'USA' AS country,
+           concat('(415) 555-', 1000 + k % 9000) AS phone,
+           CAST(NULL AS VARCHAR) AS email
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'dom_table', ct, concat(2 + k % 180, ' Maple Ave'), ct,
+           'TX', printf('%05d', 70000 + k % 9999), NULL, NULL, NULL
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'dom_section', concat('Harbor Branch No', k, '.'),
+           concat(3 + k % 220, ' River Road'), cs,
+           'MA', printf('%05d', 20000 + k % 9999), 'Canada', NULL,
+           concat('branch', k, '@corp.example.com')
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'dom_card', cc, concat(4 + k % 150, ' Hill Blvd'), cc,
+           NULL, printf('%05d', 40000 + k % 9999), 'United States', NULL, NULL
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'dom_grid', cg, concat(5 + k % 260, ' Sunset Way'), cg,
+           NULL, printf('%05d', 50000 + k % 9999), 'US', NULL, NULL
+    FROM s
+    """
+)
+
+
+def _structural_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 (DOM-structural battery): one page per supplier carrying all
+    five layouts plus per-strategy decoys that the length windows and
+    component gates must drop (universal-location-extractor.service.js:
+    112-420). Expected values are closed-form; notable semantics under
+    test: the ul office/location gate, cells-joined-with-space table
+    rows, section heading override, the card path's page-level
+    currentCountry from the LAST country header, and extractCountry's
+    ordered-substring scan — the grid row says 'Reach us at … Canada'
+    and the expected country is 'US' (bug-compatible with :511-521)."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    def pick(arr: list[str]) -> Column:
+        return F.element_at(F.array(*[F.lit(c) for c in arr]), (k % 5 + 1).cast("int"))
+
+    cl, ct, cs, cc, cg = (pick(a) for a in
+                          (_U_CITY_L, _U_CITY_T, _U_CITY_S, _U_CITY_C, _U_CITY_G))
+    zipf = lambda base: F.format_string("%05d", (F.lit(base) + k % 9999).cast("int"))  # noqa: E731
+    body = F.concat(
+        F.lit("<html><body><h1>Branch directory</h1>"),
+        # list + short-item decoy
+        F.lit("<ul><li>Office No"), k.cast("string"), F.lit(" Directory: "),
+        (F.lit(1) + k % 300).cast("string"), F.lit(" Oak Street, "), cl,
+        F.lit(", "), F.format_string("%05d", (F.lit(10000) + k % 80000).cast("int")),
+        F.lit(" USA, call (415) 555-"), (F.lit(1000) + k % 9000).cast("string"),
+        F.lit("</li><li>tiny</li></ul>"),
+        # table + short-row decoy
+        F.lit("<table><tr><td>Depot No"), k.cast("string"), F.lit("</td><td>"),
+        (F.lit(2) + k % 180).cast("string"), F.lit(" Maple Ave,</td><td>"), ct,
+        F.lit(", TX "), zipf(70000), F.lit("</td></tr><tr><td>n/a</td></tr></table>"),
+        # section + component-free decoy
+        F.lit("<section><h3>Harbor Branch No"), k.cast("string"), F.lit(".</h3>"),
+        (F.lit(3) + k % 220).cast("string"), F.lit(" River Road, "), cs,
+        F.lit(", MA "), zipf(20000), F.lit(", Canada. Contact branch"),
+        k.cast("string"), F.lit("@corp.example.com for details.</section>"),
+        F.lit("<section>We make fine products and offer excellent services to"
+              " customers everywhere around.</section>"),
+        # country header + card
+        F.lit('<h2>United States</h2><div class="location-card"><h4>'), cc,
+        F.lit("</h4>Visit our branch at "), (F.lit(4) + k % 150).cast("string"),
+        F.lit(" Hill Blvd, "), zipf(40000), F.lit("</div>"),
+        # grid + component-free decoy child
+        F.lit('<div class="grid-list"><span>Reach us at '),
+        (F.lit(5) + k % 260).cast("string"), F.lit(" Sunset Way, "), cg,
+        F.lit(", "), zipf(50000), F.lit(" Canada</span>"
+              "<span>General words about nothing in particular here</span>"
+              "</div></body></html>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://h"), (k % 9).cast("string"),
+                 F.lit(".example.com/dir")).alias("url"),
+        F.concat(F.lit("h"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        body.alias("body"),
+    )
+    return EX.extract_structural(pages)
+
+
 _EXTRACT_KERNELS_ORACLE = (
     """
     SELECT 'jsonld' AS kernel, sourceUrl, locationName, street, city, postcode,
            CAST(NULL AS VARCHAR) AS country, phone, CAST(NULL AS VARCHAR) AS email,
            confidence::DOUBLE AS confidence, latitude::DOUBLE AS latitude,
-           longitude::DOUBLE AS longitude
+           longitude::DOUBLE AS longitude, CAST(NULL AS VARCHAR) AS state
     FROM ("""
     + _JSONLD_ORACLE
     + """)
     UNION ALL
     SELECT 'microdata', sourceUrl, locationName, street, city, postcode,
-           NULL, NULL, NULL, confidence::DOUBLE, NULL, NULL
+           NULL, NULL, NULL, confidence::DOUBLE, NULL, NULL, NULL
     FROM ("""
     + _MICRODATA_ORACLE
     + """)
     UNION ALL
     SELECT 'inline_script', sourceUrl, locationName, street, city, NULL,
-           NULL, NULL, NULL, confidence::DOUBLE, latitude::DOUBLE, longitude::DOUBLE
+           NULL, NULL, NULL, confidence::DOUBLE, latitude::DOUBLE,
+           longitude::DOUBLE, NULL
     FROM ("""
     + _INLINE_SCRIPT_ORACLE
     + """)
     UNION ALL
     SELECT 'xhr', sourceUrl, locationName, street, city, NULL,
-           NULL, NULL, NULL, confidence::DOUBLE, latitude::DOUBLE, longitude::DOUBLE
+           NULL, NULL, NULL, confidence::DOUBLE, latitude::DOUBLE,
+           longitude::DOUBLE, NULL
     FROM ("""
     + _XHR_ORACLE
     + """)
     UNION ALL
     SELECT 'h3_sequential', sourceUrl, locationName, street, city, postcode,
-           country, NULL, NULL, confidence::DOUBLE, NULL, NULL
+           country, NULL, NULL, confidence::DOUBLE, NULL, NULL, NULL
     FROM ("""
     + _H3_ORACLE
     + """)
     UNION ALL
     SELECT 'text_line', sourceUrl, locationName, street, city, postcode,
-           country, phone, email, confidence::DOUBLE, NULL, NULL
+           country, phone, email, confidence::DOUBLE, NULL, NULL, NULL
     FROM ("""
     + _TEXT_LINE_ORACLE
+    + """)
+    UNION ALL
+    SELECT sourceType, sourceUrl, locationName, street, city, postcode,
+           country, phone, email, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), state
+    FROM ("""
+    + _STRUCTURAL_ORACLE
     + """)
     """
 )
 
 _EXTRACT_STR_COLS = [
     "sourceUrl", "locationName", "street", "city", "postcode", "country",
-    "phone", "email",
+    "phone", "email", "state",
 ]
+
+
+def _align_extract_tagged(df: DataFrame) -> DataFrame:
+    """Like _align_extract, but the per-row sourceType IS the kernel tag
+    (the structural battery carries five strategies in one DataFrame)."""
+    cols: list = [F.col("sourceType").alias("kernel")]
+    for c in _EXTRACT_STR_COLS:
+        cols.append(
+            F.col(c).cast("string").alias(c)
+            if c in df.columns
+            else F.lit(None).cast("string").alias(c)
+        )
+    for c in ["confidence", "latitude", "longitude"]:
+        cols.append(F.lit(None).cast("double").alias(c))
+    return df.select(*cols)
 
 
 def _align_extract(df: DataFrame, kernel: str) -> DataFrame:
@@ -3283,11 +3422,15 @@ def _align_extract(df: DataFrame, kernel: str) -> DataFrame:
 def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 (JSON-LD) + X16 (microdata) + X19 (inline-script miner) +
     X17/S3 (captured-XHR miner) + X20 (sequential-h3 scan) + X1/F9/F13
-    (plain-text contact-line battery): every page-extraction strategy over
-    its dedicated adversarial fixture, unioned under a `kernel` tag into
-    the canonical record schema. Each kernel's helper + oracle fragment is
-    unchanged from its former standalone query — the union only aligns
-    columns (typed NULLs for fields a strategy doesn't produce)."""
+    (plain-text contact-line battery) + X31 (the five DOM-structural
+    strategies of universal-location-extractor.service.js — card/list/
+    table/section/grid, tagged dom_*): every page-extraction strategy
+    over its dedicated adversarial fixture, unioned under a `kernel` tag
+    into the canonical record schema. Each kernel's helper + oracle
+    fragment is unchanged from its former standalone query — the union
+    only aligns columns (typed NULLs for fields a strategy doesn't
+    produce)."""
+    stru = _structural_rows(spark, sf_dir)
     parts = [
         _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
         _align_extract(_microdata_rows(spark, sf_dir), "microdata"),
@@ -3295,6 +3438,7 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _align_extract(_xhr_rows(spark, sf_dir), "xhr"),
         _align_extract(_h3_rows(spark, sf_dir), "h3_sequential"),
         _align_extract(_text_line_rows(spark, sf_dir), "text_line"),
+        _align_extract_tagged(stru),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -446,6 +446,345 @@ def classify_page(url: Column | str, body: Column | str) -> Column:
     return F.struct(ptype.alias("page_type"), conf.alias("confidence"), prio.alias("priority"))
 
 
+# ----------------------------------------- X31 DOM-structural battery ------
+# universal-location-extractor.service.js — the five DOM-structural
+# strategies (cards :112-207, lists :274-299, tables :305-325, sections
+# :331-356, grids :362-384) plus the shared parseAddressText/find*
+# component helpers (:422-567). All column algebra: blocks come from
+# regexp_extract_all over the HTML, components from ordered regex
+# batteries (coalesce = the reference's first-pattern-wins loop).
+# Ports are bug-compatible where the reference is quirky: extractCountry
+# (:511-521) is an ORDERED SUBSTRING scan, so text containing "Reach us"
+# or "Australia" yields 'US' (list index 2) unless an earlier entry hits
+# first. Selector lists are narrowed to their regex-expressible subset
+# (e.g. sections scan literal <section> blocks, not every <div>); each
+# strategy keeps its reference length window and gates.
+
+_U_STREET_PATTERNS = [
+    r"(?i)\d+\s+[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\s+(?:Street|St|Avenue|Ave|Road|Rd|"
+    r"Boulevard|Blvd|Drive|Dr|Way|Lane|Ln|Court|Ct|Place|Pl|Plaza|Parkway|Pkwy|"
+    r"Circle|Cir|Terrace|Ter|Trail|Square|Suite|Floor|Level)\b",
+    r"(?i)(?:Level|Suite|Floor|Unit)\s+\d+",
+    r"(?i)\d+[-\s]\d+\s+[A-Z][a-z]+\s+(?:Street|Road|Avenue)",
+]
+_U_POSTAL_PATTERNS = [
+    r"\b\d{5}(?:-\d{4})?\b",                      # US ZIP(+4)
+    r"\b[A-Z]\d[A-Z]\s?\d[A-Z]\d\b",              # Canadian
+    r"\b[A-Z]{1,2}\d{1,2}\s?\d[A-Z]{2}\b",        # UK
+    r"\b\d{4}\b(?!\s*(?:Street|St|Avenue|Ave|Road|Rd))",  # generic 4-digit
+]
+_U_STATE_PATTERNS = [
+    r"\b(AL|AK|AZ|AR|CA|CO|CT|DE|FL|GA|HI|ID|IL|IN|IA|KS|KY|LA|ME|MD|MA|MI|MN|MS|"
+    r"MO|MT|NE|NV|NH|NJ|NM|NY|NC|ND|OH|OK|OR|PA|RI|SC|SD|TN|TX|UT|VT|VA|WA|WV|WI|"
+    r"WY|QLD|NSW|VIC|ACT|SA|WA|TAS|NT|ON|BC|AB|MB|SK|NS|NB|PE|NL|YT|NT|NU)\b",
+    r"(?i)\b(Queensland|New South Wales|Victoria|Australian Capital Territory|"
+    r"South Australia|Western Australia|Tasmania|Northern Territory)\b",
+    r"(?i)\b(Ontario|British Columbia|Alberta|Manitoba|Saskatchewan|Nova Scotia|"
+    r"New Brunswick)\b",
+]
+_U_COUNTRIES = [
+    "United States", "USA", "US", "United Kingdom", "UK", "Canada", "Australia",
+    "Germany", "France", "India", "China", "Japan", "Singapore", "Brazil",
+    "Mexico", "Italy", "Spain", "Netherlands", "Switzerland", "Sweden", "Norway",
+    "Denmark", "Finland", "Ireland", "Belgium", "Austria", "Poland", "Russia",
+    "South Korea", "Taiwan", "Hong Kong", "Thailand", "Malaysia", "Indonesia",
+    "Philippines", "Vietnam", "UAE", "Saudi Arabia", "Israel", "Egypt",
+    "South Africa",
+]
+_U_KNOWN_CITIES = [
+    "New York", "Los Angeles", "Chicago", "Houston", "Phoenix", "Philadelphia",
+    "San Antonio", "San Diego", "Dallas", "San Jose", "Austin", "San Francisco",
+    "Seattle", "Denver", "Washington", "Boston", "Portland", "Las Vegas",
+    "Miami", "Atlanta", "London", "Paris", "Berlin", "Tokyo", "Singapore",
+    "Sydney", "Melbourne", "Brisbane", "Canberra", "Perth", "Adelaide",
+    "Mumbai", "Bangalore", "Delhi", "Hyderabad", "Chennai", "Kolkata", "Pune",
+]
+_U_PHONE_PATTERNS = [
+    r"(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
+    r"\+\d{1,3}[-.\s]?\d{1,4}[-.\s]?\d{1,4}[-.\s]?\d{1,9}",
+    r"\d{3}[-.\s]\d{3}[-.\s]\d{4}",
+]
+_U_EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+def _u_nth(arr: Column, idx: int) -> Column:
+    """element_at that yields NULL (not an ANSI error) on an empty array."""
+    return F.when(F.size(arr) >= 1, F.element_at(arr, idx))
+
+
+def _u_first(text: Column, patterns: list[str]) -> Column:
+    """First-pattern-wins battery (the reference's for-loop over regexes);
+    NULL when nothing matches (the typed-schema form of JS '')."""
+    return F.coalesce(
+        *[F.nullif(F.trim(F.regexp_extract(text, p, 0)), F.lit("")) for p in patterns]
+    )
+
+
+def u_street(text: Column) -> Column:
+    return _u_first(text, _U_STREET_PATTERNS)
+
+
+def u_postal(text: Column) -> Column:
+    return _u_first(text, _U_POSTAL_PATTERNS)
+
+
+def u_state(text: Column) -> Column:
+    return _u_first(text, _U_STATE_PATTERNS)
+
+
+def u_city(text: Column) -> Column:
+    """findCity (:485-508): comma-before-state/zip capture, else first
+    known major city contained (case-sensitive, list order)."""
+    comma = F.nullif(
+        F.regexp_extract(
+            text, r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s*,\s*([A-Z]{2,3}|\d{5})", 1
+        ),
+        F.lit(""),
+    )
+    known = _u_nth(
+        F.filter(
+            F.array(*[F.lit(c) for c in _U_KNOWN_CITIES]),
+            lambda c: F.contains(text, c),
+        ),
+        1,
+    )
+    return F.coalesce(comma, known)
+
+
+def u_country(text: Column) -> Column:
+    """extractCountry (:511-521): ordered case-insensitive SUBSTRING scan
+    — bug-compatible (e.g. 'REACH US' or 'AUSTRALIA' both contain 'US')."""
+    return _u_nth(
+        F.filter(
+            F.array(*[F.lit(c) for c in _U_COUNTRIES]),
+            lambda c: F.contains(F.upper(text), F.upper(c)),
+        ),
+        1,
+    )
+
+
+def u_phone(text: Column) -> Column:
+    return _u_first(text, _U_PHONE_PATTERNS)
+
+
+def u_email(text: Column) -> Column:
+    return F.nullif(F.regexp_extract(text, _U_EMAIL_PATTERN, 0), F.lit(""))
+
+
+def u_has_components(text: Column) -> Column:
+    """containsAddressComponents (:548-556)."""
+    return (
+        u_street(text).isNotNull()
+        | u_postal(text).isNotNull()
+        | text.rlike(r"\d+\s+[A-Z]")
+    )
+
+
+def _u_strip(raw: Column) -> Column:
+    """cheerio $(el).text(): concatenated text nodes (tags removed, no
+    separator inserted — adjacent runs glue, as in the reference)."""
+    return F.trim(F.regexp_replace(raw, r"<[^>]+>", ""))
+
+
+_U_STRUCT_COLS = [
+    "sourceUrl", "sourceType", "locationName", "street", "city", "state",
+    "postcode", "country", "phone", "email",
+]
+
+
+def _u_parse(df: DataFrame, source_type: str, text: Column,
+             name_override: Column | None = None,
+             state_fallback: Column | None = None,
+             country_override: Column | None = None) -> DataFrame:
+    """parseAddressText (:422-447): component batteries + the lenient
+    any-component validation; locationName = city || country || 'Office'."""
+    street, city = u_street(text), u_city(text)
+    state = u_state(text)
+    if state_fallback is not None:
+        state = F.coalesce(state, state_fallback)
+    postal = u_postal(text)
+    country = u_country(text)
+    if country_override is not None:
+        country = F.coalesce(country_override, country)
+    name = F.coalesce(city, country, F.lit("Office"))
+    if name_override is not None:
+        name = F.coalesce(name_override, name)
+    out = df.select(
+        "sourceUrl",
+        F.lit(source_type).alias("sourceType"),
+        name.alias("locationName"),
+        street.alias("street"),
+        city.alias("city"),
+        state.alias("state"),
+        postal.alias("postcode"),
+        country.alias("country"),
+        u_phone(text).alias("phone"),
+        u_email(text).alias("email"),
+    )
+    return out.filter(
+        F.coalesce(
+            F.col("street"), F.col("postcode"), F.col("city"),
+            F.col("country"), F.col("state"),
+        ).isNotNull()
+    )
+
+
+def _u_blocks(ps: DataFrame, pattern: str, group: int = 0) -> DataFrame:
+    return ps.select(
+        "sourceUrl",
+        F.explode(F.regexp_extract_all("body", F.lit(pattern), group)).alias("raw"),
+    )
+
+
+def extract_structural(pages: DataFrame) -> DataFrame:
+    """X31: the five DOM-structural strategies as one tagged union —
+    sourceType ∈ {dom_card, dom_list, dom_table, dom_section, dom_grid}.
+    Narrow column algebra throughout (regexp block explode → shared
+    component batteries); no shuffle until a downstream aggregate."""
+    ps = _base(pages)
+    hdr_pat = r"(?s)<(?:h[1-6]|strong|b)[^>]*>(.*?)</(?:h[1-6]|strong|b)>"
+
+    # lists (:274-299): ul/ol gated on office/location/address/contact,
+    # li text ≥ 30 chars
+    uls = _u_blocks(ps, r"(?s)<(?:ul|ol)[^>]*>.*?</(?:ul|ol)>")
+    uls = uls.filter(F.lower(_u_strip(F.col("raw"))).rlike(
+        "office|location|address|contact"))
+    lis = uls.select(
+        "sourceUrl",
+        F.explode(F.regexp_extract_all("raw", F.lit(r"(?s)<li[^>]*>(.*?)</li>"), 1))
+        .alias("item"),
+    )
+    li_text = _u_strip(F.col("item"))
+    lists = _u_parse(
+        lis.filter(F.length(li_text) >= 30).withColumn("_t", li_text),
+        "dom_list", F.col("_t"),
+    ).drop("_t")
+
+    # tables (:305-325): per <tr>, cells trimmed and joined with ' ',
+    # row text ≥ 30 chars
+    trs = _u_blocks(ps, r"(?s)<table[^>]*>.*?</table>").select(
+        "sourceUrl",
+        F.explode(F.regexp_extract_all("raw", F.lit(r"(?s)<tr[^>]*>(.*?)</tr>"), 1))
+        .alias("row"),
+    )
+    row_text = F.array_join(
+        F.transform(
+            F.regexp_extract_all("row", F.lit(r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"), 1),
+            lambda c: F.trim(F.regexp_replace(c, r"<[^>]+>", "")),
+        ),
+        " ",
+    )
+    tables = _u_parse(
+        trs.filter(F.length(row_text) >= 30).withColumn("_t", row_text),
+        "dom_table", F.col("_t"),
+    ).drop("_t")
+
+    # sections (:331-356, narrowed to literal <section> blocks): text in
+    # [50, 1000], must contain address components; first heading becomes
+    # the locationName when present
+    secs = _u_blocks(ps, r"(?s)<section[^>]*>(.*?)</section>", 1)
+    sec_text = _u_strip(F.col("raw"))
+    sec_head = F.nullif(
+        F.trim(F.regexp_extract("raw", hdr_pat, 1)), F.lit("")
+    )
+    sections = _u_parse(
+        secs.filter(
+            F.length(sec_text).between(50, 1000) & u_has_components(sec_text)
+        ).withColumn("_t", sec_text).withColumn("_h", sec_head),
+        "dom_section", F.col("_t"), name_override=F.col("_h"),
+    ).drop("_t", "_h")
+
+    # cards (:112-207): class*=card/location/office divs + <article>; page
+    # headers set currentCountry (LAST country header wins — the .each
+    # reassignment) and currentRegion; card city = first heading in card;
+    # street falls back to the filtered-lines fullAddress; valid iff
+    # (street|postal|state) and (city|country)
+    hdrs = F.regexp_extract_all("body", F.lit(hdr_pat), 1)
+    cur_country = _u_nth(
+        F.filter(F.transform(hdrs, lambda h: u_country(h)),
+                 lambda c: c.isNotNull()), -1)
+    cur_region = _u_nth(
+        F.filter(F.transform(hdrs, lambda h: F.upper(F.trim(h))),
+                 lambda h: u_state(h).isNotNull()), -1)
+    cards_src = ps.select(
+        "sourceUrl",
+        cur_country.alias("_cc"),
+        cur_region.alias("_cr"),
+        F.explode(
+            F.regexp_extract_all(
+                "body",
+                F.lit(
+                    r'(?s)<(?:div|article)[^>]*class="[^"]*'
+                    r'(?:card|location|office)[^"]*"[^>]*>(.*?)</(?:div|article)>'
+                ),
+                1,
+            )
+        ).alias("raw"),
+    )
+    card_text = _u_strip(F.col("raw"))
+    card_city = F.nullif(F.trim(F.regexp_extract("raw", hdr_pat, 1)), F.lit(""))
+    # fullAddress (:175-180): text segments > 5 chars, not header-ish,
+    # with components or any digit, joined with ', '
+    card_segs = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.concat(F.lit(">"), F.col("raw"), F.lit("<")),
+                F.lit(r">([^<>]+)<"), 1),
+            lambda s: F.trim(s),
+        ),
+        lambda s: (F.length(s) > 5)
+        & ~F.lower(s).rlike("click|learn more|view all")
+        & ~F.lower(s).startswith("more")
+        & (u_has_components(s) | s.rlike(r"\d")),
+    )
+    card_full = F.nullif(F.array_join(card_segs, ", "), F.lit(""))
+    card_country = F.coalesce(F.col("_cc"), u_country(card_text))
+    cards = (
+        cards_src.filter(F.length(card_text) >= 30)
+        .select(
+            "sourceUrl",
+            F.lit("dom_card").alias("sourceType"),
+            F.coalesce(
+                card_city, F.concat(card_country, F.lit(" Office"))
+            ).alias("locationName"),
+            F.coalesce(u_street(card_text), card_full).alias("street"),
+            card_city.alias("city"),
+            F.coalesce(u_state(card_text), F.col("_cr")).alias("state"),
+            u_postal(card_text).alias("postcode"),
+            card_country.alias("country"),
+            u_phone(card_text).alias("phone"),
+            u_email(card_text).alias("email"),
+        )
+        .filter(
+            F.coalesce("street", "postcode", "state").isNotNull()
+            & F.coalesce("city", "country").isNotNull()
+        )
+    )
+
+    # grids (:362-384): children of class*=grid containers, child text in
+    # [30, 800] with address components
+    grid_kids = _u_blocks(
+        ps, r'(?s)<div[^>]*class="[^"]*grid[^"]*"[^>]*>(.*?)</div>', 1
+    ).select(
+        "sourceUrl",
+        F.explode(
+            F.regexp_extract_all("raw", F.lit(r"(?s)<(\w+)[^>]*>.*?</\1>"), 0)
+        ).alias("kid"),
+    )
+    kid_text = _u_strip(F.col("kid"))
+    grids = _u_parse(
+        grid_kids.filter(
+            F.length(kid_text).between(30, 800) & u_has_components(kid_text)
+        ).withColumn("_t", kid_text),
+        "dom_grid", F.col("_t"),
+    ).drop("_t")
+
+    out = lists
+    for part in (tables, sections, cards, grids):
+        out = out.unionByName(part)
+    return out.select(*_U_STRUCT_COLS)
+
+
 # --------------------------------------------------------- payload (img) ---
 def extract_images(pages: DataFrame) -> DataFrame:
     """The graft payload link: <img> ids + alt-text captions per page."""
