@@ -216,3 +216,79 @@ def test_structural_country_ordered_substring_bug(struct_rows):
     # 'Reach us … Canada' upper-contains 'US' before the scan reaches
     # Canada — bug-compatible with extractCountry (:511-521)
     assert by_type["dom_grid"]["country"] == "US"
+
+
+# ----------------------------------- X32 data-attributes / X33 contact page --
+# location-extractor.service.js:350-450 — the data-slug strategy and the
+# contact-block scan, with their reference quirks.
+_DA_HTML = (
+    "<html><body>"
+    # 8a: empty element -> slug title-cased, inner word case preserved
+    '<a data-slug="river-heights-NYC"></a>'
+    # 8a: class display child beats the data-city attr
+    '<div data-city="Austin"><span class="location-name">Austin HQ</span> x</div>'
+    # 8a: jsname child beats the class child
+    '<li data-office="O1"><span jsname="K4r5Ff">Tokyo Office</span>'
+    '<span class="city-name">Nope</span></li>'
+    # 8a decoy: 1-char name
+    '<span data-city="A"></span>'
+    # 8b: script city array + http decoy entry
+    '<script>var offices = [["San Mateo","san-mateo",[1,2],["F"],"CA",3],'
+    '[["http://x","y"]]];</script>'
+    # contact: US-tier address, heading name, activity keyword, phone+email
+    '<div class="contact-location"><h3>Main Desk.</h3>123 Harbor Street,'
+    " Suite 4, Springfield, IL 62704. Call (415) 555-2671 or mail"
+    " desk@corp.example.com. Our warehouse team is here.</div>"
+    # contact: lenient comma tier, no heading -> per-page .each index name
+    '<div class="branch-info">Reach the annex at Plaza Mayor 9, Madrid,'
+    " Spain soon</div>"
+    # contact decoy: too short for the 15-char address gate
+    '<div class="contact-address">short, text</div>'
+    "</body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def da_rows(spark):
+    df = spark.createDataFrame(
+        [("https://x.test/contact", "x.test", _DA_HTML)],
+        "url string, seed_host string, body string",
+    )
+    return (
+        EX.extract_data_attributes(df).collect(),
+        EX.extract_contact_page(df).collect(),
+    )
+
+
+def test_data_attr_slug_title_case_preserves_inner_case(da_rows):
+    attrs, _ = da_rows
+    names = {r["locationName"] for r in attrs}
+    # NOT 'River Heights Nyc' (initcap would lowercase the rest)
+    assert "River Heights NYC" in names
+
+
+def test_data_attr_child_priority_and_gates(da_rows):
+    attrs, _ = da_rows
+    names = sorted(r["locationName"] for r in attrs)
+    # class child beats attr; jsname child beats class child; 1-char and
+    # http-containing candidates are gated out
+    assert names == ["Austin HQ", "River Heights NYC", "San Mateo",
+                     "Tokyo Office"]
+
+
+def test_contact_page_us_tier_and_activity(da_rows):
+    _, cps = da_rows
+    r = {x["locationName"]: x for x in cps}["Main Desk."]
+    assert r["street"] == "123 Harbor Street, Suite 4, Springfield, IL 62704"
+    assert r["activity"] == "Warehouse"
+    assert r["phone"] == "(415) 555-2671"
+    assert r["email"] == "desk@corp.example.com"
+
+
+def test_contact_page_each_index_fallback_name(da_rows):
+    _, cps = da_rows
+    assert len(cps) == 2  # the 'short, text' block fails the 15-char gate
+    r = {x["locationName"]: x for x in cps}["Contact Location 2"]
+    # lenient tier returns the whole cleaned text (no US/intl match)
+    assert r["street"].startswith("Reach the annex at Plaza Mayor 9")
+    assert r["phone"] is None and r["email"] is None

@@ -3329,6 +3329,108 @@ def _structural_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EX.extract_structural(pages)
 
 
+_U_CITY_D = ["Riverside", "Lakeview", "Hillsboro", "Greenfield", "Stonewall"]
+_U_CITY_P = ["Ashford", "Belmont", "Clayton", "Dunmore", "Eastvale"]
+
+_DATAATTR_ORACLE = (
+    """
+    WITH s AS (
+      SELECT s_suppkey AS k,
+             concat('https://d', s_suppkey % 9, '.example.com/offices') AS sourceUrl,
+             """ + _duck_pick(_U_CITY_D) + """ AS cd,
+             """ + _duck_pick(_U_CITY_P) + """ AS cp
+      FROM supplier
+    )
+    SELECT sourceUrl, 'data_attr' AS sourceType,
+           concat(cd, ' Plaza NYC') AS locationName,
+           concat(cd, ' Plaza NYC') AS street,
+           CAST(NULL AS VARCHAR) AS phone, CAST(NULL AS VARCHAR) AS email
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'data_attr', concat(cd, ' Campus'),
+           concat(cd, ' Campus'), NULL, NULL
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'data_attr', concat(cd, ' Office No', k),
+           concat(cd, ' Office No', k), NULL, NULL
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'data_attr', concat(cd, ' Ridge'),
+           concat(cd, ' Ridge'), NULL, NULL
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'contact_page', concat('Desk No', k, '.'),
+           concat(1 + k % 90, ' Harbor Street, Suite 5, ', cp, ', IL ',
+                  printf('%05d', 60000 + k % 9999)),
+           concat('(415) 555-', 1000 + k % 9000),
+           concat('d', k, '@corp.example.com')
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'contact_page', 'Contact Location 2',
+           concat('Reach the annex at Plaza Mayor ', 1 + k % 90, ', ', cp,
+                  ' East, Spain soon'),
+           NULL, NULL
+    FROM s
+    """
+)
+
+
+def _dataattr_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 (data-attribute strategy) + X33 (contact-page strategy): one
+    page per supplier carrying the Google-careers data-slug element (empty
+    body → title-cased slug, inner case preserved), a display-child
+    element, a jsname child, the React/Vue inline-script city array, and
+    two contact blocks — one hitting findAddressInText's US tier with
+    heading/phone/email, one hitting the lenient comma tier with NO
+    heading so the name falls back to 'Contact Location {i+1}' with i the
+    per-page jQuery .each index (location-extractor.service.js:350-450).
+    Decoys per gate: a 1-char data-city, an http script entry, and a
+    16-char contact block."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    def pick(arr: list[str]) -> Column:
+        return F.element_at(F.array(*[F.lit(c) for c in arr]), (k % 5 + 1).cast("int"))
+
+    cd, cp = pick(_U_CITY_D), pick(_U_CITY_P)
+    n = (F.lit(1) + k % 90).cast("string")
+    zipc = F.format_string("%05d", (F.lit(60000) + k % 9999).cast("int"))
+    body = F.concat(
+        F.lit('<html><body><a data-slug="'), F.lower(cd),
+        F.lit('-plaza-NYC"></a>'),
+        F.lit('<div data-city="ignored"><span class="location-name">'), cd,
+        F.lit(" Campus</span> and other text</div>"),
+        F.lit('<li data-office="O1"><span jsname="K4r5Ff">'), cd,
+        F.lit(" Office No"), k.cast("string"),
+        F.lit('</span><span class="city-name">Nope</span></li>'),
+        F.lit('<span data-city="A"></span>'),
+        F.lit("<script>var officeData = [[\""), cd,
+        F.lit(' Ridge","ridge",[1,2],["Full"],"CA",3],[["http://x","y"]]];'
+              "</script>"),
+        F.lit('<div class="contact-location"><h4>Desk No'), k.cast("string"),
+        F.lit(".</h4>"), n, F.lit(" Harbor Street, Suite 5, "), cp,
+        F.lit(", IL "), zipc, F.lit(". Call (415) 555-"),
+        (F.lit(1000) + k % 9000).cast("string"), F.lit(" or mail d"),
+        k.cast("string"),
+        F.lit("@corp.example.com. Our warehouse team is here.</div>"),
+        F.lit('<div class="branch-info">Reach the annex at Plaza Mayor '), n,
+        F.lit(", "), cp, F.lit(" East, Spain soon</div>"),
+        F.lit('<div class="contact-address">short, text</div></body></html>'),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://d"), (k % 9).cast("string"),
+                 F.lit(".example.com/offices")).alias("url"),
+        F.concat(F.lit("d"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        body.alias("body"),
+    )
+    return EX.extract_data_attributes(pages).drop("activity").unionByName(
+        EX.extract_contact_page(pages).drop("activity"), allowMissingColumns=True
+    )
+
+
 _EXTRACT_KERNELS_ORACLE = (
     """
     SELECT 'jsonld' AS kernel, sourceUrl, locationName, street, city, postcode,
@@ -3376,6 +3478,15 @@ _EXTRACT_KERNELS_ORACLE = (
            CAST(NULL AS DOUBLE), state
     FROM ("""
     + _STRUCTURAL_ORACLE
+    + """)
+    UNION ALL
+    SELECT sourceType, sourceUrl, locationName, street,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), phone, email, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ("""
+    + _DATAATTR_ORACLE
     + """)
     """
 )
@@ -3429,7 +3540,9 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the canonical record schema. Each kernel's helper + oracle
     fragment is unchanged from its former standalone query — the union
     only aligns columns (typed NULLs for fields a strategy doesn't
-    produce)."""
+    produce). Round-3 additions X32 (data-attribute strategy, tagged
+    data_attr) and X33 (contact-page scan over findAddressInText, tagged
+    contact_page) ride the same tagged-union path."""
     stru = _structural_rows(spark, sf_dir)
     parts = [
         _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
@@ -3439,6 +3552,7 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _align_extract(_h3_rows(spark, sf_dir), "h3_sequential"),
         _align_extract(_text_line_rows(spark, sf_dir), "text_line"),
         _align_extract_tagged(stru),
+        _align_extract_tagged(_dataattr_rows(spark, sf_dir)),
     ]
     out = parts[0]
     for p in parts[1:]:

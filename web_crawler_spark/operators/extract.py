@@ -785,6 +785,196 @@ def extract_structural(pages: DataFrame) -> DataFrame:
     return out.select(*_U_STRUCT_COLS)
 
 
+# ----------------------------- X32 data-attributes / X33 contact page ------
+# location-extractor.service.js — the last two DOM strategies:
+# extractFromDataAttributes (:350-422, Google-careers data-slug elements +
+# React/Vue inline-script city arrays) and extractFromContactPage
+# (:423-450, contact-block scan over findAddressInText :451-475). Column
+# algebra like X31; selector lists narrowed to the regex-expressible
+# subset (attribute-carrying div/span/a/li blocks; double-quoted attrs).
+
+_FA_US_PATTERN = (
+    r"(?i)\d+\s+[\w\s]+?(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|"
+    r"Drive|Dr|Court|Ct|Circle|Cir|Way|Parkway|Pkwy|Plaza|Plz|Terrace|Ter)[.,]?"
+    r"\s*(?:Suite|Ste|Unit|#)?\s*[\w\d-]*[.,]?\s*[\w\s]+?[.,]?\s*[A-Z]{2}\s*"
+    r"\d{5}(?:-\d{4})?"
+)
+_FA_INTL_PATTERN = r"(?i)[\w\s]+,\s*[\w\s]+,\s*[\w\s]+\s+\d{3,6}"
+_CP_EMAIL_PATTERN = r"[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+def find_address_in_text(text: Column) -> Column:
+    """findAddressInText (:451-475): US composite pattern, else the
+    international comma pattern, else the lenient fallback — any
+    tag-stripped text with a comma and length in (20, 300)."""
+    us = F.nullif(F.trim(F.regexp_extract(text, _FA_US_PATTERN, 0)), F.lit(""))
+    intl = F.nullif(F.trim(F.regexp_extract(text, _FA_INTL_PATTERN, 0)), F.lit(""))
+    cleaned = F.trim(F.regexp_replace(text, r"<[^>]*>", ""))
+    lenient = F.when(
+        text.contains(",") & F.length(text).between(21, 299)
+        & cleaned.contains(","),
+        cleaned,
+    )
+    return F.coalesce(us, intl, lenient)
+
+
+def _js_title_case(slug: Column) -> Column:
+    """``slug.replace(/-/g,' ').replace(/\\b\\w/g, c => c.toUpperCase())``:
+    word-initial chars uppercased, REST OF WORD KEPT AS-IS (initcap would
+    lowercase it — 'NYC-hq' must become 'NYC Hq', not 'Nyc Hq')."""
+    return F.array_join(
+        F.transform(
+            F.split(F.regexp_replace(slug, "-", " "), " "),
+            lambda w: F.concat(F.upper(F.left(w, F.lit(1))), F.substring(w, 2, 2147483647)),
+        ),
+        " ",
+    )
+
+
+def extract_data_attributes(pages: DataFrame) -> DataFrame:
+    """X32 / strategy 8 (:350-422). 8a: elements with data-slug/
+    data-location/data-city/data-office; name = display child (jsname
+    K4r5Ff, then .location-name/.city-name/.office-name, then own text)
+    || the attrs in order || title-cased slug; length gate (2, 100).
+    8b: inline scripts mentioning location/office/address mined for
+    ``[["City","slug",…`` array heads; first capitalized quoted token,
+    gates: length (2, 100), no '<', no 'http'. address = name (cities
+    geocode downstream); activity 'Office'."""
+    ps = _base(pages)
+    blocks = ps.select(
+        "sourceUrl",
+        F.explode(
+            F.regexp_extract_all(
+                "body",
+                F.lit(
+                    r'(?s)<(div|span|a|li)((?:[^>]*?)\bdata-'
+                    r'(?:slug|location|city|office)="[^"]*"(?:[^>]*?))>(.*?)</\1>'
+                ),
+                0,
+            )
+        ).alias("raw"),
+    )
+    attrs = F.regexp_extract("raw", r"(?s)<(?:div|span|a|li)([^>]*)>", 1)
+
+    def attr(name: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(attrs, rf'\bdata-{name}="([^"]*)"', 1), F.lit("")
+        )
+
+    inner = F.regexp_extract("raw", r"(?s)<[^>]*>(.*)</[^>]*>$", 1)
+    jsname_child = F.nullif(
+        F.trim(_u_strip(F.regexp_extract(
+            inner, r'(?s)<[^>]*jsname="K4r5Ff"[^>]*>(.*?)<', 1))),
+        F.lit(""),
+    )
+    class_child = F.nullif(
+        F.trim(_u_strip(F.regexp_extract(
+            inner,
+            r'(?s)<[^>]*class="[^"]*(?:location-name|city-name|office-name)'
+            r'[^"]*"[^>]*>(.*?)<',
+            1,
+        ))),
+        F.lit(""),
+    )
+    display = F.coalesce(jsname_child, class_child,
+                         F.nullif(_u_strip(inner), F.lit("")))
+    name = F.coalesce(
+        display, attr("location"), attr("city"), attr("office"),
+        _js_title_case(attr("slug")),
+    )
+    elems = blocks.select(
+        "sourceUrl",
+        F.lit("data_attr").alias("sourceType"),
+        name.alias("locationName"),
+        name.alias("street"),
+        F.lit("Office").alias("activity"),
+    ).filter(F.length("locationName").between(3, 99))
+
+    # 8b: script arrays — [["City","slug",[lat,lng],…]
+    scripts = ps.select(
+        "sourceUrl",
+        F.explode(
+            F.regexp_extract_all(
+                "body", F.lit(r"(?s)<script[^>]*>(.*?)</script>"), 1
+            )
+        ).alias("js"),
+    ).filter(F.col("js").rlike("location|office|address"))
+    heads = scripts.select(
+        "sourceUrl",
+        F.explode(
+            F.regexp_extract_all(
+                "js", F.lit("\\[\\s*\\[[\"'][^\"']+[\"'],\\s*[\"'][^\"']+[\"']"), 0
+            )
+        ).alias("head"),
+    )
+    city = F.regexp_extract("head", "[\"']([A-Z][a-zA-Z\\s&/\\-().]+)[\"']", 1)
+    script_rows = heads.select(
+        "sourceUrl",
+        F.lit("data_attr").alias("sourceType"),
+        city.alias("locationName"),
+        city.alias("street"),
+        F.lit("Office").alias("activity"),
+    ).filter(
+        F.length("locationName").between(3, 99)
+        & ~F.col("locationName").contains("<")
+        & ~F.col("locationName").contains("http")
+    )
+    return elems.unionByName(script_rows)
+
+
+def extract_contact_page(pages: DataFrame) -> DataFrame:
+    """X33 (:423-450): .contact-location/.contact-address/#contact-info/
+    .branch-info blocks; address = findAddressInText, gated > 15 chars;
+    name = first heading/strong/b || data-location attr || 'Contact
+    Location {i+1}' with i the element's PER-PAGE match index (counted
+    before the address gate, as jQuery .each does), truncated to 100;
+    activity via the X11 keyword classifier; phone/email per element."""
+    ps = _base(pages)
+    blk_pat = (
+        r'(?s)<(div|section)(?:[^>]*?)\b(?:class="[^"]*(?:contact-location|'
+        r'contact-address|branch-info)[^"]*"|id="contact-info")(?:[^>]*?)>(.*?)</\1>'
+    )
+    blocks = ps.select(
+        "sourceUrl",
+        F.posexplode(F.regexp_extract_all("body", F.lit(blk_pat), 0)),
+    ).withColumnsRenamed({"pos": "idx", "col": "raw"})
+    text = _u_strip(F.col("raw"))
+    address = find_address_in_text(text)
+    head = F.nullif(
+        F.trim(F.regexp_extract(
+            "raw", r"(?s)<(?:h[1-6]|strong|b)[^>]*>(.*?)</(?:h[1-6]|strong|b)>", 1
+        )),
+        F.lit(""),
+    )
+    data_loc = F.nullif(
+        F.regexp_extract("raw", r'(?s)<[^>]*\bdata-location="([^"]*)"[^>]*>', 1),
+        F.lit(""),
+    )
+    from web_crawler_spark.functions.records import classify_activity
+
+    name = F.left(
+        F.coalesce(
+            head, data_loc,
+            F.concat(F.lit("Contact Location "), (F.col("idx") + 1).cast("string")),
+        ),
+        F.lit(100),
+    )
+    return (
+        blocks.select(
+            "sourceUrl",
+            F.lit("contact_page").alias("sourceType"),
+            name.alias("locationName"),
+            address.alias("street"),
+            classify_activity(text).alias("activity"),
+            F.nullif(F.trim(F.regexp_extract(text, _U_PHONE_PATTERNS[0], 0)),
+                     F.lit("")).alias("phone"),
+            F.nullif(F.regexp_extract(text, _CP_EMAIL_PATTERN, 0),
+                     F.lit("")).alias("email"),
+        )
+        .filter(F.length("street") > 15)
+    )
+
+
 # --------------------------------------------------------- payload (img) ---
 def extract_images(pages: DataFrame) -> DataFrame:
     """The graft payload link: <img> ids + alt-text captions per page."""
