@@ -178,3 +178,43 @@ def test_locations_found_early_exit(spark, tmp_path, cap, host_budget):
         if total >= cap and len(res.visit_order) < 30:
             stopped_early = True
     assert stopped_early, "fixture must actually trigger the cap"
+
+
+# ------------------------------------------- link-explorer discovery -------
+# link-explorer.service.js:16-156 — semantics that distinguish the port
+# from a naive "filter + sort": the Set first-insertion dedupe, the
+# stable (priority, insertion-order) sort, the bare-path 999 quirk of
+# pattern 1, the hostname gate, and the maxPages slice.
+def test_discover_location_pages_reference_trace(spark):
+    from web_crawler_spark.operators import frontier as FR
+
+    body = (
+        '<a href="/contact">Contact</a>'                      # dup of seeded path
+        '<a href="/pricing">Plans</a>'                        # no keyword
+        '<a href="https://b.ex.com/global/x">More</a>'        # href kw, prio 2
+        '<a href="https://other.ex.net/contact">Them</a>'     # cross-host
+        '<a href="/p9">Find Us Here</a>'                      # text kw, prio 999
+    )
+    pages = spark.createDataFrame(
+        [("https://b.ex.com/home", body)], "url string, body string"
+    )
+    top10 = {r["rank"]: r for r in FR.discover_location_pages(pages).collect()}
+    assert len(top10) == 10
+    # stable sort: seeded priority-1 paths in list order, then priority 2
+    # with the discovered anchor after the two seeded /global-* paths
+    assert [top10[i]["url"].split(".com")[1] for i in range(1, 7)] == [
+        "/contact", "/contact-us", "/contactus",
+        "/global-offices", "/global-locations", "/global/x",
+    ]
+    assert all(r["priority"] in (1, 2, 3) for r in top10.values())
+
+    # full set: the duplicate /contact collapsed; cross-host and
+    # keyword-free anchors dropped; '/locations' (bare, no trailing
+    # slash) scores 999 — pattern 1 needs '/' or '?' AFTER the word
+    allr = FR.discover_location_pages(pages, max_pages=99).collect()
+    assert len(allr) == 24  # 22 seeded + 2 surviving anchors - 1 dup
+    by_url = {r["url"]: r for r in allr}
+    assert by_url["https://b.ex.com/locations"]["priority"] == 999
+    assert by_url["https://b.ex.com/p9"]["priority"] == 999
+    assert "https://other.ex.net/contact" not in by_url
+    assert "https://b.ex.com/pricing" not in by_url

@@ -3560,26 +3560,83 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_LINK_DISCOVERY_ORACLE = (
+    """
+    SELECT k,
+           CASE WHEN suffix IS NULL THEN concat(origin, '/global/x', k)
+                ELSE concat(origin, suffix) END AS url,
+           prio::BIGINT AS priority, rnk::BIGINT AS rank
+    FROM (SELECT p_partkey AS k,
+                 concat('https://p', p_partkey % 7, '.example.com') AS origin
+          FROM part)
+    CROSS JOIN (VALUES
+        (1, '/contact', 1), (2, '/contact-us', 1), (3, '/contactus', 1),
+        (4, '/global-offices', 2), (5, '/global-locations', 2),
+        (6, NULL, 2),
+        (7, '/about', 3), (8, '/about-us', 3), (9, '/company', 3),
+        (10, '/company/regions', 3)) AS v(rnk, suffix, prio)
+    """
+)
+
+
+def _link_discovery_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-explorer discovery (link-explorer.service.js:16-156): one base
+    page per part row carrying a duplicate of a seeded high-value path
+    (Set first-insertion dedupe), a keyword-free anchor (gated out), an
+    absolute same-host /global anchor (surfaces at rank 6 between the
+    seeded priority-2 and priority-3 paths — the stable-sort contract), a
+    cross-host /contact anchor (hostname gate), and a text-keyword-only
+    anchor whose 999 priority falls outside the top-10 slice. The expected
+    top-10 is closed-form: 3×/contact* (1), 2×/global-* + the anchor (2),
+    /about, /about-us, /company, /company/regions (3)."""
+    from web_crawler_spark.operators import frontier as FR
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    origin = F.concat(F.lit("https://p"), (k % 7).cast("string"),
+                      F.lit(".example.com"))
+    body = F.concat(
+        F.lit('<a href="/contact">Contact</a><a href="/pricing">Plans</a>'
+              '<a href="'),
+        origin, F.lit("/global/x"), k.cast("string"), F.lit('">More</a>'),
+        F.lit('<a href="https://other.example.net/contact">Them</a>'
+              '<a href="/p'),
+        k.cast("string"), F.lit('">Find Us Here</a>'),
+    )
+    pages = p.select(
+        F.concat(origin, F.lit("/home-"), k.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return FR.discover_location_pages(pages)
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
            is_bad_scheme AS flag_a, is_same_domain AS flag_b,
            is_excluded AS flag_c,
-           CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon
+           CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+           CAST(NULL AS BIGINT) AS priority, CAST(NULL AS BIGINT) AS rank
     FROM ("""
     + _LINK_FILTER_ORACLE
     + """)
     UNION ALL
     SELECT 'robots_gate', p_partkey, url, NULL, is_blocked, NULL, NULL,
-           NULL, NULL
+           NULL, NULL, NULL, NULL
     FROM ("""
     + _ROBOTS_GATE_ORACLE
     + """)
     UNION ALL
     SELECT 'map_url', p_partkey, map_url, NULL, NULL, NULL, NULL,
-           lat::DOUBLE, lon::DOUBLE
+           lat::DOUBLE, lon::DOUBLE, NULL, NULL
     FROM ("""
     + _MAP_URL_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'discover', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
+           priority, rank
+    FROM ("""
+    + _LINK_DISCOVERY_ORACLE
     + """)
     """
 )
@@ -3587,13 +3644,17 @@ _CRAWL_URL_ORACLE = (
 
 @query("crawl_url_kernels", oracle=_CRAWL_URL_ORACLE)
 def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F5 + S4/J2 + X14 as one tagged union: the link-filter pipeline
-    (bad schemes / same-domain / canonicalization / exclusion), the robots
-    gate (broadcast per-host rules, permissive on failed fetch), and the
-    map-URL coordinate cascade — each over its dedicated fixture."""
+    """F1-F5 + S4/J2 + X14 + the link-explorer discovery pipeline as one
+    tagged union: the link-filter pipeline (bad schemes / same-domain /
+    canonicalization / exclusion), the robots gate (broadcast per-host
+    rules, permissive on failed fetch), the map-URL coordinate cascade,
+    and discoverLocationPages (high-value path seeding + keyword link
+    gate + stable 6-pattern priority sort + top-10 slice) — each over its
+    dedicated fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
+    _nl = F.lit(None).cast("long")
     lf = _link_filter_rows(spark, sf_dir).select(
         F.lit("link_filter").alias("kernel"),
         F.col("p_partkey").cast("long").alias("key"),
@@ -3602,6 +3663,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_same_domain").alias("flag_b"),
         F.col("is_excluded").alias("flag_c"),
         _nd.alias("lat"), _nd.alias("lon"),
+        _nl.alias("priority"), _nl.alias("rank"),
     )
     rg = _robots_gate_rows(spark, sf_dir).select(
         F.lit("robots_gate").alias("kernel"),
@@ -3610,6 +3672,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_blocked").alias("flag_a"),
         _nb.alias("flag_b"), _nb.alias("flag_c"),
         _nd.alias("lat"), _nd.alias("lon"),
+        _nl.alias("priority"), _nl.alias("rank"),
     )
     mu = _map_url_rows(spark, sf_dir).select(
         F.lit("map_url").alias("kernel"),
@@ -3618,8 +3681,18 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
         F.col("lat").cast("double").alias("lat"),
         F.col("lon").cast("double").alias("lon"),
+        _nl.alias("priority"), _nl.alias("rank"),
     )
-    return lf.unionByName(rg).unionByName(mu)
+    ld = _link_discovery_rows(spark, sf_dir).select(
+        F.lit("discover").alias("kernel"),
+        F.regexp_extract("sourceUrl", r"home-(\d+)$", 1)
+        .cast("long").alias("key"),
+        "url", _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        "priority", "rank",
+    )
+    return lf.unionByName(rg).unionByName(mu).unionByName(ld)
 
 
 _RECORDS_KERNELS_ORACLE = (

@@ -208,3 +208,115 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
     allowed = joined.filter(~blocked_expr).drop("fetch_ok", "disallow_prefixes")
     blocked = joined.filter(blocked_expr).drop("fetch_ok", "disallow_prefixes")
     return allowed, blocked
+
+
+# --------------------------------------------- link-explorer discovery -----
+# link-explorer.service.js — discoverLocationPages(:16-62): seed the 22
+# high-value paths, add same-host anchors whose href OR text carries a
+# location keyword (:94-116), dedupe with first-insertion-wins Set
+# semantics, stable-sort by the 6-pattern priority table (:121-151,
+# first-match-wins; V8's Array.sort is stable so ties keep insertion
+# order), and slice to maxPages (:153-156). All per-page column algebra:
+# the only window partitions by the page URL over its <= 22+links
+# candidates — no global sort, embarrassingly parallel across pages.
+
+HIGH_VALUE_PATHS = [
+    "/contact", "/contact-us", "/contactus", "/locations", "/offices",
+    "/office", "/branches", "/stores", "/find-us", "/where-we-are",
+    "/global-offices", "/global-locations", "/worldwide", "/about",
+    "/about-us", "/company", "/who-we-are", "/careers/country",
+    "/company/regions", "/investors", "/store-locator", "/map",
+]
+_LOCATION_KEYWORDS = [
+    "contact", "location", "office", "branch", "store", "center",
+    "find us", "where we are", "reach us", "get in touch",
+    "global", "worldwide", "international", "country", "region",
+    "about", "company", "who we are", "careers",
+]
+_KEYWORD_RE = "|".join(k.replace(" ", " ") for k in _LOCATION_KEYWORDS)
+_DISCOVERY_PRIORITIES = [
+    (r"(?i)/(locations?|offices?|stores?)[/?]", 1),
+    (r"(?i)/contact", 1),
+    (r"(?i)/global", 2),
+    (r"(?i)/about", 3),
+    (r"(?i)/company", 3),
+    (r"(?i)/careers", 4),
+]
+
+
+def discovery_priority(url: Column | str) -> Column:
+    """getUrlPriority (:141-151): first matching pattern wins, else 999.
+    Note the reference quirk kept intact: pattern 1 requires a '/' or '?'
+    AFTER the section word, so the bare high-value path '/locations'
+    scores 999 while '/locations/' scores 1."""
+    c = F.col(url) if isinstance(url, str) else url
+    expr = None
+    for pat, prio in _DISCOVERY_PRIORITIES:
+        cond = c.rlike(pat)
+        expr = F.when(cond, F.lit(prio)) if expr is None else expr.when(cond, F.lit(prio))
+    return expr.otherwise(F.lit(999))
+
+
+def discover_location_pages(pages: DataFrame, max_pages: int = 10) -> DataFrame:
+    """discoverLocationPages (:16-62) per fetched page.
+
+    Input: (url, body). Output: (sourceUrl, url, priority, rank) — the
+    maxPages highest-priority candidate location pages in the order the
+    reference's stable sort yields. Relative-href resolution covers the
+    regex-expressible subset (absolute and root-relative hrefs resolve
+    exactly; other relatives resolve against the base URL's directory,
+    which assumes the base carries a path)."""
+    origin = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+    base = pages.select(
+        F.col("url").alias("sourceUrl"), origin.alias("origin"), "body"
+    )
+    n_paths = len(HIGH_VALUE_PATHS)
+    paths = base.select(
+        "sourceUrl",
+        F.posexplode(F.array(*[F.lit(p) for p in HIGH_VALUE_PATHS])),
+    ).select(
+        "sourceUrl",
+        F.concat(F.regexp_extract("sourceUrl", r"^(https?://[^/]+)", 1),
+                 F.col("col")).alias("url"),
+        F.col("pos").alias("seq"),
+    )
+    anchors = base.select(
+        "sourceUrl", "origin",
+        F.posexplode(
+            F.regexp_extract_all(
+                "body", F.lit(r'(?s)<a href="[^"]*"[^>]*>.*?</a>'), 0
+            )
+        ).alias("pos", "a"),
+    )
+    href = F.regexp_extract("a", r'<a href="([^"]*)"', 1)
+    text = F.lower(F.trim(F.regexp_replace("a", r"<[^>]+>", "")))
+    kw_hit = F.lower(href).rlike(_KEYWORD_RE) | text.rlike(_KEYWORD_RE)
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("/"), F.concat(F.col("origin"), href))
+        .otherwise(
+            F.concat(
+                F.regexp_replace("sourceUrl", r"/[^/]*$", ""), F.lit("/"), href
+            )
+        )
+    )
+    links = (
+        anchors.filter(kw_hit)
+        .select(
+            "sourceUrl",
+            resolved.alias("url"),
+            (F.col("pos") + n_paths).alias("seq"),
+        )
+        .filter(U.host_of("url") == U.host_of("sourceUrl"))
+    )
+    cand = paths.unionByName(links)
+    first = Window.partitionBy("sourceUrl", "url").orderBy("seq")
+    order = Window.partitionBy("sourceUrl").orderBy("priority", "seq")
+    return (
+        cand.withColumn("_occ", F.row_number().over(first))
+        .filter(F.col("_occ") == 1)
+        .withColumn("priority", discovery_priority("url").cast("long"))
+        .withColumn("rank", F.row_number().over(order).cast("long"))
+        .filter(F.col("rank") <= max_pages)
+        .select("sourceUrl", "url", "priority", "rank")
+    )
