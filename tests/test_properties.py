@@ -45,3 +45,34 @@ def test_url_kernels_match_python_twins(spark, urls):
         assert r["excl"] == U.py_is_excluded(u), u
         assert r["bad"] == U.py_bad_scheme(u), u
         assert r["tier"] == U.py_priority_tier(u), u
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(url_strategy, min_size=50, max_size=120, unique=True))
+def test_doc_route_kernels_match_python_twins(spark, urls):
+    # crawler.service.js:113-134 + professional-crawler.service.js:238-249
+    extra = [
+        "https://a.ex.com/files/r.pdf", "https://a.ex.com/dl.pdf?v=1",
+        "https://a.ex.com/pdf/annual", "https://a.ex.com/doc_financials/q",
+        "https://a.ex.com/n.docx", "https://a.ex.com/n.rtf",
+        "https://a.ex.com", "https://a.ex.com/", "https://a.ex.com/?q=1",
+        "https://a.ex.com#top", "https://a.ex.com/about",
+    ]
+    allu = list(dict.fromkeys(urls + extra))
+    df = spark.createDataFrame([(u,) for u in allu], "url string")
+    rows = df.select(
+        "url",
+        U.is_pdf_url("url").alias("pdf"),
+        U.is_document_url("url").alias("doc"),
+        U.is_homepage("url").alias("home"),
+    ).collect()
+    for r in rows:
+        u = r["url"]
+        assert r["pdf"] == U.py_is_pdf_url(u), u
+        assert r["doc"] == U.py_is_document_url(u), u
+        assert r["home"] == U.py_is_homepage(u), u
+    by = {r["url"]: r for r in rows}
+    assert by["https://a.ex.com/?q=1"]["home"]          # query stripped
+    assert by["https://a.ex.com#top"]["home"]           # fragment stripped
+    assert by["https://a.ex.com/doc_financials/q"]["pdf"]  # investor quirk
+    assert not by["https://a.ex.com/about"]["pdf"]

@@ -3610,6 +3610,54 @@ def _link_discovery_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FR.discover_location_pages(pages)
 
 
+_DOC_ROUTE_ORACLE = (
+    """
+    SELECT p_partkey AS k,
+           concat('https://r', p_partkey % 7, '.example.com', suffix) AS url,
+           is_pdf, is_doc, is_home
+    FROM part
+    CROSS JOIN (VALUES
+        ('/files/report.pdf', true, false, false),
+        ('/pdf/annual', true, false, false),
+        ('/dl.pdf?v=2', true, false, false),
+        ('/investor/doc_financials/q.html', true, false, false),
+        ('/notes.docx', false, true, false),
+        ('/', false, false, true),
+        ('/about', false, false, false)) AS v(suffix, is_pdf, is_doc, is_home)
+    """
+)
+
+_DOC_ROUTE_SUFFIXES = [
+    "/files/report.pdf", "/pdf/annual", "/dl.pdf?v=2",
+    "/investor/doc_financials/q.html", "/notes.docx", "/", "/about",
+]
+
+
+def _doc_route_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-type URL routing (crawler.service.js:113-134 isPdfUrl /
+    isDocumentUrl; professional-crawler.service.js:238-249 isHomepage):
+    seven URL shapes per part row — .pdf suffix, /pdf/ path segment,
+    '.pdf?' with query, the doc_financials investor quirk, a .docx, the
+    bare homepage, and a plain page. Expected flags are literals in the
+    oracle's VALUES table, not recomputed."""
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    rows = p.select(
+        k,
+        F.explode(F.array(*[F.lit(s) for s in _DOC_ROUTE_SUFFIXES])).alias("sfx"),
+    ).select(
+        k,
+        F.concat(F.lit("https://r"), (k % 7).cast("string"),
+                 F.lit(".example.com"), F.col("sfx")).alias("url"),
+    )
+    return rows.select(
+        "p_partkey", "url",
+        U.is_pdf_url("url").alias("is_pdf"),
+        U.is_document_url("url").alias("is_doc"),
+        U.is_homepage("url").alias("is_home"),
+    )
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -3638,6 +3686,12 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _LINK_DISCOVERY_ORACLE
     + """)
+    UNION ALL
+    SELECT 'doc_route', k, url, NULL, is_pdf, is_doc, is_home, NULL, NULL,
+           NULL, NULL
+    FROM ("""
+    + _DOC_ROUTE_ORACLE
+    + """)
     """
 )
 
@@ -3648,9 +3702,10 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged union: the link-filter pipeline (bad schemes / same-domain /
     canonicalization / exclusion), the robots gate (broadcast per-host
     rules, permissive on failed fetch), the map-URL coordinate cascade,
-    and discoverLocationPages (high-value path seeding + keyword link
-    gate + stable 6-pattern priority sort + top-10 slice) — each over its
-    dedicated fixture."""
+    discoverLocationPages (high-value path seeding + keyword link gate +
+    stable 6-pattern priority sort + top-10 slice), and the document-type
+    routing predicates (isPdfUrl / isDocumentUrl / isHomepage) — each
+    over its dedicated fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
@@ -3692,7 +3747,19 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd.alias("lat"), _nd.alias("lon"),
         "priority", "rank",
     )
-    return lf.unionByName(rg).unionByName(mu).unionByName(ld)
+    dr = _doc_route_rows(spark, sf_dir).select(
+        F.lit("doc_route").alias("kernel"),
+        F.col("p_partkey").cast("long").alias("key"), "url",
+        _ns.alias("canonical"),
+        F.col("is_pdf").alias("flag_a"),
+        F.col("is_doc").alias("flag_b"),
+        F.col("is_home").alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        _nl.alias("priority"), _nl.alias("rank"),
+    )
+    return (
+        lf.unionByName(rg).unionByName(mu).unionByName(ld).unionByName(dr)
+    )
 
 
 _RECORDS_KERNELS_ORACLE = (

@@ -144,3 +144,53 @@ def py_priority_tier(url: str) -> int:
     if any(p in u for p in MEDIUM_SUBSTRINGS):
         return 2
     return 3
+
+
+# ------------------------------------------------- document-type routing ---
+# crawler.service.js isPdfUrl(:113-119) / isDocumentUrl(:124-134) route
+# URLs to the PDF/text extraction path before fetching;
+# professional-crawler.service.js isHomepage(:238-249) gates the
+# homepage-only politeness shortcut. Pure column predicates.
+
+
+def is_pdf_url(url: Column | str) -> Column:
+    """crawler.service.js:113-119 — endswith .pdf, '.pdf?' anywhere,
+    '/pdf/' path segment, or the 'doc_financials' investor-page quirk."""
+    u = F.lower(F.col(url) if isinstance(url, str) else url)
+    return (
+        u.endswith(".pdf") | u.contains(".pdf?") | u.contains("/pdf/")
+        | u.contains("doc_financials")
+    )
+
+
+def is_document_url(url: Column | str) -> Column:
+    """crawler.service.js:124-134 — .doc/.docx/.txt/.rtf suffixes."""
+    u = F.lower(F.col(url) if isinstance(url, str) else url)
+    return (
+        u.endswith(".doc") | u.endswith(".docx") | u.endswith(".txt")
+        | u.endswith(".rtf")
+    )
+
+
+def is_homepage(url: Column | str) -> Column:
+    """professional-crawler.service.js:238-249 — pathname '' or '/'
+    (query/fragment stripped first, as new URL().pathname does)."""
+    u = F.regexp_replace(
+        F.col(url) if isinstance(url, str) else url, r"[?#].*$", ""
+    )
+    return u.rlike(r"^https?://[^/?#]+/?$")
+
+
+def py_is_pdf_url(url: str) -> bool:
+    u = url.lower()
+    return (u.endswith(".pdf") or ".pdf?" in u or "/pdf/" in u
+            or "doc_financials" in u)
+
+
+def py_is_document_url(url: str) -> bool:
+    return url.lower().endswith((".doc", ".docx", ".txt", ".rtf"))
+
+
+def py_is_homepage(url: str) -> bool:
+    base = re.sub(r"[?#].*$", "", url)
+    return bool(re.match(r"^https?://[^/?#]+/?$", base))
