@@ -292,3 +292,67 @@ def test_contact_page_each_index_fallback_name(da_rows):
     # lenient tier returns the whole cleaned text (no US/intl match)
     assert r["street"].startswith("Reach the annex at Plaza Mayor 9")
     assert r["phone"] is None and r["email"] is None
+
+
+# --------------------------------------------- X34 heuristic DOM battery --
+# heuristic-extractor.service.js:11-245 — the four strategies, the
+# looksLikeAddress gate, and the normalized-key first-wins dedup.
+_HX_HTML = (
+    '<html><body>'
+    '<div class="contact-info">Contact our office at Keystone Plaza near'
+    " the station in Ashford</div>\n"
+    '<span class="office-tag">(12) Oak 5!!</span>\n'   # key len <= 10
+    "<address>Registered at 9 Crown Square, Ashford</address>\n"
+    "<h2>Our Locations</h2>\n"
+    "<p>4 Garner Road, Ashford 30042</p>\n"
+    "<p>Timetable item without numerals here</p>\n"    # no digit
+    "<h6>Company history</h6>\n"                       # non-keyword heading
+    "<ul><li>Branch office list</li>\n"
+    "<li>4 Quarry Lane, Ashford, 44042</li><li>tiny</li></ul>\n"
+    "Shipping dock at 7 Mason Court, Ashford 88042\n"
+    "</body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def hx_rows(spark):
+    df = spark.createDataFrame(
+        [("https://s1.example.com/loc-1", "s1.example.com", _HX_HTML)],
+        "url string, seed_host string, body string",
+    )
+    return EX.extract_heuristic(df).collect()
+
+
+def test_heuristic_strategy_rows_and_confidences(hx_rows):
+    got = sorted((r["sourceType"], r["street"]) for r in hx_rows)
+    assert [t for t, _ in got].count("heur_semantic") == 2
+    assert [t for t, _ in got].count("heur_heading") == 1
+    assert [t for t, _ in got].count("heur_text") == 2
+    assert [t for t, _ in got].count("heur_list") == 1
+    conf = {r["sourceType"]: r["confidence"] for r in hx_rows}
+    assert conf == {"heur_semantic": 0.7, "heur_heading": 0.8,
+                    "heur_text": 0.6, "heur_list": 0.75}
+
+
+def test_heuristic_dedup_strategy_order_wins(hx_rows):
+    # the <address> line and the heading sibling also match strategy 3's
+    # body-line scan; push order (semantic < heading < text) keeps the
+    # earlier strategy's row and drops the 0.6 duplicates
+    streets = {(r["sourceType"], r["street"]) for r in hx_rows}
+    assert ("heur_semantic", "Registered at 9 Crown Square, Ashford") in streets
+    assert ("heur_text", "Registered at 9 Crown Square, Ashford") not in streets
+    assert ("heur_heading", "4 Garner Road, Ashford 30042") in streets
+    assert ("heur_text", "4 Garner Road, Ashford 30042") not in streets
+    # the list item's body line glues with the 'tiny' decoy -> distinct
+    # key, so BOTH the list row and the glued text row survive
+    assert ("heur_list", "4 Quarry Lane, Ashford, 44042") in streets
+    assert ("heur_text", "4 Quarry Lane, Ashford, 44042tiny") in streets
+
+
+def test_heuristic_gates(hx_rows):
+    streets = [r["street"] for r in hx_rows]
+    assert "(12) Oak 5!!" not in streets          # dedup key len <= 10
+    assert all("Timetable" not in s for s in streets)   # no digit
+    assert all(s != "tiny" for s in streets)            # length gate
+    head = [r for r in hx_rows if r["sourceType"] == "heur_heading"][0]
+    assert head["locationName"] == "our locations"      # lowercased heading

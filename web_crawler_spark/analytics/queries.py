@@ -3431,6 +3431,101 @@ def _dataattr_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_U_CITY_H = ["Ashford", "Bristow", "Calder", "Denton", "Elkhart"]
+
+_HEURISTIC_ORACLE = (
+    """
+    WITH s AS (
+      SELECT s_suppkey AS k,
+             concat('https://s', s_suppkey % 9, '.example.com/loc-',
+                    s_suppkey) AS sourceUrl,
+             """ + _duck_pick(_U_CITY_H) + """ AS ch,
+             1 + s_suppkey % 90 AS n,
+             printf('%05d', 30000 + s_suppkey % 9999) AS z2,
+             printf('%05d', 44000 + s_suppkey % 9999) AS z3,
+             printf('%05d', 88000 + s_suppkey % 9999) AS z4
+      FROM supplier
+    )
+    SELECT sourceUrl, 'heur_semantic' AS sourceType,
+           CAST(NULL AS VARCHAR) AS locationName,
+           concat('Contact our office at Keystone Plaza near the station in ',
+                  ch) AS street,
+           0.7::DOUBLE AS confidence
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'heur_semantic', NULL,
+           concat('Registered at 9 Crown Square, ', ch), 0.7::DOUBLE
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'heur_heading', 'our locations',
+           concat(n, ' Garner Road, ', ch, ' ', z2), 0.8::DOUBLE
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'heur_text', NULL,
+           concat(n, ' Quarry Lane, ', ch, ', ', z3, 'tiny'), 0.6::DOUBLE
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'heur_text', NULL,
+           concat('Shipping dock at 7 Mason Court, ', ch, ' ', z4),
+           0.6::DOUBLE
+    FROM s
+    UNION ALL
+    SELECT sourceUrl, 'heur_list', NULL,
+           concat(n, ' Quarry Lane, ', ch, ', ', z3), 0.75::DOUBLE
+    FROM s
+    """
+)
+
+
+def _heuristic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 (heuristic DOM battery): one page per supplier exercising all
+    four strategies plus the dedup semantics that make the battery more
+    than a filter union (heuristic-extractor.service.js:11-245):
+    a semantic contact-info div and a bare <address> tag (0.7), a
+    keyword heading whose first sibling paragraph passes looksLikeAddress
+    (0.8) while a digit-free sibling fails, a keyword-gated list item
+    (0.75), and two body-text lines (0.6) — one of which is the list
+    item glued with its short-item decoy, so its key differs. The
+    page-level dedup drops the S3 duplicates of the <address> line and
+    the heading sibling (strategy push order wins), and the '(12) Oak
+    5!!' decoy dies at the key-length > 10 gate."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    def pick(arr: list[str]) -> Column:
+        return F.element_at(F.array(*[F.lit(c) for c in arr]), (k % 5 + 1).cast("int"))
+
+    ch = pick(_U_CITY_H)
+    n = (F.lit(1) + k % 90).cast("string")
+    z = lambda base: F.format_string("%05d", (F.lit(base) + k % 9999).cast("int"))  # noqa: E731
+    body = F.concat(
+        F.lit('<html><body><div class="contact-info">'
+              "Contact our office at Keystone Plaza near the station in "),
+        ch,
+        F.lit('</div>\n<span class="office-tag">(12) Oak 5!!</span>\n'
+              "<address>Registered at 9 Crown Square, "),
+        ch,
+        F.lit("</address>\n<h2>Our Locations</h2>\n<p>"), n,
+        F.lit(" Garner Road, "), ch, F.lit(" "), z(30000),
+        F.lit("</p>\n<p>Timetable item without numerals here</p>\n"
+              "<h6>Company history</h6>\n"
+              "<ul><li>Branch office list</li>\n<li>"),
+        n, F.lit(" Quarry Lane, "), ch, F.lit(", "), z(44000),
+        F.lit("</li><li>tiny</li></ul>\nShipping dock at 7 Mason Court, "),
+        ch, F.lit(" "), z(88000), F.lit("\n</body></html>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("https://s"), (k % 9).cast("string"),
+                 F.lit(".example.com/loc-"), k.cast("string")).alias("url"),
+        F.concat(F.lit("s"), (k % 9).cast("string"),
+                 F.lit(".example.com")).alias("seed_host"),
+        body.alias("body"),
+    )
+    return EX.extract_heuristic(pages)
+
+
 _EXTRACT_KERNELS_ORACLE = (
     """
     SELECT 'jsonld' AS kernel, sourceUrl, locationName, street, city, postcode,
@@ -3488,6 +3583,16 @@ _EXTRACT_KERNELS_ORACLE = (
     FROM ("""
     + _DATAATTR_ORACLE
     + """)
+    UNION ALL
+    SELECT sourceType, sourceUrl, locationName, street,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), confidence::DOUBLE,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ("""
+    + _HEURISTIC_ORACLE
+    + """)
     """
 )
 
@@ -3508,7 +3613,11 @@ def _align_extract_tagged(df: DataFrame) -> DataFrame:
             else F.lit(None).cast("string").alias(c)
         )
     for c in ["confidence", "latitude", "longitude"]:
-        cols.append(F.lit(None).cast("double").alias(c))
+        cols.append(
+            F.col(c).cast("double").alias(c)
+            if c in df.columns
+            else F.lit(None).cast("double").alias(c)
+        )
     return df.select(*cols)
 
 
@@ -3541,8 +3650,10 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragment is unchanged from its former standalone query — the union
     only aligns columns (typed NULLs for fields a strategy doesn't
     produce). Round-3 additions X32 (data-attribute strategy, tagged
-    data_attr) and X33 (contact-page scan over findAddressInText, tagged
-    contact_page) ride the same tagged-union path."""
+    data_attr), X33 (contact-page scan over findAddressInText, tagged
+    contact_page), and X34 (the four heuristic strategies with the
+    normalized-key first-wins dedup, tagged heur_*) ride the same
+    tagged-union path."""
     stru = _structural_rows(spark, sf_dir)
     parts = [
         _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
@@ -3553,6 +3664,7 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _align_extract(_text_line_rows(spark, sf_dir), "text_line"),
         _align_extract_tagged(stru),
         _align_extract_tagged(_dataattr_rows(spark, sf_dir)),
+        _align_extract_tagged(_heuristic_rows(spark, sf_dir)),
     ]
     out = parts[0]
     for p in parts[1:]:

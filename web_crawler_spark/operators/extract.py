@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -972,6 +972,216 @@ def extract_contact_page(pages: DataFrame) -> DataFrame:
                      F.lit("")).alias("email"),
         )
         .filter(F.length("street") > 15)
+    )
+
+
+# ------------------------------------------ X34 heuristic DOM battery ------
+# heuristic-extractor.service.js — the four heuristic strategies
+# (semantic elements :42-79, near-headings :80-117, text patterns
+# :118-155, lists :156-188), the shared looksLikeAddress gate
+# (:189-221), and deduplicateAddresses' normalized-key first-wins pass
+# (:222-245). Column algebra; selector narrowings: semantic attr scan
+# covers div/span/section/p with a matching double-quoted class/id (plus
+# bare <address> tags); near-headings "siblings" are the p/div/address/
+# section blocks between a matching heading and the next heading (JS
+# walks element siblings; nested wrappers would differ).
+
+_HX_STREET = (
+    r"(?i)\b(Street|St|Avenue|Ave|Road|Rd|Drive|Dr|Lane|Ln|Boulevard|Blvd|Way|"
+    r"Court|Ct|Place|Pl|Square|Sq|Parkway|Pkwy)\b"
+)
+_HX_SUITE = r"(?i)\b(Suite|Ste|Floor|Fl|Building|Bldg|Unit|Apt|#)\s*\d+"
+_HX_POBOX = r"(?i)P\.?O\.?\s*Box\s+\d+"
+_HX_LOOKS_PATTERNS = [
+    _HX_STREET,
+    _HX_SUITE,
+    r"\b\d{5}(-\d{4})?\b",                 # US zip
+    r"\b[A-Z]\d[A-Z]\s*\d[A-Z]\d\b",       # Canadian
+    r"\b[A-Z]{1,2}\d{1,2}\s*\d[A-Z]{2}\b", # UK
+    _HX_POBOX,
+    r"(?i)\b(city|town|village|state|province|county|zip|postal|code)\b",
+]
+_HX_TEXT_PATTERNS = [
+    r"(?i)\d{1,5}\s+\w+\s+(Street|St|Avenue|Ave|Road|Rd|Drive|Dr|Lane|Ln|"
+    r"Boulevard|Blvd|Way|Court|Ct|Place|Pl|Square|Sq|Parkway|Pkwy)",
+    _HX_SUITE,
+    _HX_POBOX,
+    r"\d{1,5}\s+[\w\s,]+\d{5}(-\d{4})?",
+]
+
+
+def hx_looks_like_address(text: Column) -> Column:
+    """looksLikeAddress (:189-221): any indicator pattern AND a digit AND
+    length in [20, 400]."""
+    any_ind = None
+    for p in _HX_LOOKS_PATTERNS:
+        c = text.rlike(p)
+        any_ind = c if any_ind is None else (any_ind | c)
+    return any_ind & text.rlike(r"\d") & F.length(text).between(20, 400)
+
+
+def _hx_collapse(raw: Column) -> Column:
+    """$(el).text().trim().replace(/\\s{2,}/g, ' ')."""
+    return F.regexp_replace(F.trim(F.regexp_replace(raw, r"<[^>]+>", "")),
+                            r"\s{2,}", " ")
+
+
+def _hx_dedup_key(street: Column) -> Column:
+    """deduplicateAddresses (:222-245) key: lowercase, collapse runs of
+    whitespace, strip non-word chars (in THAT order — a stripped comma
+    can leave a double space), slice to 100."""
+    return F.substring(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(street), r"\s+", " "), r"[^\w\s]", ""
+        ),
+        1, 100,
+    )
+
+
+def extract_heuristic(pages: DataFrame) -> DataFrame:
+    """X34: the four heuristic strategies as one deduplicated union —
+    sourceType ∈ {heur_semantic, heur_heading, heur_text, heur_list},
+    confidence 0.7 / 0.8 / 0.6 / 0.75 per strategy as in the reference.
+    Dedup is per page with first-wins in strategy-push order (1→4) and
+    the key-length > 10 gate."""
+    ps = _base(pages)
+
+    def rows(df: DataFrame, tag: str, strat: int, text: Column, conf: float,
+             name: Column | None = None, pos: Column | None = None,
+             extra_gate: Column | None = None) -> DataFrame:
+        gate = F.lit(True) if extra_gate is None else extra_gate
+        return df.filter(gate).select(
+            "sourceUrl",
+            F.lit(tag).alias("sourceType"),
+            (name if name is not None else F.lit(None).cast("string"))
+            .alias("locationName"),
+            text.alias("street"),
+            F.lit(conf).alias("confidence"),
+            F.lit(strat).alias("_strat"),
+            (pos if pos is not None else F.lit(0)).alias("_pos"),
+        )
+
+    # strategy 1 — semantic elements (:42-79)
+    addr_tags = ps.select(
+        "sourceUrl",
+        F.posexplode(F.regexp_extract_all(
+            "body", F.lit(r"(?s)<address[^>]*>(.*?)</address>"), 1)),
+    )
+    attr_blocks = ps.select(
+        "sourceUrl",
+        F.posexplode(F.regexp_extract_all(
+            "body",
+            F.lit(
+                r'(?s)<(div|span|section|p)((?:[^>]*?)\b(?:class|id)="[^"]*'
+                r'(?:address|contact|office|location)[^"]*"(?:[^>]*?))>'
+                r"(.*?)</\1>"
+            ),
+            0,
+        )),
+    ).withColumn(
+        "col", F.regexp_extract("col", r"(?s)^<[^>]*>(.*)</[^>]*>$", 1)
+    )
+    sem = None
+    for i, src in enumerate((addr_tags, attr_blocks)):
+        t = _hx_collapse(F.col("col"))
+        part = rows(
+            src.withColumn("_t", t), "heur_semantic", 1, F.col("_t"), 0.7,
+            pos=F.lit(i) * 10000 + F.col("pos"),
+            extra_gate=F.length(t).between(11, 499),
+        ).drop("_t")
+        sem = part if sem is None else sem.unionByName(part)
+
+    # strategy 2 — near headings (:80-117)
+    _HEAD_KW = ("contact|location|office|offices|find|our locations|"
+                "addresses|headquarters|visit|reach|where")
+    chunks = ps.select(
+        "sourceUrl",
+        F.posexplode(F.regexp_extract_all(
+            "body",
+            F.lit(r"(?s)<h([1-6])[^>]*>.*?</h\1>(?:(?!<h[1-6]).)*"), 0)),
+    ).withColumnsRenamed({"pos": "hpos", "col": "chunk"})
+    head_txt = F.lower(F.trim(_hx_collapse(F.regexp_extract(
+        "chunk", r"(?s)^<h([1-6])[^>]*>(.*?)</h\1>", 2))))
+    tail = F.regexp_replace(
+        "chunk", r"(?s)^<h([1-6])[^>]*>.*?</h\1>", "")
+    sibs = (
+        chunks.filter(head_txt.rlike(_HEAD_KW))
+        .withColumn("_h", head_txt)
+        .select(
+            "sourceUrl", "hpos", "_h",
+            F.posexplode(F.regexp_extract_all(
+                tail,
+                F.lit(r"(?s)<(p|div|address|section)[^>]*>.*?</\1>"), 0)),
+        )
+        .filter(F.col("pos") < 8)
+    )
+    sib_txt = _hx_collapse(F.col("col"))
+    near = rows(
+        sibs.withColumn("_t", sib_txt), "heur_heading", 2, F.col("_t"), 0.8,
+        name=F.col("_h"),
+        pos=F.col("hpos") * 100 + F.col("pos"),
+        extra_gate=F.length(sib_txt).between(16, 499)
+        & hx_looks_like_address(sib_txt),
+    ).drop("_t", "_h")
+
+    # strategy 3 — body-text line patterns (:118-155); first 1000
+    # non-empty trimmed lines, length [20, 300], any address pattern +
+    # looksLikeAddress; street = line with ALL whitespace runs collapsed
+    body_txt = F.regexp_replace("body", r"<[^>]+>", "")
+    lines = ps.select(
+        "sourceUrl",
+        F.posexplode(F.slice(
+            F.filter(
+                F.transform(F.split(body_txt, "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            ),
+            1, 1000,
+        )).alias("pos", "line"),
+    )
+    ltxt = F.col("line")
+    any_pat = None
+    for p in _HX_TEXT_PATTERNS:
+        c = ltxt.rlike(p)
+        any_pat = c if any_pat is None else (any_pat | c)
+    txt = rows(
+        lines.withColumn("_t", F.regexp_replace(ltxt, r"\s+", " ")),
+        "heur_text", 3, F.col("_t"), 0.6,
+        pos=F.col("pos"),
+        extra_gate=F.length(ltxt).between(20, 300) & any_pat
+        & hx_looks_like_address(ltxt),
+    ).drop("_t")
+
+    # strategy 4 — keyword-gated lists (:156-188)
+    lsts = ps.select(
+        "sourceUrl",
+        F.posexplode(F.regexp_extract_all(
+            "body", F.lit(r"(?s)<(ul|ol|dl)[^>]*>.*?</\1>"), 0)),
+    ).withColumnsRenamed({"pos": "lpos", "col": "lst"})
+    lst_gate = F.lower(_hx_collapse(F.col("lst"))).rlike(
+        "office|location|address|contact")
+    items = lsts.filter(lst_gate).select(
+        "sourceUrl", "lpos",
+        F.posexplode(F.regexp_extract_all(
+            "lst", F.lit(r"(?s)<(li|dd)[^>]*>(.*?)</\1>"), 2)),
+    )
+    item_txt = _hx_collapse(F.col("col"))
+    lst_rows = rows(
+        items.withColumn("_t", item_txt), "heur_list", 4, F.col("_t"), 0.75,
+        pos=F.col("lpos") * 1000 + F.col("pos"),
+        extra_gate=F.length(item_txt).between(16, 399)
+        & hx_looks_like_address(item_txt),
+    ).drop("_t")
+
+    allr = sem.unionByName(near).unionByName(txt).unionByName(lst_rows)
+    key = _hx_dedup_key(F.col("street"))
+    w = Window.partitionBy("sourceUrl", "_key").orderBy("_strat", "_pos")
+    return (
+        allr.withColumn("_key", key)
+        .filter(F.length("_key") > 10)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("sourceUrl", "sourceType", "locationName", "street",
+                "confidence")
     )
 
 
