@@ -75,3 +75,26 @@ def test_lang_id(spark):
     df = _docs(spark, ["the cat is on the mat", "zzz qqq xxx", "日本語のテキストです"])
     got = [r["l"] for r in df.orderBy("doc_id").select(TX.lang_id("text").alias("l")).collect()]
     assert got == ["en", "unknown", "unknown"]
+
+
+def test_extract_pins_tagged_battery(spark):
+    # advanced-extractor.service.js:22-27,393-406 — every match per
+    # country pattern, tagged, in insertion order (india, us, uk, canada)
+    from web_crawler_spark.functions.records import extract_pins
+    from pyspark.sql import functions as F
+
+    text = ("Dispatch PIN 600001, ZIP 90210-1234 or 12345, "
+            "UK SW1 2AA or SW1A 1AA, CA K1A 0B1.")
+    df = spark.createDataFrame([(text,)], "t string")
+    pins = df.select(F.explode(extract_pins("t")).alias("p")) \
+             .select("p.code", "p.country").collect()
+    got = [(r["code"], r["country"]) for r in pins]
+    assert got == [
+        ("600001", "india"),        # 6 digits: US \b rejects it
+        ("90210-1234", "us"),       # greedy ZIP+4, one match
+        ("12345", "us"),
+        ("SW1 2AA", "uk"),          # 'SW1A 1AA' does NOT match the
+                                    # reference's UK pattern (letter
+                                    # after the district digits)
+        ("K1A 0B1", "canada"),      # UK pattern must not claim it
+    ]

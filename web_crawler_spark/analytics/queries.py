@@ -3874,6 +3874,44 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PINS_ORACLE = (
+    """
+    SELECT c_custkey AS key, code, country
+    FROM (SELECT c_custkey,
+                 printf('%06d', 100000 + c_custkey % 899999) AS pi,
+                 printf('%05d', 10000 + c_custkey % 89999) AS pz4,
+                 printf('%05d', 20000 + c_custkey % 9999) AS pz
+          FROM customer)
+    CROSS JOIN LATERAL (VALUES
+        (pi, 'india'),
+        (concat(pz4, '-1234'), 'us'), (pz, 'us'),
+        ('SW1 2AA', 'uk'), ('K1A 0B1', 'canada')) AS v(code, country)
+    """
+)
+
+
+def _pins_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged PIN battery (advanced-extractor.service.js:22-27,393-406):
+    one text per customer carrying an Indian 6-digit PIN (6 consecutive
+    digits, so the US 5-digit pattern's word boundary rejects it), a US
+    ZIP+4 (one greedy match, not ZIP + trailing digits), a plain ZIP, a
+    UK postcode, and a Canadian postcode (which the UK pattern must NOT
+    also claim). Expected codes are closed-form per key."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    z = lambda w, base, mod: F.format_string(f"%0{w}d", (F.lit(base) + k % mod).cast("int"))  # noqa: E731
+    text = F.concat(
+        F.lit("Dispatch PIN "), z(6, 100000, 899999),
+        F.lit(", ZIP "), z(5, 10000, 89999), F.lit("-1234 or "),
+        z(5, 20000, 9999), F.lit(", UK SW1 2AA, CA K1A 0B1."),
+    )
+    return c.select(
+        k.alias("key"),
+        F.explode(R.extract_pins(text)).alias("pin"),
+    ).select("key", F.col("pin.code").alias("code"),
+             F.col("pin.country").alias("country"))
+
+
 _RECORDS_KERNELS_ORACLE = (
     """
     SELECT 'levenshtein' AS kernel, c_custkey AS key, a AS s1, b AS s2,
@@ -3920,6 +3958,12 @@ _RECORDS_KERNELS_ORACLE = (
     FROM ("""
     + _LINE_CAPS_ORACLE
     + """)
+    UNION ALL
+    SELECT 'pins', key, code, country, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL
+    FROM ("""
+    + _PINS_ORACLE
+    + """)
     """
 )
 
@@ -3929,8 +3973,8 @@ def q_records_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 (levenshtein similarity) + X12 (height estimator) + X6 (canonical
     address formatter) + X29/X30 (deterministic row ids) + X21/X22 (needs-JS
     heuristic + page classifier) + X28 (hours/websites/social batteries) +
-    W9/W10 (line/match caps) as one tagged union over their dedicated
-    fixtures. Generic columns: s1-s6 strings, d1/d2 doubles, b1 boolean —
+    W9/W10 (line/match caps) + the tagged per-country PIN battery as one
+    tagged union over their dedicated fixtures. Generic columns: s1-s6 strings, d1/d2 doubles, b1 boolean —
     every kernel output still flows into the driver's value hash."""
     _ns = F.lit(None).cast("string")
     _nd = F.lit(None).cast("double")
@@ -3969,6 +4013,8 @@ def q_records_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
                "instagram")),
         pad(_line_caps_rows(spark, sf_dir), "line_caps", "s_suppkey",
             d=("lines_scanned", "distinct_matches")),
+        pad(_pins_rows(spark, sf_dir), "pins", "key",
+            s=("code", "country")),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -332,3 +332,32 @@ def normalize_address_canonical(address: Column | str) -> Column:
     s = F.regexp_replace(s, r"[,;]+$", "")
     s = F.regexp_replace(s, r"(\d+)\s*-\s*(\d+)", r"$1-$2")
     return s
+
+
+# --- tagged PIN/postal extraction (advanced-extractor.service.js:22-27,
+# 393-406): every match per country pattern, tagged with its country, in
+# the constructor's insertion order (india, us, uk, canada). -------------
+PIN_PATTERNS = [
+    ("india", r"\b\d{6}\b"),
+    ("us", r"\b\d{5}(?:-\d{4})?\b"),
+    ("uk", r"(?i)\b[A-Z]{1,2}\d{1,2}\s?\d[A-Z]{2}\b"),
+    ("canada", r"(?i)\b[A-Z]\d[A-Z]\s?\d[A-Z]\d\b"),
+]
+
+
+def extract_pins(text: Column | str) -> Column:
+    """extractPINs: array<struct<code,country>> of all matches, country
+    batteries concatenated in insertion order."""
+    t = _c(text)
+
+    def tag(country: str):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # PySpark bind it to the array index instead of the closure
+        return lambda c: F.struct(c.alias("code"),
+                                  F.lit(country).alias("country"))
+
+    parts = [
+        F.transform(F.regexp_extract_all(t, F.lit(pat), 0), tag(name))
+        for name, pat in PIN_PATTERNS
+    ]
+    return F.concat(*parts)
