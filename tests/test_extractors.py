@@ -356,3 +356,78 @@ def test_heuristic_gates(hx_rows):
     assert all(s != "tiny" for s in streets)            # length gate
     head = [r for r in hx_rows if r["sourceType"] == "heur_heading"][0]
     assert head["locationName"] == "our locations"      # lowercased heading
+
+
+# ------------------------------------------------ X35 scraper pipeline ----
+# scraper.service.js:5-155,223-309 — the strategy chain and the
+# sequential similarity dedup with longer-address-wins replacement.
+_SC_A = (
+    "<html><head><title>Acme 7 Corp</title></head><body>"
+    '<div class="office-location"><h4>Westwing Hub</h4>12 Keel Street,'
+    " Suite 3, Norfolk, VA 23510</div>"
+    "Depots: 77 Marsh Avenue, Dover, DE 19901 and later"
+    " 77 Marsh Avenue, Dover, DE 19901-8899."
+    "</body></html>"
+)
+_SC_B = (
+    "<html><head><title>Acme 7 Warehouse Group</title>"
+    '<meta name="description" content="Distribution and fulfillment">'
+    '</head><body><div class="contact">Reach our contact desk anytime</div>'
+    "<p>Visit us at 14 Old Mill Hollow, Fairbanks, AK today</p>"
+    "<p>Our office sits at 8 Quay Yard, Juneau, AK for now</p></body></html>"
+)
+_SC_C = (
+    '<html><head><meta property="og:title" content="Acme Agency 7"></head>'
+    "<body><p>General information page with no physical sites listed"
+    " anywhere.</p></body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def sc_rows(spark):
+    rows = [(f"https://t1.example.com/{p}-7", "t1.example.com", b)
+            for p, b in (("a", _SC_A), ("b", _SC_B), ("c", _SC_C))]
+    df = spark.createDataFrame(rows, "url string, seed_host string, body string")
+    out = EX.extract_scraper(df).collect()
+    return {r["sourceUrl"][-3:]: [] for r in out} | {
+        k: [r for r in out if r["sourceUrl"].endswith(k)]
+        for k in ("a-7", "b-7", "c-7")
+    }
+
+
+def test_scraper_dedup_longer_replaces_shorter(sc_rows):
+    a = {r["sourceType"]: r for r in sc_rows["a-7"]}
+    assert len(sc_rows["a-7"]) == 2
+    # the pattern row survives its equal-length body-text duplicate;
+    # the shorter Marsh row is REPLACED by the ZIP+4 variant, which
+    # keeps its pre-dedup index in the name ('Location 3')
+    assert a["scraper_pattern"]["locationName"] == "Westwing Hub"
+    assert a["scraper_pattern"]["street"] == \
+        "12 Keel Street, Suite 3, Norfolk, VA 23510"
+    assert a["scraper_regex"]["locationName"] == "Location 3 - t1.example.com"
+    assert a["scraper_regex"]["street"] == "77 Marsh Avenue, Dover, DE 19901-8899"
+
+
+def test_scraper_basic_last_keyword_wins(sc_rows):
+    (b,) = sc_rows["b-7"]
+    assert b["sourceType"] == "scraper_basic"
+    assert b["locationName"] == "Acme 7 Warehouse Group"  # title tag
+    # 'office' is scanned after 'visit us', so its paragraph wins; the
+    # address-free '.contact' block must not overwrite anything
+    assert b["street"] == "8 Quay Yard, Juneau, AK"
+    assert b["activity"] == "Warehouse"   # title+description keywords
+    assert b["usageShare"] == "Own"
+
+
+def test_scraper_basic_placeholder_and_og_title(sc_rows):
+    (c,) = sc_rows["c-7"]
+    assert c["locationName"] == "Acme Agency 7"           # og:title tier
+    assert c["street"] == "t1.example.com - See website for address"
+    assert c["activity"] == "Office"
+
+
+def test_scraper_head_does_not_leak_into_body_scans(sc_rows):
+    # the <title> digits must not seed a regex match ($('body').text()
+    # excludes head content)
+    assert all(not r["street"].startswith("7 Corp")
+               for r in sc_rows["a-7"])

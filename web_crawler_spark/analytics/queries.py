@@ -3526,6 +3526,102 @@ def _heuristic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EX.extract_heuristic(pages)
 
 
+_U_CITY_S2 = ["Norfolk", "Pembroke", "Quantico", "Radford", "Salem"]
+
+_SCRAPER_ORACLE = (
+    """
+    WITH s AS (
+      SELECT s_suppkey AS k,
+             concat('t', s_suppkey % 9, '.example.com') AS host,
+             """ + _duck_pick(_U_CITY_S2) + """ AS cs,
+             printf('%05d', 23000 + s_suppkey % 899) AS z1,
+             printf('%05d', 19000 + s_suppkey % 899) AS z2
+      FROM supplier
+    )
+    SELECT concat('https://', host, '/a-', k) AS sourceUrl,
+           'scraper_pattern' AS sourceType,
+           'Westwing Hub' AS locationName,
+           concat('12 Keel Street, Suite 3, ', cs, ', VA ', z1) AS street
+    FROM s
+    UNION ALL
+    SELECT concat('https://', host, '/a-', k), 'scraper_regex',
+           concat('Location 3 - ', host),
+           concat('77 Marsh Avenue, Dover, DE ', z2, '-8899')
+    FROM s
+    UNION ALL
+    SELECT concat('https://', host, '/b-', k), 'scraper_basic',
+           concat('Acme ', k, ' Warehouse Group'),
+           '8 Quay Yard, Juneau, AK'
+    FROM s
+    UNION ALL
+    SELECT concat('https://', host, '/c-', k), 'scraper_basic',
+           concat('Acme Agency ', k),
+           concat(host, ' - See website for address')
+    FROM s
+    """
+)
+
+
+def _scraper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 (scraper pipeline): three pages per supplier. Page A has a
+    pattern-selector card whose address also appears twice in body text
+    (a duplicate that collapses and a ZIP+4-longer variant that REPLACES
+    the shorter regex row but not the earlier pattern row — expected
+    survivors are the pattern row and 'Location 3'). Page B has no
+    strategy-2/3 hits so the basic-info fallback fires, with two keyword
+    paragraphs where the LAST keyword ('office') wins over 'visit us',
+    and a '.contact' block without an address that must not overwrite.
+    Page C has neither title tag nor addresses: og:title names it, and
+    the street is the '<host> - See website for address' placeholder
+    (scraper.service.js:5-155,223-309)."""
+    from web_crawler_spark.operators import extract as EX
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    def pick(arr: list[str]) -> Column:
+        return F.element_at(F.array(*[F.lit(c) for c in arr]), (k % 5 + 1).cast("int"))
+
+    cs = pick(_U_CITY_S2)
+    host = F.concat(F.lit("t"), (k % 9).cast("string"), F.lit(".example.com"))
+    z1 = F.format_string("%05d", (F.lit(23000) + k % 899).cast("int"))
+    z2 = F.format_string("%05d", (F.lit(19000) + k % 899).cast("int"))
+    ks = k.cast("string")
+    page_a = F.concat(
+        F.lit("<html><head><title>Acme "), ks,
+        F.lit(' Corp</title></head><body><div class="office-location">'
+              "<h4>Westwing Hub</h4>12 Keel Street, Suite 3, "),
+        cs, F.lit(", VA "), z1,
+        F.lit("</div>Depots: 77 Marsh Avenue, Dover, DE "), z2,
+        F.lit(" and later 77 Marsh Avenue, Dover, DE "), z2,
+        F.lit("-8899.</body></html>"),
+    )
+    page_b = F.concat(
+        F.lit("<html><head><title>Acme "), ks,
+        F.lit(' Warehouse Group</title><meta name="description" '
+              'content="Distribution and fulfillment"></head><body>'
+              '<div class="contact">Reach our contact desk anytime</div>'
+              "<p>Visit us at 14 Old Mill Hollow, Fairbanks, AK today</p>"
+              "<p>Our office sits at 8 Quay Yard, Juneau, AK for now</p>"
+              "</body></html>"),
+    )
+    page_c = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Acme Agency '),
+        ks,
+        F.lit('"></head><body><p>General information page with no physical'
+              " sites listed anywhere.</p></body></html>"),
+    )
+    pages = None
+    for tag, body in (("a", page_a), ("b", page_b), ("c", page_c)):
+        part = s.select(
+            F.concat(F.lit("https://"), host, F.lit(f"/{tag}-"), ks).alias("url"),
+            host.alias("seed_host"),
+            body.alias("body"),
+        )
+        pages = part if pages is None else pages.unionByName(part)
+    return EX.extract_scraper(pages)
+
+
 _EXTRACT_KERNELS_ORACLE = (
     """
     SELECT 'jsonld' AS kernel, sourceUrl, locationName, street, city, postcode,
@@ -3593,6 +3689,16 @@ _EXTRACT_KERNELS_ORACLE = (
     FROM ("""
     + _HEURISTIC_ORACLE
     + """)
+    UNION ALL
+    SELECT sourceType, sourceUrl, locationName, street,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ("""
+    + _SCRAPER_ORACLE
+    + """)
     """
 )
 
@@ -3651,9 +3757,10 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     only aligns columns (typed NULLs for fields a strategy doesn't
     produce). Round-3 additions X32 (data-attribute strategy, tagged
     data_attr), X33 (contact-page scan over findAddressInText, tagged
-    contact_page), and X34 (the four heuristic strategies with the
-    normalized-key first-wins dedup, tagged heur_*) ride the same
-    tagged-union path."""
+    contact_page), X34 (the four heuristic strategies with the
+    normalized-key first-wins dedup, tagged heur_*), and X35 (the
+    scraper chain with the sequential longer-wins similarity dedup,
+    tagged scraper_*) ride the same tagged-union path."""
     stru = _structural_rows(spark, sf_dir)
     parts = [
         _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
@@ -3665,6 +3772,9 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _align_extract_tagged(stru),
         _align_extract_tagged(_dataattr_rows(spark, sf_dir)),
         _align_extract_tagged(_heuristic_rows(spark, sf_dir)),
+        _align_extract_tagged(
+            _scraper_rows(spark, sf_dir).drop("activity", "usageShare")
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:

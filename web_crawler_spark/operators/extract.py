@@ -1026,6 +1026,15 @@ def _hx_collapse(raw: Column) -> Column:
                             r"\s{2,}", " ")
 
 
+def _body_text(html: Column) -> Column:
+    """$('body').text(): tag-stripped text of the <body> element only —
+    head content (title, meta) must NOT leak into body-text scans.
+    Falls back to the whole document when no <body> tag exists."""
+    inner = F.regexp_extract(html, r"(?s)<body[^>]*>(.*?)</body>", 1)
+    scope = F.when(inner != "", inner).otherwise(html)
+    return F.regexp_replace(scope, r"<[^>]+>", "")
+
+
 def _hx_dedup_key(street: Column) -> Column:
     """deduplicateAddresses (:222-245) key: lowercase, collapse runs of
     whitespace, strip non-word chars (in THAT order — a stripped comma
@@ -1127,7 +1136,7 @@ def extract_heuristic(pages: DataFrame) -> DataFrame:
     # strategy 3 — body-text line patterns (:118-155); first 1000
     # non-empty trimmed lines, length [20, 300], any address pattern +
     # looksLikeAddress; street = line with ALL whitespace runs collapsed
-    body_txt = F.regexp_replace("body", r"<[^>]+>", "")
+    body_txt = _body_text(F.col("body"))
     lines = ps.select(
         "sourceUrl",
         F.posexplode(F.slice(
@@ -1182,6 +1191,264 @@ def extract_heuristic(pages: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("sourceUrl", "sourceType", "locationName", "street",
                 "confidence")
+    )
+
+
+# ----------------------------------------------- X35 scraper pipeline ------
+# scraper.service.js — the fallback scraper's strategy chain
+# (extractLocations :5-48): pattern-selector blocks (:223-263), the
+# global body-text US-address regex with Set dedupe and a 50-address cap
+# (:265-289), the basic-info metadata fallback when nothing else hit
+# (:50-94), and removeDuplicatesImproved's sequential similarity dedup
+# (:115-191, longer-address-wins replacement). The scraper's JSON-LD
+# strategy (:192-221) is a strict subset of X15's parser and is not
+# re-ported; fixtures exercise the chain without JSON-LD blocks.
+# The dedup loop is order-dependent by construction, so it runs as a
+# per-page Arrow-batched applyInPandas (pages are the parallel unit).
+
+_SC_ADDR_TIERS = [
+    _FA_US_PATTERN,
+    # greedy quantifiers as in the JS source — on multi-comma text the
+    # tail binds the LAST comma pair, not the first
+    r"(?i)\d+[\s\w,.-]+,\s*[\w\s]+,\s*[A-Za-z]{2}",
+    r"(?i)\d+[\s\w,.-]+\d{5}",
+]
+_SC_KEYWORDS = ["address", "location", "visit us", "find us", "contact",
+                "office"]
+_SC_ACTIVITY = [
+    ("retail", "Retail"), ("store", "Retail"),
+    ("warehouse", "Warehouse"), ("distribution", "Warehouse"),
+    ("manufacturing", "Manufacturing"), ("factory", "Manufacturing"),
+    ("office", "Office"), ("corporate", "Office"),
+    ("restaurant", "Restaurant"), ("food", "Restaurant"),
+]
+
+
+def sc_activity(text: Column) -> Column:
+    """scraper.service.js:95-104 — its own (shorter) keyword chain; OR
+    within a rule line, first line wins, default 'Office'."""
+    t = F.lower(text)
+    expr = None
+    for i in range(0, len(_SC_ACTIVITY), 2):
+        (k1, label), (k2, _) = _SC_ACTIVITY[i], _SC_ACTIVITY[i + 1]
+        cond = t.contains(k1) | t.contains(k2)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return expr.otherwise(F.lit("Office"))
+
+
+def sc_address_from_text(text: Column) -> Column:
+    """scraper extractAddressFromText (:290-309): three tiers (US
+    composite, city-state, generic-with-zip), each gated on match length
+    in (15, 200) — a too-long tier-1 match falls through to tier 2."""
+    tiers = []
+    for pat in _SC_ADDR_TIERS:
+        m = F.trim(F.regexp_extract(text, pat, 0))
+        tiers.append(F.when(F.length(m).between(16, 199), m))
+    return F.coalesce(*tiers)
+
+
+_SC_COLS = ["sourceUrl", "sourceType", "locationName", "street", "activity",
+            "usageShare"]
+_SC_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in _SC_COLS]
+)
+
+
+def _sc_improved_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+    """removeDuplicatesImproved (:115-155) + isSimilarAddress (:155-175)
+    + calculateSimilarity (:177-191), mirrored exactly: sequential over
+    strategy push order; a similar-but-longer address REPLACES the
+    earlier survivor; the seen map keeps stale keys, as the JS does."""
+    import re as _re
+
+    pdf = pdf.sort_values("_seq")
+
+    def norm(addr: str) -> str:
+        return _re.sub(r"\s+", " ", _re.sub(r"[.,\-]", " ", addr.lower())).strip()
+
+    def similarity(a: str, b: str) -> float:
+        w1, w2 = a.split(" "), b.split(" ")
+        common = sum(1 for w in w1 if w in w2)
+        return common / len(set(w1) | set(w2))
+
+    def similar(a: str, b: str) -> bool:
+        n1, n2 = _re.findall(r"\d+", a), _re.findall(r"\d+", b)
+        if len(n1) >= 2 and len(n2) >= 2:
+            if n1[0] == n2[0] and n1[-1] == n2[-1]:
+                return True
+        return similarity(a, b) > 0.7
+
+    seen: dict[str, dict] = {}
+    unique: list[dict] = []
+    for _, row in pdf.iterrows():
+        loc = {c: row[c] for c in _SC_COLS}
+        key = norm(loc["street"])
+        dup = False
+        for k, v in seen.items():
+            if similar(key, k):
+                dup = True
+                if len(loc["street"]) > len(v["street"]):
+                    for i, u in enumerate(unique):
+                        if u["street"] == v["street"]:
+                            unique[i] = loc
+                            seen[key] = loc
+                            break
+                break
+        if not dup:
+            unique.append(loc)
+            seen[key] = loc
+    return pd.DataFrame(unique, columns=_SC_COLS)
+
+
+def extract_scraper(pages: DataFrame) -> DataFrame:
+    """X35: the scraper chain — tagged scraper_pattern / scraper_regex /
+    scraper_basic rows, then the per-page improved dedup."""
+    from web_crawler_spark.functions import urls as U
+
+    ps = _base(pages)
+    host = U.host_of(F.col("sourceUrl"))
+
+    # strategy 2 — pattern-selector blocks (:223-263); selector list
+    # narrowed to class/id containing its keyword stems + itemprop
+    blocks = ps.select(
+        "sourceUrl", host.alias("_host"),
+        F.posexplode(F.regexp_extract_all(
+            "body",
+            F.lit(
+                r'(?s)<(div|section|span|p|address)((?:[^>]*?)\b(?:'
+                r'(?:class|id)="[^"]*(?:location|office|address|contact|'
+                r'headquarters|branch|store-location)[^"]*"|'
+                r'itemprop="address")(?:[^>]*?))>(.*?)</\1>'
+            ),
+            0,
+        )),
+    )
+    blk_text = _u_strip(F.col("col"))
+    blk_addr = sc_address_from_text(blk_text)
+    blk_head = F.nullif(F.trim(F.regexp_extract(
+        "col", r"(?s)<(?:h[1-6]|strong|b)[^>]*>(.*?)</(?:h[1-6]|strong|b)>", 1
+    )), F.lit(""))
+    patt = (
+        blocks.withColumn("_t", blk_text)
+        .withColumn("_a", blk_addr)
+        .filter(F.col("_a").isNotNull() & (F.length("_a") > 15))
+        .select(
+            "sourceUrl",
+            F.lit("scraper_pattern").alias("sourceType"),
+            F.left(F.coalesce(blk_head, F.col("_host")), F.lit(100))
+            .alias("locationName"),
+            F.col("_a").alias("street"),
+            sc_activity(F.col("_t")).alias("activity"),
+            F.lit("Exclusive").alias("usageShare"),
+            (F.lit(0) * 100000 + F.col("pos")).alias("_seq"),
+        )
+    )
+
+    # strategy 3 — global regex sweep (:265-289): Set-dedupe raw matches
+    # in first-occurrence order, cap 50, name carries the 1-based index
+    body_txt = _body_text(F.col("body"))
+    raw = ps.select(
+        "sourceUrl", host.alias("_host"),
+        F.posexplode(
+            F.regexp_extract_all(body_txt, F.lit(_FA_US_PATTERN), 0)
+        ),
+    )
+    w_first = Window.partitionBy("sourceUrl", "col").orderBy("pos")
+    w_idx = Window.partitionBy("sourceUrl").orderBy("pos")
+    rx = (
+        raw.withColumn("_occ", F.row_number().over(w_first))
+        .filter(F.col("_occ") == 1)
+        .withColumn("_idx", F.row_number().over(w_idx))
+        .filter(F.col("_idx") <= 50)
+        .select(
+            "sourceUrl",
+            F.lit("scraper_regex").alias("sourceType"),
+            F.concat(F.lit("Location "), F.col("_idx").cast("string"),
+                     F.lit(" - "), F.col("_host")).alias("locationName"),
+            F.trim("col").alias("street"),
+            F.lit("Office").alias("activity"),
+            F.lit("Exclusive").alias("usageShare"),
+            (F.lit(100000) + F.col("_idx")).alias("_seq"),
+        )
+    )
+
+    found = patt.unionByName(rx)
+
+    # strategy 4 — basic-info fallback (:50-94) on pages with no rows:
+    # title cascade, keyword-section address search where the LAST
+    # keyword with a hit wins (the JS forEach overwrites), else the
+    # '<host> - See website for address' placeholder
+    title = F.coalesce(
+        F.nullif(F.trim(F.regexp_extract(
+            "body", r"(?s)<title[^>]*>(.*?)</title>", 1)), F.lit("")),
+        F.nullif(F.regexp_extract(
+            "body", r'<meta[^>]*property="og:title"[^>]*content="([^"]*)"', 1),
+            F.lit("")),
+        F.nullif(F.trim(_u_strip(F.regexp_extract(
+            "body", r"(?s)<h1[^>]*>(.*?)</h1>", 1))), F.lit("")),
+        host,
+    )
+    desc = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "body", r'<meta[^>]*name="description"[^>]*content="([^"]*)"', 1),
+            F.lit("")),
+        F.nullif(F.regexp_extract(
+            "body", r'<meta[^>]*property="og:description"[^>]*content="([^"]*)"', 1),
+            F.lit("")),
+        F.lit(""),
+    )
+    kw_blocks = ps.select(
+        "sourceUrl", host.alias("_host"),
+        title.alias("_title"), desc.alias("_desc"),
+        F.posexplode(F.regexp_extract_all(
+            "body", F.lit(r"(?s)<(p|div|section|span)[^>]*>(.*?)</\1>"), 2)),
+    )
+    kb_text = _u_strip(F.col("col"))
+    kw_cands = []
+    for kw in _SC_KEYWORDS:
+        w_kw = Window.partitionBy("sourceUrl").orderBy("pos")
+        cand = (
+            kw_blocks.filter(F.lower(kb_text).contains(kw))
+            .withColumn("_kidx", F.row_number().over(w_kw))
+            .filter(F.col("_kidx") <= 6)
+            .withColumn("_t", kb_text)
+            .filter(F.length("_t").between(11, 499))
+            .withColumn("_a", sc_address_from_text(F.col("_t")))
+            .filter(F.col("_a").isNotNull())
+            .withColumn("_r", F.row_number().over(w_kw))
+            .filter(F.col("_r") == 1)
+            .select("sourceUrl", F.col("_a").alias(f"_a_{kw.replace(' ', '_')}"))
+        )
+        kw_cands.append(cand)
+    meta = ps.select("sourceUrl", host.alias("_host"),
+                     title.alias("_title"), desc.alias("_desc"))
+    for cand in kw_cands:
+        meta = meta.join(cand, "sourceUrl", "left")
+    # reverse keyword order: the LAST keyword's hit overwrites the rest
+    addr_cols = [F.col(f"_a_{kw.replace(' ', '_')}")
+                 for kw in reversed(_SC_KEYWORDS)]
+    basic_addr = F.coalesce(
+        *addr_cols,
+        F.concat(F.col("_host"), F.lit(" - See website for address")),
+    )
+    had_rows = found.select("sourceUrl").distinct()
+    basic = (
+        meta.join(had_rows, "sourceUrl", "left_anti")
+        .select(
+            "sourceUrl",
+            F.lit("scraper_basic").alias("sourceType"),
+            F.left(F.col("_title"), F.lit(100)).alias("locationName"),
+            basic_addr.alias("street"),
+            sc_activity(F.concat(F.col("_title"), F.lit(" "), F.col("_desc")))
+            .alias("activity"),
+            F.lit("Own").alias("usageShare"),
+            F.lit(200000).alias("_seq"),
+        )
+    )
+
+    allr = found.unionByName(basic)
+    return allr.groupBy("sourceUrl").applyInPandas(
+        lambda pdf: _sc_improved_dedup(pdf), _SC_SCHEMA
     )
 
 
