@@ -64,6 +64,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(pages: DataFrame) -> DataFrame:
+    """Round-robin the synthesized fixture pages across the cluster.
+
+    The small-SF parquet tables arrive as ONE file partition, so a
+    regex-heavy extractor would otherwise grind through every page on a
+    single core — the fixture must present the well-partitioned input a
+    real page corpus would have. Cost: one tiny shuffle of the fixture
+    rows; the extractors themselves stay shuffle-free."""
+    return pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # Synthetic URL column shared by the crawl-kernel queries: a deterministic
 # URL per part row, exercising hosts, paths, query strings, fragments,
@@ -3171,7 +3182,7 @@ def _h3_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".example.com")).alias("seed_host"),
         body.alias("body"),
     )
-    out = EX.extract_h3_sequential(pages)
+    out = EX.extract_h3_sequential(_spread(pages))
     return out.select(
         "sourceUrl", "confidence", "locationName", "street", "city",
         "postcode", "country",
@@ -3326,7 +3337,7 @@ def _structural_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".example.com")).alias("seed_host"),
         body.alias("body"),
     )
-    return EX.extract_structural(pages)
+    return EX.extract_structural(_spread(pages))
 
 
 _U_CITY_D = ["Riverside", "Lakeview", "Hillsboro", "Greenfield", "Stonewall"]
@@ -3426,6 +3437,7 @@ def _dataattr_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".example.com")).alias("seed_host"),
         body.alias("body"),
     )
+    pages = _spread(pages)
     return EX.extract_data_attributes(pages).drop("activity").unionByName(
         EX.extract_contact_page(pages).drop("activity"), allowMissingColumns=True
     )
@@ -3523,7 +3535,7 @@ def _heuristic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".example.com")).alias("seed_host"),
         body.alias("body"),
     )
-    return EX.extract_heuristic(pages)
+    return EX.extract_heuristic(_spread(pages))
 
 
 _U_CITY_S2 = ["Norfolk", "Pembroke", "Quantico", "Radford", "Salem"]
@@ -3619,7 +3631,7 @@ def _scraper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             body.alias("body"),
         )
         pages = part if pages is None else pages.unionByName(part)
-    return EX.extract_scraper(pages)
+    return EX.extract_scraper(_spread(pages))
 
 
 _EXTRACT_KERNELS_ORACLE = (

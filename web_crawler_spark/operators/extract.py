@@ -1372,7 +1372,10 @@ def extract_scraper(pages: DataFrame) -> DataFrame:
         )
     )
 
-    found = patt.unionByName(rx)
+    # lazy local checkpoint: `found` feeds both the output union and the
+    # has-rows anti-join for the fallback gate — without it the whole
+    # strategy-2/3 regex pass runs twice per action
+    found = patt.unionByName(rx).localCheckpoint(eager=False)
 
     # strategy 4 — basic-info fallback (:50-94) on pages with no rows:
     # title cascade, keyword-section address search where the LAST
@@ -1397,33 +1400,42 @@ def extract_scraper(pages: DataFrame) -> DataFrame:
             F.lit("")),
         F.lit(""),
     )
+    # keyword-section search, one pass (narrowed to p/div/section/span
+    # blocks; the jQuery `*:contains` would also count ancestors): a
+    # running per-keyword count gives the reference's first-6-elements
+    # window, then one aggregation takes the first eligible block per
+    # keyword — no per-keyword join chain
     kw_blocks = ps.select(
-        "sourceUrl", host.alias("_host"),
-        title.alias("_title"), desc.alias("_desc"),
+        "sourceUrl",
         F.posexplode(F.regexp_extract_all(
             "body", F.lit(r"(?s)<(p|div|section|span)[^>]*>(.*?)</\1>"), 2)),
     )
     kb_text = _u_strip(F.col("col"))
-    kw_cands = []
+    kb = kw_blocks.select(
+        "sourceUrl", "pos",
+        kb_text.alias("_t"),
+        sc_address_from_text(kb_text).alias("_a"),
+    )
+    w_run = (
+        Window.partitionBy("sourceUrl").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    aggs = []
     for kw in _SC_KEYWORDS:
-        w_kw = Window.partitionBy("sourceUrl").orderBy("pos")
-        cand = (
-            kw_blocks.filter(F.lower(kb_text).contains(kw))
-            .withColumn("_kidx", F.row_number().over(w_kw))
-            .filter(F.col("_kidx") <= 6)
-            .withColumn("_t", kb_text)
-            .filter(F.length("_t").between(11, 499))
-            .withColumn("_a", sc_address_from_text(F.col("_t")))
-            .filter(F.col("_a").isNotNull())
-            .withColumn("_r", F.row_number().over(w_kw))
-            .filter(F.col("_r") == 1)
-            .select("sourceUrl", F.col("_a").alias(f"_a_{kw.replace(' ', '_')}"))
+        col = f"_a_{kw.replace(' ', '_')}"
+        has_kw = F.lower(F.col("_t")).contains(kw)
+        kidx = F.sum(has_kw.cast("int")).over(w_run)
+        eligible = (
+            has_kw & (kidx <= 6)
+            & F.length("_t").between(11, 499)
+            & F.col("_a").isNotNull()
         )
-        kw_cands.append(cand)
+        kb = kb.withColumn(col, F.when(eligible, F.struct("pos", "_a")))
+        aggs.append(F.min(col)["_a"].alias(col))
+    cands = kb.groupBy("sourceUrl").agg(*aggs)
     meta = ps.select("sourceUrl", host.alias("_host"),
-                     title.alias("_title"), desc.alias("_desc"))
-    for cand in kw_cands:
-        meta = meta.join(cand, "sourceUrl", "left")
+                     title.alias("_title"), desc.alias("_desc")) \
+             .join(cands, "sourceUrl", "left")
     # reverse keyword order: the LAST keyword's hit overwrites the rest
     addr_cols = [F.col(f"_a_{kw.replace(' ', '_')}")
                  for kw in reversed(_SC_KEYWORDS)]
