@@ -383,15 +383,35 @@ _SC_C = (
 )
 
 
+# first-6-elements window (`if (i > 5) return false`): the only address
+# sits in the SEVENTH keyword-bearing block, past the cutoff
+_SC_D = (
+    "<html><head><title>Acme Seven Annex</title></head><body>"
+    + "".join(f"<p>office wing {w} holds no mail drop</p>"
+              for w in ("ay", "bee", "cee", "dee", "ee", "eff"))
+    + "<p>office mail: 8 Quay Yard, Juneau, AK</p></body></html>"
+)
+# a 10-char keyword block fails the >10 length gate but still CONSUMES a
+# window slot; the address block is the sixth element, last inside the cap
+_SC_E = (
+    "<html><head><title>Acme Seven Depot</title></head><body>"
+    "<p>office now</p>"
+    + "".join(f"<p>office wing {w} holds no mail drop</p>"
+              for w in ("gee", "aitch", "eye", "jay"))
+    + "<p>office at 9 Elm Walk, Juneau, AK</p></body></html>"
+)
+
+
 @pytest.fixture(scope="module")
 def sc_rows(spark):
     rows = [(f"https://t1.example.com/{p}-7", "t1.example.com", b)
-            for p, b in (("a", _SC_A), ("b", _SC_B), ("c", _SC_C))]
+            for p, b in (("a", _SC_A), ("b", _SC_B), ("c", _SC_C),
+                         ("d", _SC_D), ("e", _SC_E))]
     df = spark.createDataFrame(rows, "url string, seed_host string, body string")
     out = EX.extract_scraper(df).collect()
     return {r["sourceUrl"][-3:]: [] for r in out} | {
         k: [r for r in out if r["sourceUrl"].endswith(k)]
-        for k in ("a-7", "b-7", "c-7")
+        for k in ("a-7", "b-7", "c-7", "d-7", "e-7")
     }
 
 
@@ -431,3 +451,21 @@ def test_scraper_head_does_not_leak_into_body_scans(sc_rows):
     # excludes head content)
     assert all(not r["street"].startswith("7 Corp")
                for r in sc_rows["a-7"])
+
+
+def test_scraper_keyword_window_stops_after_six_elements(sc_rows):
+    # scraper.service.js:74 `if (i > 5) return false` — the 7th
+    # keyword-bearing element is never examined, so page d falls back to
+    # the placeholder even though that element holds a parseable address
+    (d,) = sc_rows["d-7"]
+    assert d["sourceType"] == "scraper_basic"
+    assert d["street"] == "t1.example.com - See website for address"
+
+
+def test_scraper_keyword_window_counts_ineligible_elements(sc_rows):
+    # the 10-char 'office now' block fails the length gate but still
+    # consumes window slot i=0 (the JS counts every matched element);
+    # the address block is element i=5 — last inside the cap — and wins
+    (e,) = sc_rows["e-7"]
+    assert e["sourceType"] == "scraper_basic"
+    assert e["street"] == "9 Elm Walk, Juneau, AK"
