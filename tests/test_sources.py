@@ -243,3 +243,89 @@ def test_first_working_sitemap_unknown_paths_rank_last(spark):
         "acme.com": "/sitemap.xml",  # conventional beats custom
         "solo.org": "/another.xml",  # custom wins only when alone
     }
+
+
+# ------------------------------------------------- pdf location battery -----
+# Expected rows are pinned from executing the reference's pure text
+# functions (pdf-extractor.service.js extractLocationsFromText +
+# deduplicateLocations, node v20) on these exact fixture texts; they pin
+# the strategy battery, emission order, the i<len-3 structured window,
+# the ±100/±150 context naming, the key.length>5 drop, and the
+# cross-strategy first-wins dedup.
+_PDF_FIXTURES = {
+    "va": ("Main Office\nAcme Corp\n12 harbor ave\nSpringfield, IL 62704\n"
+           "USA\nTel: 555-0100\nBranch registry"),
+    "vb": ("Our Offices\nLeeds Hub\n4 mill lane\nLeeds, LS1 4AB\n"
+           "Amsterdam Depot\nKeizersgracht 100\nAmsterdam, 1015 CJ"),
+    "vc": ("Visit us, office crew\nname, two\n12 st\nmore, lines\nhere, now\n"
+           "unseen branch tail"),
+    "vd": "office 5\n1\nb\nc",
+    "ve": "global presence\nBeta Annex\nDover\nDE 19901\nDover, DE 19901",
+}
+
+_PDF_EXPECTED = {
+    "va": [
+        ("pdf_struct", "Main Office",
+         "Acme Corp, 12 harbor ave, Springfield, IL 62704, USA",
+         None, None, None, None),
+        ("pdf_us", "Main Office", "Springfield, IL 62704",
+         "Springfield", "IL", "62704", "USA"),
+        ("pdf_street", "Main Office", _PDF_FIXTURES["va"],
+         None, None, None, None),
+    ],
+    "vb": [
+        ("pdf_struct", "Our Offices",
+         "Leeds Hub, 4 mill lane, Leeds, LS1 4AB, Amsterdam Depot",
+         None, None, None, None),
+        ("pdf_uk", "Our Offices", "Leeds, LS1 4AB",
+         None, None, "LS1 4AB", "GBR"),
+        ("pdf_nl", "Our Offices", "Amsterdam, 1015 CJ",
+         None, None, "1015 CJ", "NLD"),
+        ("pdf_street", "Our Offices", _PDF_FIXTURES["vb"],
+         None, None, None, None),
+        ("pdf_section", "Leeds Hub", "4 mill lane, Leeds, LS1 4AB",
+         None, None, None, None),
+        ("pdf_section", "Amsterdam Depot",
+         "Keizersgracht 100, Amsterdam, 1015 CJ",
+         None, None, None, None),
+    ],
+    "vc": [
+        ("pdf_struct", "Visit us, office crew",
+         "name, two, 12 st, more, lines, here, now",
+         None, None, None, None),
+        ("pdf_street", "unseen branch tail", _PDF_FIXTURES["vc"],
+         None, None, None, None),
+    ],
+    # the structured candidate's key 'a,b,c' has length 5 -> dropped
+    "vd": [],
+    # US sweep runs before sections: the section window's identical
+    # normalized address is suppressed by first-wins
+    "ve": [
+        ("pdf_us", "global presence", "Dover, DE 19901",
+         "Dover", "DE", "19901", "USA"),
+    ],
+}
+
+
+def test_pdf_location_battery_matches_reference(spark):
+    df = spark.createDataFrame(
+        list(_PDF_FIXTURES.items()), "sourceUrl string, text string"
+    )
+    out = P.extract_pdf_locations(df).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["sourceUrl"], r["ord"])):
+        got.setdefault(r["sourceUrl"], []).append(
+            (r["strategy"], r["locationName"], r["locationAddress"],
+             r["city"], r["state"], r["postcode"], r["countryIso3"])
+        )
+        assert r["sourceType"] == "pdf"
+    for name, exp in _PDF_EXPECTED.items():
+        assert got.get(name, []) == exp, name
+
+
+def test_pdf_locations_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", ""), ("u3", "   \n \n")],
+        "sourceUrl string, text string",
+    )
+    assert P.extract_pdf_locations(df).count() == 0

@@ -1854,20 +1854,87 @@ def q_api_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pdf_text_extract",
-    oracle="""
-    SELECT concat('https://docs.example.com/', doc_id, '.pdf') AS sourceUrl,
+# X36 oracle fixtures: five PDF texts exercising the full pdf-extractor
+# location battery; expected rows pinned from executing the reference's
+# pure text functions (pdf-extractor.service.js:43-298, node) on these
+# exact texts — see tests/test_sources.py for the per-strategy pins.
+_PDF_LOC_FIXTURES = {
+    "va": 'Main Office\nAcme Corp\n12 harbor ave\nSpringfield, IL 62704\nUSA\nTel: 555-0100\nBranch registry',
+    "vb": 'Our Offices\nLeeds Hub\n4 mill lane\nLeeds, LS1 4AB\nAmsterdam Depot\nKeizersgracht 100\nAmsterdam, 1015 CJ',
+    "vc": 'Visit us, office crew\nname, two\n12 st\nmore, lines\nhere, now\nunseen branch tail',
+    "vd": 'office 5\n1\nb\nc',
+    "ve": 'global presence\nBeta Annex\nDover\nDE 19901\nDover, DE 19901',
+}
+
+_PDF_LOC_VALUES = """
+        ('va', 0, 'pdf_struct', 'Main Office', 'Acme Corp, 12 harbor ave, Springfield, IL 62704, USA', NULL, NULL, NULL, NULL),
+        ('va', 1, 'pdf_us', 'Main Office', 'Springfield, IL 62704', 'Springfield', 'IL', '62704', 'USA'),
+        ('va', 2, 'pdf_street', 'Main Office', 'Main Office
+Acme Corp
+12 harbor ave
+Springfield, IL 62704
+USA
+Tel: 555-0100
+Branch registry', NULL, NULL, NULL, NULL),
+        ('vb', 0, 'pdf_struct', 'Our Offices', 'Leeds Hub, 4 mill lane, Leeds, LS1 4AB, Amsterdam Depot', NULL, NULL, NULL, NULL),
+        ('vb', 1, 'pdf_uk', 'Our Offices', 'Leeds, LS1 4AB', NULL, NULL, 'LS1 4AB', 'GBR'),
+        ('vb', 2, 'pdf_nl', 'Our Offices', 'Amsterdam, 1015 CJ', NULL, NULL, '1015 CJ', 'NLD'),
+        ('vb', 3, 'pdf_street', 'Our Offices', 'Our Offices
+Leeds Hub
+4 mill lane
+Leeds, LS1 4AB
+Amsterdam Depot
+Keizersgracht 100
+Amsterdam, 1015 CJ', NULL, NULL, NULL, NULL),
+        ('vb', 4, 'pdf_section', 'Leeds Hub', '4 mill lane, Leeds, LS1 4AB', NULL, NULL, NULL, NULL),
+        ('vb', 5, 'pdf_section', 'Amsterdam Depot', 'Keizersgracht 100, Amsterdam, 1015 CJ', NULL, NULL, NULL, NULL),
+        ('vc', 0, 'pdf_struct', 'Visit us, office crew', 'name, two, 12 st, more, lines, here, now', NULL, NULL, NULL, NULL),
+        ('vc', 1, 'pdf_street', 'unseen branch tail', 'Visit us, office crew
+name, two
+12 st
+more, lines
+here, now
+unseen branch tail', NULL, NULL, NULL, NULL),
+        ('ve', 0, 'pdf_us', 'global presence', 'Dover, DE 19901', 'Dover', 'DE', '19901', 'USA')
+"""
+
+_PDF_EXTRACT_ORACLE = """
+    SELECT 'envelope' AS kernel,
+           concat('https://docs.example.com/', doc_id, '.pdf') AS sourceUrl,
            cast(1 + doc_id % 9 AS int) AS pages,
-           true AS decode_ok
+           true AS decode_ok,
+           CAST(NULL AS BIGINT) AS ord, CAST(NULL AS VARCHAR) AS strategy,
+           CAST(NULL AS VARCHAR) AS locationName,
+           CAST(NULL AS VARCHAR) AS locationAddress,
+           CAST(NULL AS VARCHAR) AS city, CAST(NULL AS VARCHAR) AS state,
+           CAST(NULL AS VARCHAR) AS postcode,
+           CAST(NULL AS VARCHAR) AS countryIso3
     FROM documents
-    """,
-)
+    UNION ALL
+    SELECT 'pdf_locations',
+           concat('https://docs.example.com/', doc_id, '-', variant, '.pdf'),
+           NULL, NULL, ord::BIGINT, strategy, locationName, locationAddress,
+           city, state, postcode, countryIso3
+    FROM documents
+    CROSS JOIN (VALUES
+""" + _PDF_LOC_VALUES + """
+    ) AS v(variant, ord, strategy, locationName, locationAddress,
+           city, state, postcode, countryIso3)
+"""
+
+
+@query("pdf_text_extract", oracle=_PDF_EXTRACT_ORACLE)
 def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: document text → MINIPDF binary capsule → mapInPandas text
-    extraction (pdf-extractor.service.js:9-38). Round-trips every document
-    through the binary column path; text equality is unit-tested, the
-    oracle checks the (url, pages, decode) envelope end-to-end."""
+    """S7 + X36 as one tagged union. 'envelope' rows round-trip every
+    document through the binary column path (MINIPDF capsule → mapInPandas
+    text extraction, pdf-extractor.service.js:9-38); 'pdf_locations' rows
+    push five adversarial fixture texts per document through the SAME
+    binary path and then the full location battery
+    (pdf-extractor.service.js:43-298): structured keyword blocks, the
+    US/UK/NL/street pattern sweeps with context-window naming, section
+    strides, and the first-wins normalized-address dedup. Expected
+    location rows are closed-form literals pinned from the reference's
+    own text functions."""
     import pandas as pd
 
     from web_crawler_spark.sources import pdf as P
@@ -1893,7 +1960,45 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     pdfs = docs.mapInPandas(encode, "sourceUrl string, bytes binary")
-    return P.extract_pdf_text(pdfs).select("sourceUrl", "pages", "decode_ok")
+    nstr = F.lit(None).cast("string")
+    env = P.extract_pdf_text(pdfs).select(
+        F.lit("envelope").alias("kernel"),
+        "sourceUrl", "pages", "decode_ok",
+        F.lit(None).cast("bigint").alias("ord"),
+        nstr.alias("strategy"), nstr.alias("locationName"),
+        nstr.alias("locationAddress"), nstr.alias("city"),
+        nstr.alias("state"), nstr.alias("postcode"),
+        nstr.alias("countryIso3"),
+    )
+
+    variants = F.array(*[
+        F.struct(F.lit(v).alias("variant"), F.lit(t).alias("ftext"))
+        for v, t in _PDF_LOC_FIXTURES.items()
+    ])
+    fdocs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(variants).alias("v"))
+        .select(
+            F.concat(
+                F.lit("https://docs.example.com/"), "doc_id", F.lit("-"),
+                F.col("v.variant"), F.lit(".pdf"),
+            ).alias("sourceUrl"),
+            F.col("v.ftext").alias("text"),
+            F.lit(1).alias("pages"),
+        )
+    )
+    fpdfs = fdocs.mapInPandas(encode, "sourceUrl string, bytes binary")
+    ftexts = P.extract_pdf_text(fpdfs)
+    loc = P.extract_pdf_locations(ftexts).select(
+        F.lit("pdf_locations").alias("kernel"),
+        "sourceUrl",
+        F.lit(None).cast("int").alias("pages"),
+        F.lit(None).cast("boolean").alias("decode_ok"),
+        F.col("ord").cast("bigint").alias("ord"),
+        "strategy", "locationName", "locationAddress",
+        "city", "state", "postcode", "countryIso3",
+    )
+    return env.unionByName(loc)
 
 
 @query(
