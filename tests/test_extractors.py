@@ -469,3 +469,110 @@ def test_scraper_keyword_window_counts_ineligible_elements(sc_rows):
     (e,) = sc_rows["e-7"]
     assert e["sourceType"] == "scraper_basic"
     assert e["street"] == "9 Elm Walk, Juneau, AK"
+
+
+# ----------------------------------------------------- X37 map detection ---
+def test_map_coords_cascade_reference_order(spark):
+    """The six patterns of map-detector.service.js:71-129 in order, plus
+    the truthy-object semantics (found=True with NULL coords for NaN
+    parseFloats) and searchParams decoding ('+', %XX)."""
+    from web_crawler_spark.operators import extract as EX
+
+    cases = [
+        ("https://g.com/maps/@12.5,-70.25,15z", True, 12.5, -70.25),
+        ("https://g.com/maps/place/!3d1.5!4d2.5", True, 1.5, 2.5),
+        ("https://g.com/?q=Foo+Bar+7.25,-8.5", True, 7.25, -8.5),
+        ("https://g.com/?q=12.25%2C-13.5", True, 12.25, -13.5),
+        ("https://g.com/?center=5.5,6.5", True, 5.5, 6.5),
+        ("https://g.com/?center=notanum,6.5", True, None, 6.5),
+        ("https://g.com/?lat=1.5&lng=2.5", True, 1.5, 2.5),
+        ("https://g.com/?lat=&lon=&lng=7.5", True, None, 7.5),
+        ("https://osm.org/?mlat=3.25&mlon=4.5", True, 3.25, 4.5),
+        # hash is not a query: ?q= inside the fragment must not count
+        ("https://g.com/path#?q=9.5,9.5", False, None, None),
+        ("https://g.com/plain", False, None, None),
+        # integer coords do not satisfy the \d+\.\d+ patterns
+        ("https://g.com/maps/@12,-70", False, None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "u string")
+    got = {
+        r["u"]: (r["c"]["found"], r["c"]["lat"], r["c"]["lon"])
+        for r in df.select("u", EX.map_coords(F.col("u")).alias("c")).collect()
+    }
+    for u, found, lat, lon in cases:
+        assert got[u] == (found, lat, lon), u
+
+
+def test_detect_map_iframes_gates_and_order(spark):
+    from web_crawler_spark.operators import extract as EX
+
+    body = (
+        '<iframe src="https://www.google.com/maps/@40.75,-73.99,15z">'
+        "</iframe>"
+        '<iframe src="https://other.example.com/notamap"></iframe>'
+        '<iframe src="/embed/mapbox-view"></iframe>'
+        '<a href="https://maps.app.goo.gl/XYZ">No coords link</a>'
+        '<a href="https://www.google.com/maps/place/!3d1.5!4d2.5">'
+        "<b>Visit</b> HQ</a>"
+        '<a href="/directions/here">Not a google link</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://base.example.com/contact/page", body)],
+        "url string, body string",
+    )
+    rows = EX.detect_map_iframes(df).orderBy("ord").collect()
+    assert [
+        (r["ord"], r["kind"], r["src"], r["coords_found"], r["provider"],
+         r["text"]) for r in rows
+    ] == [
+        (0, "iframe", "https://www.google.com/maps/@40.75,-73.99,15z",
+         True, "google", None),
+        # relative src resolves against the base URL's directory
+        (1, "iframe", "https://base.example.com/embed/mapbox-view",
+         False, "mapbox", None),
+        # link rows require coordinates and strip inner tags from text
+        (2, "link", "https://www.google.com/maps/place/!3d1.5!4d2.5",
+         True, "google", "Visit HQ"),
+    ]
+
+
+def test_detect_data_attributes_pair_json_and_fallback(spark):
+    from web_crawler_spark.operators import extract as EX
+
+    body = (
+        '<div id="hq" class="pin" data-lat="12.5" data-lon="-70.25">x</div>'
+        '<span data-latitude="1.25" data-lng="3.5">y</span>'
+        "<p data-location='{\"lat\":1.5,\"lon\":2.5}'>z</p>"
+        '<p data-location="3.5, 4.75">w</p>'
+        # JSON zeros are falsy in the reference -> dropped
+        "<p data-location='{\"lat\":0,\"lon\":2.5}'>zero</p>"
+        '<p data-lat="9.5">lat only</p>'
+    )
+    df = spark.createDataFrame([("https://b.com/p", body)],
+                               "url string, body string")
+    rows = EX.detect_data_attributes(df).orderBy("ord").collect()
+    assert [(r["lat"], r["lon"], r["element"]) for r in rows] == [
+        (12.5, -70.25, "DIV#hq.pin"),
+        (1.25, 3.5, "SPAN"),
+        (1.5, 2.5, None),
+        (3.5, 4.75, None),
+    ]
+
+
+def test_resolve_url_subset(spark):
+    from web_crawler_spark.functions import urls as U
+
+    cases = [
+        ("https://x.com/a", "https://b.com/c/d", "https://x.com/a"),
+        ("//cdn.x.com/a", "https://b.com/c/d", "https://cdn.x.com/a"),
+        ("/root/p", "https://b.com/c/d?q=1", "https://b.com/root/p"),
+        ("rel/p", "https://b.com/c/d", "https://b.com/c/rel/p"),
+        ("rel", "https://b.com", "https://b.com/rel"),
+        ("a#frag", "https://b.com/c/", "https://b.com/c/a"),
+    ]
+    df = spark.createDataFrame(cases, "href string, base string, want string")
+    got = df.select(
+        U.resolve_url("href", "base").alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]

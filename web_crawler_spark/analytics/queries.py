@@ -2602,6 +2602,121 @@ def _map_url_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAP_DETECT_ORACLE = r"""
+    WITH m AS (
+      SELECT p_partkey AS k,
+             (p_partkey % 1700) / 10.0 - 85.0 AS la,
+             (p_partkey % 3500) / 10.0 - 175.0 AS lo
+      FROM part
+    )
+    SELECT k, ord, kind, src, coords_found, lat, lon, provider, label
+    FROM m
+    CROSS JOIN LATERAL (VALUES
+        (0, 'iframe',
+         concat('https://www.google.com/maps/@', la, ',', lo, ',15z'),
+         true, round(la, 6), round(lo, 6), 'google', CAST(NULL AS VARCHAR)),
+        (1, 'iframe',
+         concat('https://m', k % 7, '.example.com/embed/mapbox/', k),
+         false, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'mapbox', NULL),
+        (2, 'link',
+         concat('https://www.google.com/maps/place/!3d', la, '!4d', lo),
+         true, round(la, 6), round(lo, 6), 'google',
+         concat('Visit office ', k))
+    ) AS v(ord, kind, src, coords_found, lat, lon, provider, label)
+    """
+
+
+def _map_detect_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 map detection (map-detector.service.js:11-64): per part row a
+    page carrying a google @lat,lon iframe (coords + provider), a
+    non-map iframe (gated out), a relative mapbox iframe (resolved
+    against the base URL, emitted with no coords), a goo.gl anchor with
+    no coordinates (links REQUIRE coords — gated out), a google !3d!4d
+    anchor (emitted with its tag-stripped text), and a same-host
+    /directions anchor that fails the provider gate."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    las = ((k % 1700) / 10.0 - 85.0).cast("string")
+    los = ((k % 3500) / 10.0 - 175.0).cast("string")
+    base = F.concat(F.lit("https://m"), (k % 7).cast("string"),
+                    F.lit(".example.com/maps/page"), ks)
+    body = F.concat(
+        F.lit('<iframe src="https://www.google.com/maps/@'), las,
+        F.lit(","), los, F.lit(',15z"></iframe>'),
+        F.lit('<iframe src="https://other.example.com/notamap"></iframe>'),
+        F.lit('<iframe src="/embed/mapbox/'), ks, F.lit('"></iframe>'),
+        F.lit('<a href="https://maps.app.goo.gl/nc'), ks,
+        F.lit('">Short</a>'),
+        F.lit('<a href="https://www.google.com/maps/place/!3d'), las,
+        F.lit("!4d"), los, F.lit('"><b>Visit</b> office '), ks,
+        F.lit("</a>"),
+        F.lit('<a href="/directions/x">Plain</a>'),
+    )
+    det = EX.detect_map_iframes(p.select(base.alias("url"), body.alias("body")))
+    return det.select(
+        F.regexp_extract("sourceUrl", r"page(\d+)$", 1)
+        .cast("long").alias("k"),
+        "ord", "kind", "src", "coords_found",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        "provider", F.col("text").alias("label"),
+    )
+
+
+_MAP_DATAATTR_ORACLE = r"""
+    WITH m AS (
+      SELECT p_partkey AS k,
+             (p_partkey % 1700) / 10.0 - 85.0 AS la,
+             (p_partkey % 3500) / 10.0 - 175.0 AS lo
+      FROM part
+    )
+    SELECT k, ord, lat, lon, label
+    FROM m
+    CROSS JOIN LATERAL (VALUES
+        (0, round(la, 6), round(lo, 6),
+         concat('DIV#pin', k, '.loc')),
+        (1, 1.5, 2.5, CAST(NULL AS VARCHAR)),
+        (2, 3.5, 4.75, NULL)
+    ) AS v(ord, lat, lon, label)
+    """
+
+
+def _map_dataattr_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 data-attribute coordinates (map-detector.service.js:136-175):
+    a data-lat/data-lon pair with the element identity, a valid-JSON
+    data-location, a "lat,lon" string fallback, a falsy-zero JSON that
+    must drop, and a lat-only element that emits nothing."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    las = ((k % 1700) / 10.0 - 85.0).cast("string")
+    los = ((k % 3500) / 10.0 - 175.0).cast("string")
+    body = F.concat(
+        F.lit('<div id="pin'), ks, F.lit('" class="loc" data-lat="'), las,
+        F.lit('" data-lon="'), los, F.lit('">A</div>'),
+        F.lit("<p data-location='{\"lat\":1.5,\"lon\":2.5}'>B</p>"),
+        F.lit('<p data-location="3.5, 4.75">C</p>'),
+        F.lit("<p data-location='{\"lat\":0,\"lon\":2.5}'>D</p>"),
+        F.lit('<p data-lat="9.5">E</p>'),
+    )
+    base = F.concat(F.lit("https://m"), (k % 7).cast("string"),
+                    F.lit(".example.com/attr/page"), ks)
+    det = EX.detect_data_attributes(
+        p.select(base.alias("url"), body.alias("body"))
+    )
+    return det.select(
+        F.regexp_extract("sourceUrl", r"page(\d+)$", 1)
+        .cast("long").alias("k"),
+        "ord",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.col("element").alias("label"),
+    )
+
+
 _LF_EXT_RE = U._EXT_RE.replace("'", "''")
 _LF_PAT_RE = U._PAT_RE.replace("'", "''")
 
@@ -4003,31 +4118,45 @@ _CRAWL_URL_ORACLE = (
            is_bad_scheme AS flag_a, is_same_domain AS flag_b,
            is_excluded AS flag_c,
            CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
-           CAST(NULL AS BIGINT) AS priority, CAST(NULL AS BIGINT) AS rank
+           CAST(NULL AS BIGINT) AS priority, CAST(NULL AS BIGINT) AS rank,
+           CAST(NULL AS VARCHAR) AS provider, CAST(NULL AS VARCHAR) AS label
     FROM ("""
     + _LINK_FILTER_ORACLE
     + """)
     UNION ALL
     SELECT 'robots_gate', p_partkey, url, NULL, is_blocked, NULL, NULL,
-           NULL, NULL, NULL, NULL
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM ("""
     + _ROBOTS_GATE_ORACLE
     + """)
     UNION ALL
     SELECT 'map_url', p_partkey, map_url, NULL, NULL, NULL, NULL,
-           lat::DOUBLE, lon::DOUBLE, NULL, NULL
+           lat::DOUBLE, lon::DOUBLE, NULL, NULL, NULL, NULL
     FROM ("""
     + _MAP_URL_ORACLE
     + """)
     UNION ALL
+    SELECT CASE kind WHEN 'iframe' THEN 'map_iframe' ELSE 'map_link' END,
+           k, src, NULL, coords_found, NULL, NULL,
+           lat::DOUBLE, lon::DOUBLE, NULL, ord::BIGINT, provider, label
+    FROM ("""
+    + _MAP_DETECT_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'map_dataattr', k, NULL, NULL, NULL, NULL, NULL,
+           lat::DOUBLE, lon::DOUBLE, NULL, ord::BIGINT, NULL, label
+    FROM ("""
+    + _MAP_DATAATTR_ORACLE
+    + """)
+    UNION ALL
     SELECT 'discover', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
-           priority, rank
+           priority, rank, NULL, NULL
     FROM ("""
     + _LINK_DISCOVERY_ORACLE
     + """)
     UNION ALL
     SELECT 'doc_route', k, url, NULL, is_pdf, is_doc, is_home, NULL, NULL,
-           NULL, NULL
+           NULL, NULL, NULL, NULL
     FROM ("""
     + _DOC_ROUTE_ORACLE
     + """)
@@ -4058,6 +4187,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_excluded").alias("flag_c"),
         _nd.alias("lat"), _nd.alias("lon"),
         _nl.alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
     )
     rg = _robots_gate_rows(spark, sf_dir).select(
         F.lit("robots_gate").alias("kernel"),
@@ -4067,6 +4197,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb.alias("flag_b"), _nb.alias("flag_c"),
         _nd.alias("lat"), _nd.alias("lon"),
         _nl.alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
     )
     mu = _map_url_rows(spark, sf_dir).select(
         F.lit("map_url").alias("kernel"),
@@ -4076,6 +4207,26 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").cast("double").alias("lat"),
         F.col("lon").cast("double").alias("lon"),
         _nl.alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
+    md = _map_detect_rows(spark, sf_dir).select(
+        F.when(F.col("kind") == "iframe", F.lit("map_iframe"))
+        .otherwise(F.lit("map_link")).alias("kernel"),
+        F.col("k").alias("key"), F.col("src").alias("url"),
+        _ns.alias("canonical"),
+        F.col("coords_found").alias("flag_a"),
+        _nb.alias("flag_b"), _nb.alias("flag_c"),
+        "lat", "lon", _nl.alias("priority"),
+        F.col("ord").cast("long").alias("rank"),
+        "provider", "label",
+    )
+    da = _map_dataattr_rows(spark, sf_dir).select(
+        F.lit("map_dataattr").alias("kernel"),
+        F.col("k").alias("key"), _ns.alias("url"), _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        "lat", "lon", _nl.alias("priority"),
+        F.col("ord").cast("long").alias("rank"),
+        _ns.alias("provider"), "label",
     )
     ld = _link_discovery_rows(spark, sf_dir).select(
         F.lit("discover").alias("kernel"),
@@ -4085,6 +4236,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
         _nd.alias("lat"), _nd.alias("lon"),
         "priority", "rank",
+        _ns.alias("provider"), _ns.alias("label"),
     )
     dr = _doc_route_rows(spark, sf_dir).select(
         F.lit("doc_route").alias("kernel"),
@@ -4095,9 +4247,11 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_home").alias("flag_c"),
         _nd.alias("lat"), _nd.alias("lon"),
         _nl.alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
     )
     return (
-        lf.unionByName(rg).unionByName(mu).unionByName(ld).unionByName(dr)
+        lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
+        .unionByName(ld).unionByName(dr)
     )
 
 

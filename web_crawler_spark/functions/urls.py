@@ -85,6 +85,31 @@ def path_of(url: Column | str) -> Column:
     return F.regexp_extract(c, r"^https?://[^/?#]+(/[^?#]*)", 1)
 
 
+def resolve_url(href: Column | str, base: Column | str) -> Column:
+    """``new URL(href, base).toString().split('#')[0]`` — the shared
+    relative-URL resolution of the reference (map-detector.service.js:
+    183-189, link-explorer, site-crawler), fragment stripped.
+
+    Regex-expressible subset: absolute and protocol-relative hrefs resolve
+    exactly; root-relative hrefs join the base origin; other relatives
+    join the base URL's directory (dot segments are not collapsed)."""
+    h = F.col(href) if isinstance(href, str) else href
+    b = F.col(base) if isinstance(base, str) else base
+    origin = F.regexp_extract(b, r"^(https?:)//([^/?#]+)", 0)
+    scheme = F.regexp_extract(b, r"^(https?:)", 1)
+    base_nofrag = F.regexp_extract(b, r"^([^?#]+)", 1)
+    base_dir = F.when(
+        base_nofrag.rlike(r"^https?://[^/]*$"), base_nofrag
+    ).otherwise(F.regexp_replace(base_nofrag, r"/[^/]*$", ""))
+    resolved = (
+        F.when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), h)
+        .when(h.startswith("//"), F.concat(scheme, h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(base_dir, F.lit("/"), h))
+    )
+    return F.regexp_extract(resolved, r"^([^#]*)", 1)
+
+
 def is_excluded(url: Column | str) -> Column:
     """True if URL hits an excluded extension or path pattern (:52-79)."""
     c = F.lower(F.col(url) if isinstance(url, str) else url)

@@ -199,28 +199,121 @@ def extract_microdata(pages: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------- X14 map ---
+_MAP_DEC = r"(-?\d+\.\d+),\s*(-?\d+\.\d+)"
+
+
+def parse_float_prefix(v: Column) -> Column:
+    """JS ``parseFloat``: longest numeric prefix after leading whitespace,
+    NULL (JS NaN) when none."""
+    num = F.regexp_extract(
+        F.regexp_replace(v, r"^\s+", ""),
+        r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?",
+        0,
+    )
+    return F.nullif(num, F.lit("")).cast("double")
+
+
+def _map_param(url: Column, name: str) -> Column:
+    """``u.searchParams.get(name)`` narrowed to explicit ``name=value``
+    pairs before any fragment; NULL when absent. Values are form-decoded
+    (percent escapes and '+' for space) like searchParams."""
+    nofrag = F.substring_index(url, "#", 1)
+    has = nofrag.rlike(r"[?&]" + name + "=")
+    raw = F.regexp_extract(nofrag, r"[?&]" + name + r"=([^&]*)", 1)
+    return F.when(has, F.try_url_decode(raw))
+
+
+def map_coords(url: Column) -> Column:
+    """X14 cascade (map-detector.service.js:71-129) — the reference's six
+    patterns in order over pathname+search+hash: @lat,lon / !3d!4d / ?q= /
+    ?center= / lat&(lon|lng) / mlat&mlon.
+
+    Returns struct(found, lat, lon): ``found`` mirrors the reference
+    returning a coords OBJECT (truthy even when a parseFloat inside came
+    out NaN — NaN maps to NULL lat/lon here), so callers gating on
+    "coords present" (:50) behave identically."""
+    path = F.regexp_replace(url, r"^https?://[^/?#]*", "")
+    at_lat = F.regexp_extract(path, r"@" + _MAP_DEC, 1)
+    at_lon = F.regexp_extract(path, r"@" + _MAP_DEC, 2)
+    d3_lat = F.regexp_extract(path, r"!3d(-?\d+\.\d+)!4d(-?\d+\.\d+)", 1)
+    d3_lon = F.regexp_extract(path, r"!3d(-?\d+\.\d+)!4d(-?\d+\.\d+)", 2)
+    q = _map_param(url, "q")
+    q_lat = F.regexp_extract(q, _MAP_DEC, 1)
+    q_lon = F.regexp_extract(q, _MAP_DEC, 2)
+    center = _map_param(url, "center")
+    cparts = F.split(center, ",")
+    lat_p = _map_param(url, "lat")
+    # get('lon') || get('lng'): an empty lon value falls through to lng
+    lon_p = F.coalesce(F.nullif(_map_param(url, "lon"), F.lit("")),
+                       _map_param(url, "lng"))
+    has_lonish = (
+        F.substring_index(url, "#", 1).rlike(r"[?&]lon=")
+        | F.substring_index(url, "#", 1).rlike(r"[?&]lng=")
+    )
+    mlat = _map_param(url, "mlat")
+    mlon = _map_param(url, "mlon")
+
+    def found(lat, lon):
+        return F.struct(
+            F.lit(True).alias("found"),
+            lat.alias("lat"),
+            lon.alias("lon"),
+        )
+
+    dbl = lambda c: F.nullif(c, F.lit("")).cast("double")  # noqa: E731
+    return (
+        F.when(at_lat != "", found(dbl(at_lat), dbl(at_lon)))
+        .when(d3_lat != "", found(dbl(d3_lat), dbl(d3_lon)))
+        .when(q.isNotNull() & (q_lat != ""), found(dbl(q_lat), dbl(q_lon)))
+        .when(
+            center.isNotNull() & (F.size(cparts) == 2),
+            found(
+                parse_float_prefix(F.element_at(cparts, 1)),
+                parse_float_prefix(F.element_at(cparts, 2)),
+            ),
+        )
+        .when(
+            lat_p.isNotNull() & has_lonish,
+            found(parse_float_prefix(lat_p), parse_float_prefix(lon_p)),
+        )
+        .when(
+            mlat.isNotNull() & mlon.isNotNull(),
+            found(parse_float_prefix(mlat), parse_float_prefix(mlon)),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(False).alias("found"),
+                F.lit(None).cast("double").alias("lat"),
+                F.lit(None).cast("double").alias("lon"),
+            )
+        )
+    )
+
+
 def map_coord_lat(src: Column) -> Column:
-    """X14 cascade (map-detector.service.js:71-129): @lat,lon / !3d!4d /
-    ?q= / ?center= / lat&lon — first match wins via coalesce."""
-    pats = [
-        r"@(-?\d+\.?\d*),(-?\d+\.?\d*)",
-        r"!3d(-?\d+\.?\d*)!4d(-?\d+\.?\d*)",
-        r"[?&]q=(-?\d+\.?\d*),(-?\d+\.?\d*)",
-        r"[?&]center=(-?\d+\.?\d*),(-?\d+\.?\d*)",
-    ]
-    first = [F.regexp_extract(src, p, 1) for p in pats]
-    return F.coalesce(*[F.when(c != "", c) for c in first]).cast("double")
+    """First-match latitude of the X14 cascade (NULL when no pattern)."""
+    return map_coords(src)["lat"]
 
 
 def map_coord_lon(src: Column) -> Column:
-    pats = [
-        r"@(-?\d+\.?\d*),(-?\d+\.?\d*)",
-        r"!3d(-?\d+\.?\d*)!4d(-?\d+\.?\d*)",
-        r"[?&]q=(-?\d+\.?\d*),(-?\d+\.?\d*)",
-        r"[?&]center=(-?\d+\.?\d*),(-?\d+\.?\d*)",
-    ]
-    second = [F.regexp_extract(src, p, 2) for p in pats]
-    return F.coalesce(*[F.when(c != "", c) for c in second]).cast("double")
+    return map_coords(src)["lon"]
+
+
+def map_provider(url_lower: Column) -> Column:
+    """detectMapProvider (map-detector.service.js:196-203) — ordered
+    substring cascade over the LOWERCASED raw url."""
+    return (
+        F.when(
+            url_lower.contains("google.com/maps")
+            | url_lower.contains("maps.app.goo.gl"),
+            F.lit("google"),
+        )
+        .when(url_lower.contains("bing.com/maps"), F.lit("bing"))
+        .when(url_lower.contains("openstreetmap"), F.lit("openstreetmap"))
+        .when(url_lower.contains("mapbox"), F.lit("mapbox"))
+        .when(url_lower.contains("leaflet"), F.lit("leaflet"))
+        .otherwise(F.lit("unknown"))
+    )
 
 
 def extract_map(pages: DataFrame) -> DataFrame:
@@ -245,6 +338,211 @@ def extract_map(pages: DataFrame) -> DataFrame:
             "latitude": map_coord_lat(src),
             "longitude": map_coord_lon(src),
         },
+    )
+
+
+# X37: full map detection (map-detector.service.js:11-64 detectMapIframes
+# + :136-175 detectDataAttributes). Per-row HOF algebra over the tag
+# arrays — like the PDF battery, detection never shuffles. Selector
+# narrowings: attributes are read from double-quoted ``attr="..."`` forms
+# and data-* attribute names are matched lowercase.
+_MAP_IFRAME_MARKERS = [
+    "google.com/maps", "bing.com/maps", "openstreetmap",
+    "mapbox", "maps.app.goo.gl", "leafletjs",
+]
+
+_MAP_CAND_TYPE = (
+    "struct<kind:string,src:string,coords_found:boolean,lat:double,"
+    "lon:double,provider:string,text:string>"
+)
+
+
+def _attr(tag: Column, name: str) -> Column:
+    """attr value of a double- or single-quoted HTML attribute, NULL when
+    absent (the JSON-bearing data-location values are single-quoted in
+    the wild, so both styles are read)."""
+    return (
+        F.when(
+            tag.rlike(r'(?i)\b' + name + '="'),
+            F.regexp_extract(tag, r'(?i)\b' + name + r'="([^"]*)"', 1),
+        )
+        .when(
+            tag.rlike(r"(?i)\b" + name + "='"),
+            F.regexp_extract(tag, r"(?i)\b" + name + r"='([^']*)'", 1),
+        )
+    )
+
+
+def detect_map_iframes(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """detectMapIframes (:11-64): provider-marked ``<iframe src>`` tags
+    (emitted even without coordinates) followed by google-maps anchor
+    links (emitted only when the URL yields coordinates, with the anchor
+    text). ``ord`` is the reference's emission order within the page."""
+    from web_crawler_spark.functions import urls as U
+
+    base_url = F.col("sourceUrl")
+
+    def iframe_cand(tag):
+        src = F.coalesce(_attr(tag, "src"), F.lit(""))
+        src_l = F.lower(src)
+        hit = F.lit(False)
+        for m in _MAP_IFRAME_MARKERS:
+            hit = hit | src_l.contains(m)
+        full = U.resolve_url(src, base_url)
+        co = map_coords(full)
+        return F.when(
+            (src != "") & hit,
+            F.struct(
+                F.lit("iframe").alias("kind"),
+                full.alias("src"),
+                co["found"].alias("coords_found"),
+                co["lat"].alias("lat"),
+                co["lon"].alias("lon"),
+                map_provider(src_l).alias("provider"),
+                F.lit(None).cast("string").alias("text"),
+            ),
+        )
+
+    def link_cand(a):
+        href = F.coalesce(F.regexp_extract(a, r'(?i)<a\b[^>]*\bhref="([^"]*)"', 1), F.lit(""))
+        href_l = F.lower(href)
+        css = href.contains("maps") | href.contains("directions")
+        gate = href_l.contains("google.com/maps") | href_l.contains(
+            "maps.app.goo.gl"
+        )
+        full = U.resolve_url(href, base_url)
+        co = map_coords(full)
+        return F.when(
+            css & gate & co["found"],
+            F.struct(
+                F.lit("link").alias("kind"),
+                full.alias("src"),
+                F.lit(True).alias("coords_found"),
+                co["lat"].alias("lat"),
+                co["lon"].alias("lon"),
+                F.lit("google").alias("provider"),
+                F.trim(F.regexp_replace(a, r"<[^>]+>", "")).alias("text"),
+            ),
+        )
+
+    body = F.col("body")
+    iframes = F.filter(
+        F.transform(
+            F.regexp_extract_all(body, F.lit(r"(?i)<iframe\b[^>]*>"), 0),
+            iframe_cand,
+        ),
+        lambda c: c.isNotNull(),
+    )
+    links = F.filter(
+        F.transform(
+            F.regexp_extract_all(body, F.lit(r"(?is)<a\b[^>]*>.*?</a>"), 0),
+            link_cand,
+        ),
+        lambda c: c.isNotNull(),
+    )
+    out = pages.select(
+        F.col(url_col).alias("sourceUrl"), F.col(body_col).alias("body")
+    ).select("sourceUrl", F.posexplode(F.concat(iframes, links)))
+    return out.select(
+        "sourceUrl",
+        F.col("pos").cast("long").alias("ord"),
+        F.col("col.kind").alias("kind"),
+        F.col("col.src").alias("src"),
+        F.col("col.coords_found").alias("coords_found"),
+        F.col("col.lat").alias("lat"),
+        F.col("col.lon").alias("lon"),
+        F.col("col.provider").alias("provider"),
+        F.col("col.text").alias("text"),
+    )
+
+
+def detect_data_attributes(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """detectDataAttributes (:136-175): elements carrying data-lat /
+    data-latitude / data-location. Each element can emit two rows in
+    reference order — the attribute pair (with the element identity
+    rendered as ``TAG#id.class``) and the data-location value (valid
+    JSON with truthy lat+lon, else a "lat,lon" regex parse). JSON zeros
+    are falsy in the reference and stay dropped here."""
+    selector = r"(?i)\bdata-(lat|latitude|location)=[\"']"
+
+    def ident(tag):
+        tagname = F.upper(F.regexp_extract(tag, r"<([a-zA-Z][a-zA-Z0-9]*)", 1))
+        idp = _attr(tag, "id")
+        cls = _attr(tag, "class")
+        return F.concat(
+            tagname,
+            F.coalesce(F.concat(F.lit("#"), idp), F.lit("")),
+            F.coalesce(F.concat(F.lit("."), cls), F.lit("")),
+        )
+
+    def pair_cand(tag):
+        lat = F.coalesce(
+            F.nullif(_attr(tag, "data-lat"), F.lit("")),
+            F.nullif(_attr(tag, "data-latitude"), F.lit("")),
+        )
+        lon = F.coalesce(
+            F.nullif(_attr(tag, "data-lon"), F.lit("")),
+            F.nullif(_attr(tag, "data-lng"), F.lit("")),
+            F.nullif(_attr(tag, "data-longitude"), F.lit("")),
+        )
+        return F.when(
+            lat.isNotNull() & lon.isNotNull(),
+            F.struct(
+                parse_float_prefix(lat).alias("lat"),
+                parse_float_prefix(lon).alias("lon"),
+                ident(tag).alias("element"),
+            ),
+        )
+
+    def loc_cand(tag):
+        loc = F.nullif(_attr(tag, "data-location"), F.lit(""))
+        parsed = F.from_json(loc, "lat double, lon double")
+        json_ok = F.try_parse_json(loc).isNotNull()
+        truthy = (
+            parsed["lat"].isNotNull() & (parsed["lat"] != 0.0)
+            & parsed["lon"].isNotNull() & (parsed["lon"] != 0.0)
+        )
+        r_lat = F.regexp_extract(loc, _MAP_DEC, 1)
+        r_lon = F.regexp_extract(loc, _MAP_DEC, 2)
+        null_el = F.lit(None).cast("string").alias("element")
+        return F.when(
+            loc.isNotNull() & json_ok & truthy,
+            F.struct(
+                parsed["lat"].alias("lat"), parsed["lon"].alias("lon"), null_el
+            ),
+        ).when(
+            loc.isNotNull() & ~json_ok & (r_lat != ""),
+            F.struct(
+                F.nullif(r_lat, F.lit("")).cast("double").alias("lat"),
+                F.nullif(r_lon, F.lit("")).cast("double").alias("lon"),
+                null_el,
+            ),
+        )
+
+    body = F.col("body")
+    tags = F.filter(
+        F.regexp_extract_all(body, F.lit(r"(?i)<[a-zA-Z][^>]*>"), 0),
+        lambda t: t.rlike(selector),
+    )
+    cands = F.filter(
+        F.flatten(
+            F.transform(tags, lambda t: F.array(pair_cand(t), loc_cand(t)))
+        ),
+        lambda c: c.isNotNull(),
+    )
+    out = pages.select(
+        F.col(url_col).alias("sourceUrl"), F.col(body_col).alias("body")
+    ).select("sourceUrl", F.posexplode(cands))
+    return out.select(
+        "sourceUrl",
+        F.col("pos").cast("long").alias("ord"),
+        F.col("col.lat").alias("lat"),
+        F.col("col.lon").alias("lon"),
+        F.col("col.element").alias("element"),
     )
 
 
