@@ -576,3 +576,109 @@ def test_resolve_url_subset(spark):
     ).collect()
     for r in got:
         assert r["got"] == r["want"]
+
+
+# --------------------------------------- X38 location-extractor DOM set ----
+_LD_PAT = ('<html><head><title>T9</title></head><body><p>45 Mill Lane Leeds'
+           ' LS1 4AB. Call 12 Harbor Street, Suite 9, Springfield, IL 62704'
+           ' now. Keizersgracht 100, 1015 CJ Amsterdam</p></body></html>')
+_LD_TBL = ('<body><table><tr><td>Springfield Office</td>'
+           '<td>12 Harbor Street, Springfield, IL 62704</td>'
+           '<td>Tel 217-555-0133 x@acme.com</td></tr>'
+           '<tr><td>tiny</td><td>x</td></tr>'
+           '<tr><td></td><td>34 Elm Street, Madison, WI 53703</td></tr>'
+           '</table><table><tr><td>No keyword</td>'
+           '<td>77 Oak Road, Dover, DE 19901</td></tr></table></body>')
+_LD_SEC = ('<body><section class="location"><h3>Downtown Hub</h3>'
+           '<p>88 Pine Street, Portland, OR 97204</p>'
+           '<p>Tel 503-555-0199 and open daily</p></section>'
+           '<div id="contact-main">Our crew sits at 9 Elm Road, Salem,'
+           ' OR 97301 every day of the year</div>'
+           '<div class="location">tiny</div>'
+           '<section class="office">no address here but definitely enough'
+           ' padding text to pass fifty</section></body>')
+_LD_LST = ('<body><ul class="locations-list">'
+           '<li>Harbor Annex 14 Bay Street, Oakland, CA 94607 Tel'
+           ' 510-555-0142 a@b.io</li>'
+           '<li>too short</li>'
+           '<article><h4>Lake Office</h4><p>irrelevant filler</p>'
+           '<p>215 Lake Avenue, Duluth, MN 55802</p></article>'
+           '<div class="office-item">Main office building'
+           ' <p>Fifth floor west wing entrance</p></div>'
+           '</ul><ul class="wp-block-group"><li>No address in this item'
+           ' but long enough text</li></ul></body>')
+
+
+@pytest.fixture(scope="module")
+def ld_pages(spark):
+    return spark.createDataFrame(
+        [(f"https://lp0.example.com/{p}", "lp0.example.com", b)
+         for p, b in (("pat", _LD_PAT), ("tbl", _LD_TBL),
+                      ("sec", _LD_SEC), ("lst", _LD_LST))],
+        "url string, seed_host string, body string",
+    )
+
+
+def test_loc_patterns_five_sweeps(ld_pages):
+    rows = EX.extract_loc_patterns(
+        ld_pages.where("url like '%/pat'")
+    ).orderBy("ord").collect()
+    # pattern-sweep order: US, UK, NL postcode+city, NL full; the
+    # flexible pattern has no match; idx counts per pattern (all ' 1')
+    assert [(r["locationName"], r["street"], r["phone"], r["email"],
+             r["activity"], r["usageShare"]) for r in rows] == [
+        ("lp0.example.com - Location 1",
+         "12 Harbor Street, Suite 9, Springfield, IL 62704",
+         "", "", "Office", "Exclusive"),
+        ("lp0.example.com - Location 1", "45 Mill Lane Leeds LS1 4AB",
+         "", "", "Office", "Exclusive"),
+        ("lp0.example.com - Location 1", "1015 CJ Amsterdam",
+         "", "", "Office", "Exclusive"),
+        ("lp0.example.com - Location 1",
+         "Keizersgracht 100, 1015 CJ Amsterdam",
+         "", "", "Office", "Exclusive"),
+    ]
+
+
+def test_loc_tables_gates_and_fallback_name(ld_pages):
+    rows = EX.extract_loc_tables(
+        ld_pages.where("url like '%/tbl'")
+    ).orderBy("ord").collect()
+    # second table lacks address/location/office in its text -> skipped
+    # entirely; 'tiny' row fails the addr gate; empty first cell falls
+    # back to 'Location ${row ordinal+1}'
+    assert [(r["locationName"], r["street"], r["phone"], r["email"])
+            for r in rows] == [
+        ("Springfield Office", "12 Harbor Street, Springfield, IL 62704",
+         "217-555-0133", "x@acme.com"),
+        ("Location 3", "34 Elm Street, Madison, WI 53703", "", ""),
+    ]
+
+
+def test_loc_sections_gates_and_names(ld_pages):
+    rows = EX.extract_loc_sections(
+        ld_pages.where("url like '%/sec'")
+    ).orderBy("ord").collect()
+    # <50-char and no-address sections drop; heading names the first,
+    # the id*=contact div falls back to its match ordinal
+    assert [(r["locationName"], r["street"], r["phone"]) for r in rows] == [
+        ("Downtown Hub", "88 Pine Street, Portland, OR 97204",
+         "503-555-0199"),
+        ("Location 2", "9 Elm Road, Salem, OR 97301", ""),
+    ]
+
+
+def test_loc_lists_name_cascade_and_p_fallback(ld_pages):
+    rows = EX.extract_loc_lists(
+        ld_pages.where("url like '%/lst'")
+    ).orderBy("ord").collect()
+    assert [(r["locationName"], r["street"], r["phone"], r["email"])
+            for r in rows] == [
+        # no heading -> first comma segment of the address
+        ("14 Bay Street", "14 Bay Street, Oakland, CA 94607",
+         "510-555-0142", "a@b.io"),
+        ("Lake Office", "215 Lake Avenue, Duluth, MN 55802", "", ""),
+        # regex miss -> inner-<p> text becomes the address AND the name
+        ("Fifth floor west wing entrance", "Fifth floor west wing entrance",
+         "", ""),
+    ]

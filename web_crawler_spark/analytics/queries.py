@@ -3760,6 +3760,118 @@ def _heuristic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _U_CITY_S2 = ["Norfolk", "Pembroke", "Quantico", "Radford", "Salem"]
 
+_LOC_DOM_ORACLE = """
+    WITH b AS (
+      SELECT p_partkey AS k,
+             concat('lp', p_partkey % 7, '.example.com') AS host
+      FROM part
+    )
+    SELECT sourceType,
+           concat('https://', host, '/loc', k, '/', pg) AS sourceUrl,
+           coalesce(nm, concat(host, ' - Location 1')) AS locationName,
+           street, phone, email
+    FROM b
+    CROSS JOIN (VALUES
+        ('pat', 'loc_patterns', CAST(NULL AS VARCHAR),
+         '12 Harbor Street, Suite 9, Springfield, IL 62704', '', ''),
+        ('pat', 'loc_patterns', NULL, '45 Mill Lane Leeds LS1 4AB', '', ''),
+        ('pat', 'loc_patterns', NULL, '1015 CJ Amsterdam', '', ''),
+        ('pat', 'loc_patterns', NULL,
+         'Keizersgracht 100, 1015 CJ Amsterdam', '', ''),
+        ('tbl', 'loc_tables', 'Springfield Office',
+         '12 Harbor Street, Springfield, IL 62704', '217-555-0133',
+         'x@acme.com'),
+        ('tbl', 'loc_tables', 'Location 3',
+         '34 Elm Street, Madison, WI 53703', '', ''),
+        ('sec', 'loc_sections', 'Downtown Hub',
+         '88 Pine Street, Portland, OR 97204', '503-555-0199', ''),
+        ('sec', 'loc_sections', 'Location 2',
+         '9 Elm Road, Salem, OR 97301', '', ''),
+        ('lst', 'loc_lists', '14 Bay Street',
+         '14 Bay Street, Oakland, CA 94607', '510-555-0142', 'a@b.io'),
+        ('lst', 'loc_lists', 'Lake Office',
+         '215 Lake Avenue, Duluth, MN 55802', '', ''),
+        ('lst', 'loc_lists', 'Fifth floor west wing entrance',
+         'Fifth floor west wing entrance', '', '')
+    ) AS v(pg, sourceType, nm, street, phone, email)
+    """
+
+_LOC_PAT_BODY = (
+    "<html><head><title>T9</title></head><body><p>45 Mill Lane Leeds"
+    " LS1 4AB. Call 12 Harbor Street, Suite 9, Springfield, IL 62704 now."
+    " Keizersgracht 100, 1015 CJ Amsterdam</p></body></html>"
+)
+_LOC_TBL_BODY = (
+    "<body><table><tr><td>Springfield Office</td>"
+    "<td>12 Harbor Street, Springfield, IL 62704</td>"
+    "<td>Tel 217-555-0133 x@acme.com</td></tr>"
+    "<tr><td>tiny</td><td>x</td></tr>"
+    "<tr><td></td><td>34 Elm Street, Madison, WI 53703</td></tr></table>"
+    "<table><tr><td>No keyword</td><td>77 Oak Road, Dover, DE 19901</td>"
+    "</tr></table></body>"
+)
+_LOC_SEC_BODY = (
+    '<body><section class="location"><h3>Downtown Hub</h3>'
+    "<p>88 Pine Street, Portland, OR 97204</p>"
+    "<p>Tel 503-555-0199 and open daily</p></section>"
+    '<div id="contact-main">Our crew sits at 9 Elm Road, Salem, OR 97301'
+    " every day of the year</div>"
+    '<div class="location">tiny</div>'
+    '<section class="office">no address here but definitely enough'
+    " padding text to pass fifty</section></body>"
+)
+_LOC_LST_BODY = (
+    '<body><ul class="locations-list">'
+    "<li>Harbor Annex 14 Bay Street, Oakland, CA 94607 Tel 510-555-0142"
+    " a@b.io</li>"
+    "<li>too short</li>"
+    "<article><h4>Lake Office</h4><p>irrelevant filler</p>"
+    "<p>215 Lake Avenue, Duluth, MN 55802</p></article>"
+    '<div class="office-item">Main office building'
+    " <p>Fifth floor west wing entrance</p></div>"
+    "</ul>"
+    '<ul class="wp-block-group"><li>No address in this item but long'
+    " enough text</li></ul></body>"
+)
+
+
+def _loc_dom_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: location-extractor's own four DOM strategies over dedicated
+    adversarial pages per part row. The pattern page exercises all five
+    regex sweeps (four hits, flexible-pattern miss); the table page pins
+    the table-text keyword gate (second table skipped), the row-length
+    gate, and the 'Location ${'{'}row+1{'}'}' first-cell fallback; the
+    section page pins the 50-char gate, the heading name, and the
+    match-ordinal fallback; the list page pins the item-length gate, the
+    findAddressInText path, the heading name, the address-first-segment
+    name, and the inner-<p> address fallback (the reference's last-<p>
+    branch is dead code — see extract_loc_lists)."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    host = F.concat(F.lit("lp"), (k % 7).cast("string"), F.lit(".example.com"))
+
+    def pages_for(pg: str, body: str) -> DataFrame:
+        return p.select(
+            F.concat(F.lit("https://"), host, F.lit("/loc"),
+                     k.cast("string"), F.lit("/"), F.lit(pg)).alias("url"),
+            host.alias("seed_host"),
+            F.lit(body).alias("body"),
+        )
+
+    parts = [
+        EX.extract_loc_patterns(pages_for("pat", _LOC_PAT_BODY)),
+        EX.extract_loc_tables(pages_for("tbl", _LOC_TBL_BODY)),
+        EX.extract_loc_sections(pages_for("sec", _LOC_SEC_BODY)),
+        EX.extract_loc_lists(pages_for("lst", _LOC_LST_BODY)),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 _SCRAPER_ORACLE = (
     """
     WITH s AS (
@@ -3931,6 +4043,15 @@ _EXTRACT_KERNELS_ORACLE = (
     FROM ("""
     + _SCRAPER_ORACLE
     + """)
+    UNION ALL
+    SELECT sourceType, sourceUrl, locationName, street,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), phone, email, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ("""
+    + _LOC_DOM_ORACLE
+    + """)
     """
 )
 
@@ -4006,6 +4127,9 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _align_extract_tagged(_heuristic_rows(spark, sf_dir)),
         _align_extract_tagged(
             _scraper_rows(spark, sf_dir).drop("activity", "usageShare")
+        ),
+        _align_extract_tagged(
+            _loc_dom_rows(spark, sf_dir).drop("activity", "usageShare")
         ),
     ]
     out = parts[0]

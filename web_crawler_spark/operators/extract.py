@@ -1798,3 +1798,434 @@ def extract_all(pages: DataFrame, min_confidence: float = CONFIDENCE_FLOOR) -> D
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.filter(F.col("confidence") >= min_confidence)
+
+
+# ---------------------------------------------------------------------------
+# X38: location-extractor's own four DOM strategies (location-extractor.
+# service.js:154-348) — strategies 3-6 of its extractAllLocations stack:
+# location lists/grids (:154-231), individual sections (:233-274),
+# location tables (:276-307), and the 5-pattern address-regex sweep
+# (:309-348). Column algebra over block arrays, one narrow pass each.
+#
+# Selector narrowings (same doctrine as X31/X34): blocks are matched as
+# tag-balanced non-greedy spans with double-quoted attributes, items
+# nested inside a consumed block are not re-scanned, and the reference's
+# per-selector iteration (which re-emits an element once per matching
+# selector, later collapsed by its normalized-address dedup :505-528) is
+# narrowed to one emission per matched element in document order; the
+# `Location ${i+1}` fallback numbers that document-order scan.
+# ---------------------------------------------------------------------------
+
+_LOC_PHONE_RE = r"(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}"
+_LOC_EMAIL_RE = r"[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+# :314-329 — the five body-text address patterns, in sweep order
+_LP_PATTERNS = [
+    # US street + optional suite + city + state + zip
+    r"(?i)\d+\s+[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\s+(?:Street|St|Avenue|Ave|Road|Rd|"
+    r"Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Circle|Cir|Way|Parkway|Pkwy|Plaza|"
+    r"Plz|Terrace|Ter|Highway|Hwy)[.,]?\s*(?:Suite|Ste|Unit|Apt|#)?\s*[\w\d-]*"
+    r"[.,]?\s*[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*[.,]?\s*[A-Z]{2}\s*\d{5}(?:-\d{4})?",
+    # UK simplified
+    r"(?i)\d+\s+[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*[.,]?\s*[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*"
+    r"[.,]?\s*[A-Z]{1,2}\d{1,2}\s*\d[A-Z]{2}",
+    # NL postcode + city
+    r"(?i)\d{4}\s*[A-Z]{2}\s+[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*",
+    # NL street + postcode + city
+    r"(?i)[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\s+\d+[a-z]?\s*,?\s*\d{4}\s*[A-Z]{2}\s+[A-Z][a-z]+",
+    # flexible "n words, words, ST 12345"
+    r"(?i)\d+\s+[\w\s]+,\s*[\w\s]+,\s*[A-Z]{2}\s+\d{5}",
+]
+
+_LOC_CAND_TYPE = (
+    "struct<locationName:string,street:string,phone:string,email:string,"
+    "activity:string,usageShare:string>"
+)
+
+
+def _loc_phone(text: Column) -> Column:
+    """extractPhone (:477-482): first NANP-ish match, '' when none."""
+    return F.trim(F.regexp_extract(text, _LOC_PHONE_RE, 0))
+
+
+def _loc_email(text: Column) -> Column:
+    """extractEmail (:484-489)."""
+    return F.trim(F.regexp_extract(text, _LOC_EMAIL_RE, 0))
+
+
+def _strip_tags(html: Column) -> Column:
+    """cheerio .text(): text nodes concatenated with NO separator."""
+    return F.regexp_replace(html, r"<[^>]+>", "")
+
+
+def _loc_activity(text: Column) -> Column:
+    from web_crawler_spark.functions.records import classify_activity
+
+    return classify_activity(text)
+
+
+def _loc_cand(name: Column, addr: Column, phone: Column, email: Column,
+              activity: Column) -> Column:
+    """The common record shape (:216-223 / :261-268 / :293-300): name
+    clipped to 100 chars, usageShare pinned 'Exclusive'."""
+    return F.struct(
+        F.substring(name, 1, 100).alias("locationName"),
+        addr.alias("street"),
+        phone.alias("phone"),
+        email.alias("email"),
+        activity.alias("activity"),
+        F.lit("Exclusive").alias("usageShare"),
+    )
+
+
+def _class_attr(tag: Column) -> Column:
+    return F.coalesce(F.regexp_extract(tag, r'(?i)\bclass="([^"]*)"', 1), F.lit(""))
+
+
+def _id_attr(tag: Column) -> Column:
+    return F.coalesce(F.regexp_extract(tag, r'(?i)\bid="([^"]*)"', 1), F.lit(""))
+
+
+def _class_token(tag: Column, token: str) -> Column:
+    return _class_attr(tag).rlike(r"(?:^|\s)" + token + r"(?:\s|$)")
+
+
+def extract_loc_patterns(pages: DataFrame) -> DataFrame:
+    """X38 strategy 6 (:309-348): five regex sweeps over $('body').text();
+    each match emits (hostname - Location idx+1, trimmed match, activity
+    'Office', empty phone/email), idx counted per pattern."""
+    ps = _base(pages)
+    host = F.regexp_extract("sourceUrl", r"^https?://([^/:?#]+)", 1)
+    body_txt = _body_text(F.col("body"))
+    sweeps = [
+        F.transform(
+            F.regexp_extract_all(body_txt, F.lit(p), 0),
+            lambda m, i: _loc_cand(
+                F.concat(host, F.lit(" - Location "),
+                         (i + 1).cast("string")),
+                F.trim(m), F.lit(""), F.lit(""), F.lit("Office"),
+            ),
+        )
+        for p in _LP_PATTERNS
+    ]
+    out = ps.select(
+        "sourceUrl", "seed_host", F.posexplode(F.concat(*sweeps))
+    )
+    return out.select(
+        "sourceUrl", "seed_host",
+        F.col("pos").cast("long").alias("ord"),
+        F.lit("loc_patterns").alias("sourceType"),
+        "col.locationName", "col.street", "col.phone", "col.email",
+        "col.activity", "col.usageShare",
+    )
+
+
+def extract_loc_tables(pages: DataFrame) -> DataFrame:
+    """X38 strategy 5 (:276-307): tables whose text mentions
+    address/location/office; per <tr>, findAddressInText over the row
+    text gated at length > 15; the name is the first cell's text with a
+    'Location ${row ordinal+1}' fallback."""
+    ps = _base(pages)
+
+    def row_cands(table):
+        rows = F.regexp_extract_all(table, F.lit(r"(?is)<tr\b[^>]*>.*?</tr>"), 0)
+
+        def one(row, j):
+            row_text = _strip_tags(row)
+            addr = find_address_in_text(row_text)
+            first_cell = F.trim(
+                _strip_tags(
+                    F.regexp_extract(row, r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]>", 1)
+                )
+            )
+            name = F.coalesce(
+                F.nullif(first_cell, F.lit("")),
+                F.concat(F.lit("Location "), (j + 1).cast("string")),
+            )
+            return F.when(
+                addr.isNotNull() & (F.length(addr) > 15),
+                _loc_cand(name, addr, _loc_phone(row_text),
+                          _loc_email(row_text), _loc_activity(row_text)),
+            )
+
+        gate = F.lower(_strip_tags(table)).rlike("address|location|office")
+        return F.when(gate, F.filter(F.transform(rows, one),
+                                     lambda c: c.isNotNull())).otherwise(
+            F.array().cast(f"array<{_LOC_CAND_TYPE}>")
+        )
+
+    tables = F.regexp_extract_all(
+        "body", F.lit(r"(?is)<table\b[^>]*>.*?</table>"), 0
+    )
+    cands = F.flatten(F.transform(tables, row_cands))
+    out = ps.select("sourceUrl", "seed_host", F.posexplode(cands))
+    return out.select(
+        "sourceUrl", "seed_host",
+        F.col("pos").cast("long").alias("ord"),
+        F.lit("loc_tables").alias("sourceType"),
+        "col.locationName", "col.street", "col.phone", "col.email",
+        "col.activity", "col.usageShare",
+    )
+
+
+# :237-241 — section selectors, narrowed to section/div blocks whose open
+# tag carries a matching class token / class substring / id substring
+def _loc_section_match(tag: Column) -> Column:
+    cls = F.lower(_class_attr(tag))
+    idv = F.lower(_id_attr(tag))
+    tagname = F.lower(F.regexp_extract(tag, r"<([a-zA-Z0-9]+)", 1))
+    is_sec_or_div = tagname.isin("section", "div")
+    return (
+        (is_sec_or_div & (
+            _class_token(tag, "location") | _class_token(tag, "office")
+            | cls.contains("location-") | cls.contains("office-")
+            | idv.contains("location") | idv.contains("office")
+        ))
+        | _class_token(tag, "contact-info")
+        | _class_token(tag, "contact-section")
+        | idv.contains("contact")
+    )
+
+
+def extract_loc_sections(pages: DataFrame) -> DataFrame:
+    """X38 strategy 4 (:233-274): location/office/contact-marked sections
+    with text ≥ 50 chars; address from findAddressInText, else the inner
+    address-classed elements; name from the first heading, else first
+    strong/b/.title/.name, else 'Location ${ordinal+1}' (the reference's
+    prev-sibling-heading fallback is outside the regex subset)."""
+    ps = _base(pages)
+    blocks = F.regexp_extract_all(
+        "body",
+        F.lit(r"(?is)<(section|div)\b[^>]*>.*?</\1>"),
+        0,
+    )
+
+    def one(raw, i):
+        open_tag = F.regexp_extract(raw, r"(?s)^(<[^>]*>)", 1)
+        text = _strip_tags(raw)
+        inner_addr = F.nullif(
+            F.trim(
+                _strip_tags(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.regexp_extract_all(
+                                raw,
+                                F.lit(
+                                    r'(?is)<(\w+)\b[^>]*(?:class="[^"]*address'
+                                    r'[^"]*"|itemprop="address")[^>]*>.*?</\1>'
+                                ),
+                                0,
+                            ),
+                            lambda b: _strip_tags(b),
+                        ),
+                    )
+                )
+            ),
+            F.lit(""),
+        )
+        addr = F.coalesce(find_address_in_text(text), inner_addr)
+        heading = F.nullif(
+            F.trim(
+                F.regexp_extract(raw, r"(?is)<h[1-6]\b[^>]*>(.*?)</h[1-6]>", 1)
+            ),
+            F.lit(""),
+        )
+        strong = F.nullif(
+            F.trim(
+                _strip_tags(
+                    F.regexp_extract(
+                        raw,
+                        r'(?is)<(?:strong\b[^>]*|b\b[^>]*|\w+\b[^>]*class="'
+                        r'[^"]*(?:title|name)[^"]*")>(.*?)</\w+>',
+                        1,
+                    )
+                )
+            ),
+            F.lit(""),
+        )
+        name = F.coalesce(
+            heading, strong,
+            F.concat(F.lit("Location "), (i + 1).cast("string")),
+        )
+        return F.when(
+            _loc_section_match(open_tag)
+            & (F.length(text) >= 50)
+            & addr.isNotNull() & (F.length(addr) > 15),
+            _loc_cand(name, addr, _loc_phone(text), _loc_email(text),
+                      _loc_activity(text)),
+        )
+
+    # ordinal i counts matched blocks only: index the matched subset
+    matched = F.filter(
+        blocks,
+        lambda b: _loc_section_match(F.regexp_extract(b, r"(?s)^(<[^>]*>)", 1)),
+    )
+    cands = F.filter(F.transform(matched, one), lambda c: c.isNotNull())
+    out = ps.select("sourceUrl", "seed_host", F.posexplode(cands))
+    return out.select(
+        "sourceUrl", "seed_host",
+        F.col("pos").cast("long").alias("ord"),
+        F.lit("loc_sections").alias("sourceType"),
+        "col.locationName", "col.street", "col.phone", "col.email",
+        "col.activity", "col.usageShare",
+    )
+
+
+# :158-169 — container selectors (22 entries) narrowed to one match-any
+# predicate over the open tag
+_LOC_LIST_CONTAINER_TOKENS = [
+    "locations-list", "location-list", "office-list", "offices-list",
+    "locations-grid", "location-grid", "offices-grid", "grid-contacts",
+    "addresses-section", "addresses-col", "addresses-box", "addresses-2",
+    "wp-block-group", "elementor-widget-container",
+]
+
+
+def _loc_container_match(tag: Column) -> Column:
+    cls = F.lower(_class_attr(tag))
+    idv = F.lower(_id_attr(tag))
+    token_hit = F.lit(False)
+    for t in _LOC_LIST_CONTAINER_TOKENS:
+        token_hit = token_hit | _class_token(tag, t)
+    return (
+        token_hit
+        | cls.contains("location-list") | cls.contains("office-list")
+        | cls.contains("contact") | cls.contains("address")
+        | idv.contains("locations") | idv.contains("offices")
+        | idv.contains("map") | idv.contains("address")
+    )
+
+
+# :176-182 — item selectors (18 entries), same narrowing
+_LOC_ITEM_TOKENS = [
+    "location-item", "office-item", "location", "office", "contact-in-grid",
+    "address-item", "address-box", "address-text", "address-map",
+    "card", "box",
+]
+
+
+def _loc_item_match(tag: Column) -> Column:
+    cls = F.lower(_class_attr(tag))
+    tagname = F.lower(F.regexp_extract(tag, r"<([a-zA-Z0-9]+)", 1))
+    token_hit = F.lit(False)
+    for t in _LOC_ITEM_TOKENS:
+        token_hit = token_hit | _class_token(tag, t)
+    return (
+        token_hit
+        | cls.contains("location-") | cls.contains("office-")
+        | cls.contains("contact-") | cls.contains("address-")
+        | tagname.isin("li", "article", "address")
+    )
+
+
+def extract_loc_lists(pages: DataFrame) -> DataFrame:
+    """X38 strategy 3 (:154-231): location-list/grid containers, items
+    within; item text ≥ 20 chars; address from findAddressInText, else
+    the concatenated text of inner address-classed/p elements (:197 — the
+    last-<p> fallback :201-207 is dead code in the reference, since the
+    second fallback's selector list already contains 'p'); gated at
+    length > 15. Name cascade: first heading/strong/b, else first
+    title/name-classed element, else the address's first comma segment."""
+    ps = _base(pages)
+    containers = F.regexp_extract_all(
+        "body",
+        F.lit(r"(?is)<(ul|ol|div|section|article)\b[^>]*>.*?</\1>"),
+        0,
+    )
+
+    def item_cands(container):
+        inner = F.regexp_replace(
+            F.regexp_replace(container, r"(?s)^<[^>]*>", ""),
+            r"(?s)</[a-zA-Z0-9]+>$", "",
+        )
+        items = F.filter(
+            F.regexp_extract_all(
+                inner,
+                F.lit(r"(?is)<(li|article|address|div|span|p)\b[^>]*>.*?</\1>"),
+                0,
+            ),
+            lambda b: _loc_item_match(
+                F.regexp_extract(b, r"(?s)^(<[^>]*>)", 1)
+            ),
+        )
+
+        def one(item):
+            text = _strip_tags(item)
+            inner_addr = F.nullif(
+                F.trim(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.regexp_extract_all(
+                                item,
+                                F.lit(
+                                    r'(?is)<(?:(\w+)\b[^>]*class="[^"]*address'
+                                    r'[^"]*"[^>]*>.*?</\1>|p\b[^>]*>.*?</p>)'
+                                ),
+                                0,
+                            ),
+                            lambda b: _strip_tags(b),
+                        ),
+                    )
+                ),
+                F.lit(""),
+            )
+            addr = F.coalesce(find_address_in_text(text), inner_addr)
+            heading = F.nullif(
+                F.trim(
+                    _strip_tags(
+                        F.regexp_extract(
+                            item,
+                            r"(?is)<(?:h[1-6]|strong|b)\b[^>]*>(.*?)"
+                            r"</(?:h[1-6]|strong|b)>",
+                            1,
+                        )
+                    )
+                ),
+                F.lit(""),
+            )
+            titled = F.nullif(
+                F.trim(
+                    _strip_tags(
+                        F.regexp_extract(
+                            item,
+                            r'(?is)<\w+\b[^>]*class="[^"]*(?:title|name)'
+                            r'[^"]*"[^>]*>(.*?)</\w+>',
+                            1,
+                        )
+                    )
+                ),
+                F.lit(""),
+            )
+            name = F.coalesce(
+                heading, titled,
+                F.nullif(F.trim(F.split(addr, ",")[0]), F.lit("")),
+                F.lit("Location"),
+            )
+            return F.when(
+                (F.length(text) >= 20)
+                & addr.isNotNull() & (F.length(addr) > 15),
+                _loc_cand(
+                    name, addr, _loc_phone(text), _loc_email(text),
+                    _loc_activity(F.concat(text, F.lit(" "), name)),
+                ),
+            )
+
+        return F.filter(F.transform(items, one), lambda c: c.isNotNull())
+
+    matched = F.filter(
+        containers,
+        lambda b: _loc_container_match(
+            F.regexp_extract(b, r"(?s)^(<[^>]*>)", 1)
+        ),
+    )
+    cands = F.flatten(F.transform(matched, item_cands))
+    out = ps.select("sourceUrl", "seed_host", F.posexplode(cands))
+    return out.select(
+        "sourceUrl", "seed_host",
+        F.col("pos").cast("long").alias("ord"),
+        F.lit("loc_lists").alias("sourceType"),
+        "col.locationName", "col.street", "col.phone", "col.email",
+        "col.activity", "col.usageShare",
+    )
