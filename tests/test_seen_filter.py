@@ -32,3 +32,55 @@ def test_merge_is_union(spark):
     merged = SF.merge_blooms(SF.build_bloom(a), SF.build_bloom(b)).cache()
     both = a.unionByName(b)
     assert SF.prune(both, merged).filter(~F.col("maybe_seen")).count() == 0
+
+
+# ------------------------------------------------ S4 robots.txt parsing ----
+def test_parse_robots_txt_star_group_and_sitemaps(spark):
+    from web_crawler_spark.operators import frontier as FR
+
+    txt = ("# cached fixture\n"
+           "User-agent: googlebot\nDisallow: /private\n"
+           "Sitemap: https://h.example.com/sm/root.xml\n\n"
+           "User-agent: bingbot\nUser-agent: *\n"
+           "Crawl-delay: 2\nDisallow: /tmp7\nDisallow:\nAllow: /tmp7/ok\n\n"
+           "User-agent: other\nDisallow: /x\n"
+           "Sitemap: https://h.example.com/sm/extra.xml\n")
+    df = spark.createDataFrame(
+        [("h.example.com", txt), ("empty.example.com", None),
+         # a second * group later in the file still contributes
+         ("two.example.com",
+          "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+          "Crawl-delay: 0.5\n")],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r for r in FR.parse_robots_txt(df).collect()}
+    h = got["h.example.com"]
+    # sitemaps are global; disallows/delay come from the shared
+    # bingbot+* header group; empty Disallow and Allow are dropped
+    assert h["sitemaps"] == ["https://h.example.com/sm/root.xml",
+                             "https://h.example.com/sm/extra.xml"]
+    assert h["disallow_prefixes"] == ["/tmp7"]
+    assert h["crawl_delay_s"] == 2.0
+    e = got["empty.example.com"]
+    assert (e["sitemaps"], e["disallow_prefixes"], e["crawl_delay_s"]) == ([], [], 0.0)
+    t = got["two.example.com"]
+    assert t["disallow_prefixes"] == ["/a", "/b"]
+    assert t["crawl_delay_s"] == 0.5
+
+
+def test_parse_robots_txt_feeds_robots_gate(spark):
+    """End-to-end: raw text -> parse -> the existing prefix gate."""
+    from web_crawler_spark.operators import frontier as FR
+
+    parsed = FR.parse_robots_txt(spark.createDataFrame(
+        [("a.example.com", "User-agent: *\nDisallow: /blocked\n")],
+        "host string, robots_txt string",
+    )).withColumn("fetch_ok", F.lit(True))
+    frontier = spark.createDataFrame(
+        [("https://a.example.com/blocked/x", "a.example.com"),
+         ("https://a.example.com/open/y", "a.example.com")],
+        "url string, seed_host string",
+    )
+    allowed, blocked = FR.robots_gate(frontier, parsed)
+    assert [r["url"] for r in allowed.collect()] == ["https://a.example.com/open/y"]
+    assert [r["url"] for r in blocked.collect()] == ["https://a.example.com/blocked/x"]

@@ -2602,6 +2602,62 @@ def _map_url_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_TXT_ORACLE = r"""
+    SELECT p_partkey AS k, kind, value, ord
+    FROM part
+    CROSS JOIN LATERAL (VALUES
+        ('sitemap', concat('https://h', p_partkey, '.example.com/sm/root.xml'), 0),
+        ('sitemap', concat('https://h', p_partkey, '.example.com/sm/extra.xml'), 1),
+        ('disallow', concat('/tmp', p_partkey), 0),
+        ('crawl_delay', '2.0', 0)
+    ) AS v(kind, value, ord)
+    """
+
+
+def _robots_txt_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 raw-text parse (robots.service.js:17-61,79-87,94-104): per part
+    row a robots.txt with a googlebot group (ignored), a bingbot+* shared
+    header (the * group), a comment, an empty Disallow (allow-all,
+    dropped), an Allow line (outside the prefix-gate subset), a trailing
+    group, and two global Sitemap directives."""
+    from web_crawler_spark.operators import frontier as FR
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    txt = F.concat(
+        F.lit("# cached fixture\nUser-agent: googlebot\nDisallow: /private\n"
+              "Sitemap: https://h"), ks,
+        F.lit(".example.com/sm/root.xml\n\nUser-agent: bingbot\n"
+              "User-agent: *\nCrawl-delay: 2\nDisallow: /tmp"), ks,
+        F.lit("\nDisallow:\nAllow: /tmp"), ks,
+        F.lit("/ok\n\nUser-agent: other\nDisallow: /x\n"
+              "Sitemap: https://h"), ks,
+        F.lit(".example.com/sm/extra.xml\n"),
+    )
+    parsed = FR.parse_robots_txt(
+        p.select(F.concat(F.lit("h"), ks, F.lit(".example.com")).alias("host"),
+                 txt.alias("robots_txt"))
+    )
+    key = F.regexp_extract("host", r"^h(\d+)\.", 1).cast("long")
+    sm = parsed.select(
+        key.alias("k"), F.lit("sitemap").alias("kind"),
+        F.posexplode("sitemaps"),
+    ).select("k", "kind", F.col("col").alias("value"),
+             F.col("pos").cast("long").alias("ord"))
+    dis = parsed.select(
+        key.alias("k"), F.lit("disallow").alias("kind"),
+        F.posexplode("disallow_prefixes"),
+    ).select("k", "kind", F.col("col").alias("value"),
+             F.col("pos").cast("long").alias("ord"))
+    cd = parsed.select(
+        key.alias("k"), F.lit("crawl_delay").alias("kind"),
+        F.col("crawl_delay_s").cast("string").alias("value"),
+        F.lit(0).cast("long").alias("ord"),
+    )
+    return sm.unionByName(dis).unionByName(cd)
+
+
 _MAP_DETECT_ORACLE = r"""
     WITH m AS (
       SELECT p_partkey AS k,
@@ -4273,6 +4329,12 @@ _CRAWL_URL_ORACLE = (
     + _MAP_DATAATTR_ORACLE
     + """)
     UNION ALL
+    SELECT 'robots_txt', k, value, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, ord::BIGINT, NULL, kind
+    FROM ("""
+    + _ROBOTS_TXT_ORACLE
+    + """)
+    UNION ALL
     SELECT 'discover', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
            priority, rank, NULL, NULL
     FROM ("""
@@ -4352,6 +4414,15 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ord").cast("long").alias("rank"),
         _ns.alias("provider"), "label",
     )
+    rt = _robots_txt_rows(spark, sf_dir).select(
+        F.lit("robots_txt").alias("kernel"),
+        F.col("k").alias("key"), F.col("value").alias("url"),
+        _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"), _nl.alias("priority"),
+        F.col("ord").alias("rank"),
+        _ns.alias("provider"), F.col("kind").alias("label"),
+    )
     ld = _link_discovery_rows(spark, sf_dir).select(
         F.lit("discover").alias("kernel"),
         F.regexp_extract("sourceUrl", r"home-(\d+)$", 1)
@@ -4375,7 +4446,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
-        .unionByName(ld).unionByName(dr)
+        .unionByName(rt).unionByName(ld).unionByName(dr)
     )
 
 

@@ -190,6 +190,92 @@ def take_budgeted(
     return out.drop("remaining")
 
 
+def parse_robots_txt(
+    robots: DataFrame, body_col: str = "robots_txt", host_col: str = "host"
+) -> DataFrame:
+    """S4: raw robots.txt text → the structured form the gate consumes
+    (robots.service.js:17-61 fetchRobotsForHost + :79-87 getCrawlDelay +
+    :94-104 getSitemaps, re-derived from the robots exclusion protocol).
+
+    Parsed subset: ``Sitemap:`` directives are collected globally (they
+    are group-independent per the protocol); ``Disallow:`` prefixes and
+    ``Crawl-delay:`` come from the ``User-agent: *`` group(s), where
+    consecutive User-agent lines share one group and a directive line
+    closes the group header. Empty Disallow values (allow-all) are
+    dropped; ``Allow:`` precedence is outside the prefix-gate subset the
+    engine uses (operators/frontier.py robots_gate). Comments (#) and
+    blank lines are stripped. One fold over the line array per row — no
+    shuffle, no Python."""
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    lines = F.filter(
+        F.transform(
+            F.split(body, "\n"),
+            lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
+        ),
+        lambda ln: F.length(ln) > 0,
+    )
+    sitemaps = F.filter(
+        F.transform(
+            lines,
+            lambda ln: F.when(
+                ln.rlike(r"(?i)^sitemap\s*:"),
+                F.trim(F.regexp_extract(ln, r"(?i)^sitemap\s*:\s*(.*)$", 1)),
+            ),
+        ),
+        lambda v: v.isNotNull() & (F.length(v) > 0),
+    )
+    # fold state: (star = current group includes *, in_header = still
+    # reading consecutive User-agent lines, disallows, delay)
+    acc0 = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(False).alias("in_header"),
+        F.array().cast("array<string>").alias("disallows"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+
+    def step(acc, ln):
+        is_ua = ln.rlike(r"(?i)^user-agent\s*:")
+        ua_val = F.trim(F.regexp_extract(ln, r"(?i)^user-agent\s*:\s*(.*)$", 1))
+        is_star = ua_val == "*"
+        ua_step = F.struct(
+            # a UA line after directives starts a fresh group; inside a
+            # header run it widens the current group
+            F.when(acc["in_header"], acc["star"] | is_star)
+            .otherwise(is_star).alias("star"),
+            F.lit(True).alias("in_header"),
+            acc["disallows"].alias("disallows"),
+            acc["delay"].alias("delay"),
+        )
+        dis_val = F.trim(F.regexp_extract(ln, r"(?i)^disallow\s*:\s*(.*)$", 1))
+        add_dis = (
+            acc["star"] & ln.rlike(r"(?i)^disallow\s*:")
+            & (F.length(dis_val) > 0)
+        )
+        delay_val = F.regexp_extract(
+            ln, r"(?i)^crawl-delay\s*:\s*([0-9.]+)", 1
+        )
+        new_delay = F.when(
+            acc["star"] & (delay_val != ""),
+            F.nullif(delay_val, F.lit("")).cast("double"),
+        ).otherwise(acc["delay"])
+        dir_step = F.struct(
+            acc["star"].alias("star"),
+            F.lit(False).alias("in_header"),
+            F.when(add_dis, F.concat(acc["disallows"], F.array(dis_val)))
+            .otherwise(acc["disallows"]).alias("disallows"),
+            new_delay.alias("delay"),
+        )
+        return F.when(is_ua, ua_step).otherwise(dir_step)
+
+    star_group = F.aggregate(lines, acc0, step)
+    return robots.select(
+        F.col(host_col).alias("host"),
+        sitemaps.alias("sitemaps"),
+        star_group["disallows"].alias("disallow_prefixes"),
+        F.coalesce(star_group["delay"], F.lit(0.0)).alias("crawl_delay_s"),
+    )
+
+
 def robots_gate(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """J2+F5: broadcast-join robots rules onto candidates; split
     allowed/blocked. Permissive when robots fetch failed
