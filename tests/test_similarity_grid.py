@@ -82,3 +82,37 @@ def test_grid_pipeline(spark):
     assert grid.range_filter(df, "score", "2-4").count() == sum(
         1 for i in range(30) if i % 5 and 2 <= i % 7 <= 4
     )
+
+
+# -------------------------------------------------- J3 reverse geocode -----
+def test_reverse_geocode_cascade_and_none(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans import enrich as EN
+
+    pts = spark.createDataFrame(
+        [(1, 12.3456, -70.1234), (2, 12.3456, -70.1234), (3, None, None)],
+        "id long, latitude double, longitude double",
+    )
+    out = {r["id"]: r for r in EN.reverse_geocode(pts).collect()}
+    # identical cells resolve identically (the dim IS the response cache)
+    assert out[1]["formatted_address"] == out[2]["formatted_address"]
+    assert out[1]["rgeo_provider"] == out[2]["rgeo_provider"]
+    assert out[1]["rgeo_provider"] in ("google", "nominatim", "none")
+    if out[1]["rgeo_provider"] == "google":
+        assert out[1]["formatted_address"].endswith(", USA")
+    # null coordinates -> provider 'none', null address (reference
+    # returns null on total miss)
+    assert out[3]["rgeo_provider"] == "none"
+    assert out[3]["formatted_address"] is None
+
+
+def test_reverse_geocode_plan_is_broadcast(spark):
+    from web_crawler_spark.plans import enrich as EN
+
+    pts = spark.range(100).selectExpr(
+        "id", "cast(id % 90 as double) - 45.0 as latitude",
+        "cast(id % 180 as double) - 90.0 as longitude",
+    )
+    plan = EN.reverse_geocode(pts)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

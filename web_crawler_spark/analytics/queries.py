@@ -2159,12 +2159,51 @@ def _geocode_cascade_oracle() -> str:
            CASE WHEN latitude IS NULL THEN 'dim' ELSE 'source' END AS provider
     FROM keyed
     """
+    h = lambda salt: _H60.format(  # noqa: E731
+        expr=f"concat('{salt}|', cell_lat_i, '|', cell_lon_i)"
+    )
+    cities = "['Springfield','Riverton','Lakewood','Fairview'," \
+             "'Georgetown','Ashland','Dover','Milton']"
+    reverse = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 1100000) / 10000.0 - 55.0 AS latitude,
+             (c_custkey % 3300000) / 10000.0 - 165.0 AS longitude
+      FROM customer
+    ), keyed AS (
+      SELECT *,
+             cast(round(latitude * 1000) AS BIGINT) AS cell_lat_i,
+             cast(round(longitude * 1000) AS BIGINT) AS cell_lon_i
+      FROM pts
+    ), derived AS (
+      SELECT *,
+             {h('rgeo-google')} % 100 < 70 AS g_hit,
+             {h('rgeo-nominatim')} % 100 < 80 AS n_hit,
+             cast({h('rgeo-no')} % 9899 + 100 AS VARCHAR) AS no,
+             {cities}[cast({h('rgeo-city')} % 8 AS int) + 1] AS city
+      FROM keyed
+    )
+    SELECT c_custkey,
+           round(latitude, 6) AS latitude,
+           round(longitude, 6) AS longitude,
+           CASE WHEN g_hit THEN 'google'
+                WHEN n_hit THEN 'nominatim' ELSE 'none' END AS provider,
+           CASE WHEN g_hit
+                THEN concat(no, ' Meridian Rd, ', city, ', USA')
+                WHEN n_hit
+                THEN concat(no, ', Meridian Road, ', city) END AS formatted
+    FROM derived
+    """
     return f"""
-    SELECT 'single' AS variant, c_custkey, latitude, longitude, provider
+    SELECT 'single' AS variant, c_custkey, latitude, longitude, provider,
+           CAST(NULL AS VARCHAR) AS formatted
     FROM ({single})
     UNION ALL
-    SELECT 'cascade', c_custkey, latitude, longitude, geo_provider
+    SELECT 'cascade', c_custkey, latitude, longitude, geo_provider, NULL
     FROM ({_multi_geo_oracle()})
+    UNION ALL
+    SELECT 'reverse', c_custkey, latitude, longitude, provider, formatted
+    FROM ({reverse})
     """
 
 
@@ -2177,6 +2216,10 @@ def q_geocode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized address); rows with coordinates pass through (coalesce
     merge-back, professional-crawler.service.js:262-266); provider records
     whether the dim filled the row.
+
+    'reverse' — reverse geocoding (multi-geocoding.service.js:114-161):
+    Google-first/Nominatim-fallback as a broadcast join against the
+    quantized-cell dimension; 'none' + NULL address when both miss.
 
     'cascade' — provider-cascade geocoding (multi-geocoding.service.js:
     8-31): Google → Nominatim → MapQuest in order, first answer wins,
@@ -2202,12 +2245,14 @@ def q_geocode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 3600000 / 10000.0 - 180.0,
         ).alias("longitude"),
     )
+    _ns = F.lit(None).cast("string")
     single = EN.geocode_enrich(recs).select(
         F.lit("single").alias("variant"),
         "c_custkey",
         F.round("latitude", 6).alias("latitude"),
         F.round("longitude", 6).alias("longitude"),
         F.when(F.col("geocoded"), F.lit("dim")).otherwise(F.lit("source")).alias("provider"),
+        _ns.alias("formatted"),
     )
     cascade = EN.multi_geocode_enrich(recs).select(
         F.lit("cascade").alias("variant"),
@@ -2215,8 +2260,22 @@ def q_geocode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("latitude", 6).alias("latitude"),
         F.round("longitude", 6).alias("longitude"),
         F.col("geo_provider").alias("provider"),
+        _ns.alias("formatted"),
     )
-    return single.unionByName(cascade)
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 1100000) / 10000.0 - 55.0).alias("latitude"),
+        ((F.col("c_custkey") % 3300000) / 10000.0 - 165.0).alias("longitude"),
+    )
+    reverse = EN.reverse_geocode(pts).select(
+        F.lit("reverse").alias("variant"),
+        "c_custkey",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        F.col("rgeo_provider").alias("provider"),
+        F.col("formatted_address").alias("formatted"),
+    )
+    return single.unionByName(cascade).unionByName(reverse)
 
 
 @query("fuzzy_dedup_greedy")

@@ -267,3 +267,74 @@ def records_pipeline(pages: DataFrame, fuzzy: bool = True) -> DataFrame:
         )
     payload = EX.extract_images(pages)
     return attach_payload(recs, payload)
+
+
+# Reverse geocoding (multi-geocoding.service.js:114-161): Google first,
+# Nominatim fallback, null when both miss. Spark restatement: reverse
+# geocoding at scale is an equi-join against a cell-keyed dimension (the
+# provider response cache keyed on quantized coordinates); the network
+# providers become the same md5-derived deterministic synthesizer as the
+# forward cascade, with per-provider response formats so the winning
+# provider is visible in the output.
+RGEO_CITIES = [
+    "Springfield", "Riverton", "Lakewood", "Fairview",
+    "Georgetown", "Ashland", "Dover", "Milton",
+]
+
+
+def reverse_geocode_dim_for(points: DataFrame, precision: int = 3) -> DataFrame:
+    """One row per distinct quantized cell (round(coord * 10^precision)
+    as integer keys — integer keys so the hash derivation has an exact
+    cross-engine string rendering)."""
+    scale = 10 ** precision
+    cells = (
+        points.where(
+            F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+        )
+        .select(
+            F.round(F.col("latitude") * scale).cast("long").alias("cell_lat_i"),
+            F.round(F.col("longitude") * scale).cast("long").alias("cell_lon_i"),
+        )
+        .distinct()
+    )
+    la, lo = F.col("cell_lat_i"), F.col("cell_lon_i")
+
+    def h(salt: str):
+        return hash64_col(F.lit(salt), la, lo)
+
+    g_hit = F.pmod(h("rgeo-google"), F.lit(100)) < 70
+    n_hit = F.pmod(h("rgeo-nominatim"), F.lit(100)) < 80
+    no = (F.pmod(h("rgeo-no"), F.lit(9899)) + 100).cast("string")
+    city = F.element_at(
+        F.array(*[F.lit(c) for c in RGEO_CITIES]),
+        (F.pmod(h("rgeo-city"), F.lit(8)) + 1).cast("int"),
+    )
+    google_fmt = F.concat(no, F.lit(" Meridian Rd, "), city, F.lit(", USA"))
+    nominatim_fmt = F.concat(no, F.lit(", Meridian Road, "), city)
+    return cells.select(
+        "cell_lat_i", "cell_lon_i",
+        F.when(g_hit, google_fmt).when(n_hit, nominatim_fmt)
+        .alias("formatted_address"),
+        F.when(g_hit | n_hit, city).alias("rgeo_city"),
+        F.when(g_hit, F.lit("google")).when(n_hit, F.lit("nominatim"))
+        .otherwise(F.lit("none")).alias("rgeo_provider"),
+    )
+
+
+def reverse_geocode(
+    points: DataFrame, dim: DataFrame | None = None, precision: int = 3
+) -> DataFrame:
+    """J3-shaped reverse lookup: broadcast-join the cell dimension onto
+    the points; rows whose cell no provider answers keep NULL address and
+    provider 'none' (the reference returns null)."""
+    scale = 10 ** precision
+    dim = dim if dim is not None else reverse_geocode_dim_for(points, precision)
+    keyed = points.withColumn(
+        "cell_lat_i", F.round(F.col("latitude") * scale).cast("long")
+    ).withColumn(
+        "cell_lon_i", F.round(F.col("longitude") * scale).cast("long")
+    )
+    joined = keyed.join(F.broadcast(dim), ["cell_lat_i", "cell_lon_i"], "left")
+    return joined.withColumn(
+        "rgeo_provider", F.coalesce(F.col("rgeo_provider"), F.lit("none"))
+    ).drop("cell_lat_i", "cell_lon_i")
