@@ -116,3 +116,30 @@ def test_reverse_geocode_plan_is_broadcast(spark):
     )
     plan = EN.reverse_geocode(pts)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_place_details_hit_and_miss_defaults(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans import enrich as EN
+
+    places = spark.range(200).select(
+        F.col("id"),
+        F.concat(F.lit("plc"), F.col("id")).alias("place_id"),
+    )
+    rows = EN.place_details(places).collect()
+    hits = [r for r in rows if r["pd_hit"]]
+    misses = [r for r in rows if not r["pd_hit"]]
+    # ~85% coverage, deterministic; misses keep the reference's
+    # empty-string defaults (rating '' -> NULL)
+    assert len(hits) > len(misses) > 0
+    for r in misses:
+        assert (r["pd_phone"], r["pd_website"], r["pd_hours"],
+                r["pd_types"]) == ("", "", "", "")
+        assert r["pd_rating"] is None
+    h = hits[0]
+    assert h["pd_phone"].startswith("(") and "555-" in h["pd_phone"]
+    assert h["pd_website"].startswith("https://www.place")
+    assert h["pd_hours"].endswith("Saturday: Closed")
+    assert 2.5 <= h["pd_rating"] <= 4.5
+    assert h["pd_types"].endswith(",establishment")

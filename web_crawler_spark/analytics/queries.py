@@ -4547,6 +4547,54 @@ def _pins_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("pin.country").alias("country"))
 
 
+_PLACE_DETAILS_ORACLE = f"""
+    WITH ids AS (
+      SELECT o_orderkey, concat('plc', o_orderkey % 40000) AS place_id
+      FROM orders
+    ), derived AS (
+      SELECT *,
+             {_H60.format(expr="concat('place-hit|', place_id)")} % 100 < 85 AS hit,
+             concat('(', {_H60.format(expr="concat('place-area|', place_id)")} % 800 + 200,
+                    ') 555-',
+                    lpad(cast({_H60.format(expr="concat('place-line|', place_id)")} % 10000 AS VARCHAR), 4, '0')) AS phone_v,
+             concat('https://www.place',
+                    {_H60.format(expr="concat('place-web|', place_id)")} % 100000,
+                    '.example.com') AS website_v,
+             concat('Monday: 9:00 AM - ',
+                    {_H60.format(expr="concat('place-close|', place_id)")} % 4 + 4,
+                    ':00 PM; Saturday: Closed') AS hours_v,
+             ({_H60.format(expr="concat('place-rate|', place_id)")} % 21 + 25) / 10.0 AS rating_v,
+             concat(['establishment','point_of_interest','store','restaurant']
+                    [cast({_H60.format(expr="concat('place-type|', place_id)")} % 4 AS int) + 1],
+                    ',establishment') AS types_v
+      FROM ids
+    )
+    SELECT o_orderkey, place_id,
+           CASE WHEN hit THEN phone_v ELSE '' END AS phone,
+           CASE WHEN hit THEN website_v ELSE '' END AS website,
+           CASE WHEN hit THEN hours_v ELSE '' END AS hours,
+           CASE WHEN hit THEN rating_v END AS rating,
+           CASE WHEN hit THEN types_v ELSE '' END AS types,
+           hit
+    FROM derived
+    """
+
+
+def _place_details_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Place-details enrichment (multi-geocoding.service.js:166-203) over
+    one synthesized place id per order; ~15% of ids miss the details
+    lookup and keep the reference's empty-string defaults."""
+    from web_crawler_spark.plans import enrich as EN
+
+    o = load(spark, sf_dir, "orders")
+    places = o.select(
+        "o_orderkey",
+        F.concat(F.lit("plc"), (F.col("o_orderkey") % 40000).cast("string"))
+        .alias("place_id"),
+    )
+    return EN.place_details(places)
+
+
 _RECORDS_KERNELS_ORACLE = (
     """
     SELECT 'levenshtein' AS kernel, c_custkey AS key, a AS s1, b AS s2,
@@ -4586,6 +4634,12 @@ _RECORDS_KERNELS_ORACLE = (
            linkedin, instagram, NULL, NULL, NULL
     FROM ("""
     + _HOURS_SOCIAL_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'place_details', o_orderkey, place_id, phone, website, hours,
+           types, NULL, rating::DOUBLE, NULL, hit
+    FROM ("""
+    + _PLACE_DETAILS_ORACLE
     + """)
     UNION ALL
     SELECT 'line_caps', s_suppkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -4646,6 +4700,9 @@ def q_records_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pad(_hours_social_rows(spark, sf_dir), "hours_web_social", "s_suppkey",
             s=("hours", "websites", "facebook", "twitter", "linkedin",
                "instagram")),
+        pad(_place_details_rows(spark, sf_dir), "place_details", "o_orderkey",
+            s=("place_id", "pd_phone", "pd_website", "pd_hours", "pd_types"),
+            d=("pd_rating",), b="pd_hit"),
         pad(_line_caps_rows(spark, sf_dir), "line_caps", "s_suppkey",
             d=("lines_scanned", "distinct_matches")),
         pad(_pins_rows(spark, sf_dir), "pins", "key",

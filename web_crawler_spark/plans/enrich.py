@@ -338,3 +338,71 @@ def reverse_geocode(
     return joined.withColumn(
         "rgeo_provider", F.coalesce(F.col("rgeo_provider"), F.lit("none"))
     ).drop("cell_lat_i", "cell_lon_i")
+
+
+# Place-details enrichment (multi-geocoding.service.js:166-203): phone /
+# website / opening-hours / rating / types for a place id, empty-string
+# defaults when the lookup misses (the reference's pre-filled `details`
+# object). Spark restatement: a broadcast dim join keyed on place_id —
+# the details cache — with the deterministic md5 synthesizer as the
+# provider; weekday_text arrives joined with '; ' exactly as
+# :193-195 does.
+PLACE_TYPES = ["establishment", "point_of_interest", "store", "restaurant"]
+
+
+def place_details_dim_for(places: DataFrame) -> DataFrame:
+    ids = places.select("place_id").where(F.col("place_id").isNotNull()).distinct()
+    pid = F.col("place_id")
+
+    def h(salt: str):
+        return hash64_col(F.lit(salt), pid)
+
+    hit = F.pmod(h("place-hit"), F.lit(100)) < 85
+    phone = F.concat(
+        F.lit("("), (F.pmod(h("place-area"), F.lit(800)) + 200).cast("string"),
+        F.lit(") 555-"),
+        F.lpad((F.pmod(h("place-line"), F.lit(10000))).cast("string"), 4, "0"),
+    )
+    website = F.concat(
+        F.lit("https://www.place"),
+        F.pmod(h("place-web"), F.lit(100000)).cast("string"),
+        F.lit(".example.com"),
+    )
+    hours = F.concat(
+        F.lit("Monday: 9:00 AM - "),
+        (F.pmod(h("place-close"), F.lit(4)) + 4).cast("string"),
+        F.lit(":00 PM; Saturday: Closed"),
+    )
+    rating = (F.pmod(h("place-rate"), F.lit(21)) + 25) / 10.0
+    types = F.concat(
+        F.element_at(
+            F.array(*[F.lit(t) for t in PLACE_TYPES]),
+            (F.pmod(h("place-type"), F.lit(4)) + 1).cast("int"),
+        ),
+        F.lit(",establishment"),
+    )
+    blank = F.lit("")
+    return ids.select(
+        "place_id",
+        F.when(hit, phone).otherwise(blank).alias("pd_phone"),
+        F.when(hit, website).otherwise(blank).alias("pd_website"),
+        F.when(hit, hours).otherwise(blank).alias("pd_hours"),
+        F.when(hit, rating).alias("pd_rating"),
+        F.when(hit, types).otherwise(blank).alias("pd_types"),
+        hit.alias("pd_hit"),
+    )
+
+
+def place_details(places: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """Broadcast details join; rows without a place_id keep the empty
+    defaults (the reference skips the API call entirely)."""
+    dim = dim if dim is not None else place_details_dim_for(places)
+    joined = places.join(F.broadcast(dim), "place_id", "left")
+    blank = F.lit("")
+    return (
+        joined.withColumn("pd_phone", F.coalesce(F.col("pd_phone"), blank))
+        .withColumn("pd_website", F.coalesce(F.col("pd_website"), blank))
+        .withColumn("pd_hours", F.coalesce(F.col("pd_hours"), blank))
+        .withColumn("pd_types", F.coalesce(F.col("pd_types"), blank))
+        .withColumn("pd_hit", F.coalesce(F.col("pd_hit"), F.lit(False)))
+    )
