@@ -329,3 +329,21 @@ def test_pdf_locations_null_and_empty_text(spark):
         "sourceUrl string, text string",
     )
     assert P.extract_pdf_locations(df).count() == 0
+
+
+def test_api_available_three_probe_reduction(spark):
+    from web_crawler_spark.sources import api_probe as AP
+
+    probes = spark.createDataFrame(
+        [("a.com", "/api/locations.json", 404),
+         ("a.com", "/locations.json", 200),
+         ("a.com", "/api/stores.json", 500),
+         ("b.com", "/api/locations.json", 404),
+         # a 200 on a non-test endpoint must not count
+         ("b.com", "/api/v1/sites", 200),
+         ("c.com", "/api/stores.json", 200)],
+        "host string, path string, status int",
+    )
+    got = {r["host"]: r["api_available"]
+           for r in AP.api_available(probes).collect()}
+    assert got == {"a.com": True, "b.com": False, "c.com": True}

@@ -210,3 +210,26 @@ def normalize_items(df: DataFrame, source_col: str = "endpoint") -> DataFrame:
         F.when(is_geo, F.lit("GeoJSON")).otherwise(F.lit("API/JSON")).alias("sourceType"),
     )
     return out.filter((F.col("locationName") != "") | (F.col("locationAddress") != ""))
+
+
+# detectApiAvailability (api-extractor.service.js:301-322): three HEAD
+# probes, true on the first 200. As a batch operator: a per-host boolean
+# over the probe-result table (the fetch itself is the probe source's
+# mapInPandas stage; this is the reduction).
+API_AVAILABILITY_PATHS = [
+    "/api/locations.json", "/locations.json", "/api/stores.json"
+]
+
+
+def api_available(
+    probes: DataFrame, host_col: str = "host", path_col: str = "path",
+    status_col: str = "status",
+) -> DataFrame:
+    """(host, path, status) probe results → (host, api_available): true
+    iff any of the three availability test endpoints answered 200."""
+    hit = F.col(path_col).isin(API_AVAILABILITY_PATHS) & (
+        F.col(status_col) == 200
+    )
+    return probes.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(F.when(hit, True).otherwise(False)).alias("api_available")
+    )
