@@ -682,3 +682,52 @@ def test_loc_lists_name_cascade_and_p_fallback(ld_pages):
         ("Fifth floor west wing entrance", "Fifth floor west wing entrance",
          "", ""),
     ]
+
+
+def test_generic_addresses_processed_set_and_gates(spark):
+    from web_crawler_spark.operators import extract as EX
+
+    body = ('<body><div>Our main office sits at 12 Harbor Street,'
+            ' Springfield quite near the park</div>'
+            '<div>Our main office sits at 12 Harbor Street, Springfield'
+            ' quite near the park</div>'
+            '<p>short text 12345</p>'
+            '<section>Mail drop with postal code 94607 only, no street'
+            ' but padding to fifty chars</section></body>')
+    df = spark.createDataFrame([("https://u.com/g", "u.com", body)],
+                               "url string, seed_host string, body string")
+    rows = EX.extract_generic_addresses(df).collect()
+    # duplicate block collapses via the exact-text processed set; the
+    # short paragraph misses the [50,600] window
+    assert [(r["locationName"], r["street"], r["postcode"]) for r in rows] == [
+        ("Office", "12 Harbor Street", None),
+        ("Office", None, "94607"),
+    ]
+
+
+def test_jsonld_recursive_walk_semantics(spark):
+    from web_crawler_spark.operators import extract as EX
+
+    blob = ('{"@context":"https://schema.org","@graph":[{"@type":'
+            '"CorporatePlace","name":"Graph HQ","address":{"streetAddress":'
+            '"1 Way","addressLocality":"Oslo","postalCode":"0150"},'
+            '"geo":{"latitude":59.9,"longitude":10.7},"sibling_ignored":true},'
+            '{"@type":"Thing","nested":{"@type":"LocalBusiness","name":'
+            '"Deep Biz","address":{"addressLocality":"Bergen"},'
+            '"telephone":"555"}},'
+            '{"@type":["Place","Org"],"name":"ArrayType",'
+            '"address":{"addressLocality":"Nope"}},'
+            '{"@type":"Place","name":"NoAddr"}]}')
+    body = (f'<body><script type="application/ld+json">{blob}</script>'
+            '<script type="application/ld+json">not json</script></body>')
+    df = spark.createDataFrame([("https://u.com/j", "u.com", body)],
+                               "url string, seed_host string, body string")
+    rows = EX.extract_jsonld_recursive(df).orderBy("ord").collect()
+    # substring @type gate (CorporatePlace), @graph sibling short-circuit,
+    # nested-object recursion; ARRAY @type fails the typeof-string gate;
+    # address-less Place emits nothing; malformed script skipped
+    assert [(r["locationName"], r["street"], r["city"], r["phone"],
+             r["latitude"], r["longitude"]) for r in rows] == [
+        ("Graph HQ", "1 Way", "Oslo", "", 59.9, 10.7),
+        ("Deep Biz", "", "Bergen", "555", None, None),
+    ]

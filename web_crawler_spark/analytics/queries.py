@@ -4081,6 +4081,98 @@ def _scraper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EX.extract_scraper(_spread(pages))
 
 
+_GENERIC_ADDR_ORACLE = """
+    SELECT concat('https://u', p_partkey % 7, '.example.com/gen',
+                  p_partkey) AS sourceUrl,
+           'Office' AS locationName, street, CAST(NULL AS VARCHAR) AS city,
+           CAST(NULL AS VARCHAR) AS state, postcode,
+           CAST(NULL AS VARCHAR) AS country, CAST(NULL AS VARCHAR) AS phone,
+           CAST(NULL AS VARCHAR) AS email
+    FROM part
+    CROSS JOIN (VALUES
+        ('12 Harbor Street', CAST(NULL AS VARCHAR)),
+        (CAST(NULL AS VARCHAR), '94607')) AS v(street, postcode)
+    """
+
+_GEN_BODY = (
+    "<body><div>Our main office sits at 12 Harbor Street, Springfield"
+    " quite near the park</div>"
+    "<div>Our main office sits at 12 Harbor Street, Springfield quite"
+    " near the park</div>"
+    "<p>short text 12345</p>"
+    "<section>Mail drop with postal code 94607 only, no street but"
+    " padding to fifty chars</section></body>"
+)
+
+
+def _generic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 strategy 7 (dom_generic, :392-417): a duplicated street block
+    (exact-text set keeps one), an under-window paragraph, and a
+    postal-only section."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return EX.extract_generic_addresses(
+        p.select(
+            F.concat(F.lit("https://u"), (k % 7).cast("string"),
+                     F.lit(".example.com/gen"), k.cast("string")).alias("url"),
+            F.lit("u.example.com").alias("seed_host"),
+            F.lit(_GEN_BODY).alias("body"),
+        )
+    )
+
+
+_JSONLD_REC_ORACLE = """
+    SELECT concat('https://u', p_partkey % 7, '.example.com/jl',
+                  p_partkey) AS sourceUrl,
+           locationName, street, city, state, postcode, country, phone,
+           email, latitude, longitude
+    FROM part
+    CROSS JOIN (VALUES
+        ('Graph HQ', '1 Way', 'Oslo', '', '0150', '', '', '',
+         59.9::DOUBLE, 10.7::DOUBLE),
+        ('Deep Biz', '', 'Bergen', '', '', '', '555', '',
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+    ) AS v(locationName, street, city, state, postcode, country, phone,
+           email, latitude, longitude)
+    """
+
+_JL_BLOB = (
+    '{"@context":"https://schema.org","@graph":[{"@type":"CorporatePlace",'
+    '"name":"Graph HQ","address":{"streetAddress":"1 Way",'
+    '"addressLocality":"Oslo","postalCode":"0150"},'
+    '"geo":{"latitude":59.9,"longitude":10.7},"sibling_ignored":true},'
+    '{"@type":"Thing","nested":{"@type":"LocalBusiness","name":"Deep Biz",'
+    '"address":{"addressLocality":"Bergen"},"telephone":"555"}}]}'
+)
+
+
+def _jsonld_rec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 recursive JSON-LD walk (jsonld_recursive, :208-269): an @graph
+    whose sibling keys are short-circuited, a substring-gated
+    'CorporatePlace' type, a nested LocalBusiness two levels deep, and a
+    malformed second script that must be skipped."""
+    from web_crawler_spark.operators import extract as EX
+
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    body = F.concat(
+        F.lit('<body><script type="application/ld+json">'),
+        F.lit(_JL_BLOB),
+        F.lit('</script><script type="application/ld+json">not json'
+              "</script></body>"),
+    )
+    return EX.extract_jsonld_recursive(
+        p.select(
+            F.concat(F.lit("https://u"), (k % 7).cast("string"),
+                     F.lit(".example.com/jl"), k.cast("string")).alias("url"),
+            F.lit("u.example.com").alias("seed_host"),
+            body.alias("body"),
+        )
+    )
+
+
 _EXTRACT_KERNELS_ORACLE = (
     """
     SELECT 'jsonld' AS kernel, sourceUrl, locationName, street, city, postcode,
@@ -4167,6 +4259,20 @@ _EXTRACT_KERNELS_ORACLE = (
     FROM ("""
     + _LOC_DOM_ORACLE
     + """)
+    UNION ALL
+    SELECT 'dom_generic', sourceUrl, locationName, street, city, postcode,
+           country, phone, email, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), state
+    FROM ("""
+    + _GENERIC_ADDR_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'jsonld_recursive', sourceUrl, locationName, street, city,
+           postcode, country, phone, email, CAST(NULL AS DOUBLE),
+           latitude::DOUBLE, longitude::DOUBLE, state
+    FROM ("""
+    + _JSONLD_REC_ORACLE
+    + """)
     """
 )
 
@@ -4246,6 +4352,8 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _align_extract_tagged(
             _loc_dom_rows(spark, sf_dir).drop("activity", "usageShare")
         ),
+        _align_extract_tagged(_generic_rows(spark, sf_dir)),
+        _align_extract(_jsonld_rec_rows(spark, sf_dir), "jsonld_recursive"),
     ]
     out = parts[0]
     for p in parts[1:]:

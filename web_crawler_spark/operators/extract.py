@@ -934,6 +934,155 @@ def _u_blocks(ps: DataFrame, pattern: str, group: int = 0) -> DataFrame:
     )
 
 
+def extract_generic_addresses(pages: DataFrame) -> DataFrame:
+    """X31 strategy 7 (universal-location-extractor.service.js:392-417,
+    tagged dom_generic): any element whose subtree text sits in the
+    [50, 600] window and trips the street or postal battery, parsed by
+    the shared parseAddressText; an exact-text processed set keeps the
+    first occurrence only. The reference's ``$('*')`` walk is narrowed
+    to the block-tag families (overlapping ancestor subtexts differ —
+    identical repeated blocks still dedup exactly)."""
+    ps = _base(pages)
+    blocks = F.regexp_extract_all(
+        "body",
+        F.lit(r"(?is)<(div|section|p|li|article|td|address)\b[^>]*>.*?</\1>"),
+        0,
+    )
+    texts = F.transform(blocks, lambda b: F.trim(_u_strip(b)))
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def step(acc, t):
+        gate = (
+            F.length(t).between(50, 600)
+            & ~F.array_contains(acc["seen"], t)
+            & (u_street(t).isNotNull() | u_postal(t).isNotNull())
+        )
+        return F.when(
+            gate,
+            F.struct(
+                F.concat(acc["seen"], F.array(t)).alias("seen"),
+                F.concat(acc["out"], F.array(t)).alias("out"),
+            ),
+        ).otherwise(acc)
+
+    kept = F.aggregate(texts, acc0, step, lambda acc: acc["out"])
+    rows = ps.select(
+        "sourceUrl", F.explode(kept).alias("_t")
+    )
+    return _u_parse(rows, "dom_generic", F.col("_t")).drop("_t")
+
+
+_JSONLD_REC_SCHEMA = T.StructType(
+    [
+        T.StructField("sourceUrl", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("locationName", T.StringType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("phone", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+    ]
+)
+
+
+def _jsonld_walk(obj, out):
+    """Exact Python twin of parseJsonLdRecursive
+    (universal-location-extractor.service.js:224-269): arrays recurse,
+    an @graph key short-circuits its siblings, the @type gate is a
+    SUBSTRING test on string types only, and every object-valued key
+    except @context recurses depth-first in insertion order."""
+    if not obj:
+        return
+    if isinstance(obj, list):
+        for item in obj:
+            _jsonld_walk(item, out)
+        return
+    if not isinstance(obj, dict):
+        return
+    if obj.get("@graph"):
+        _jsonld_walk(obj["@graph"], out)
+        return
+    t = obj.get("@type")
+    if isinstance(t, str) and (
+        "Place" in t or "LocalBusiness" in t or "Organization" in t
+    ):
+        addr = obj.get("address")
+        if addr:
+            if not isinstance(addr, dict):
+                addr = {}
+            geo = obj.get("geo") or {}
+            if not isinstance(geo, dict):
+                geo = {}
+
+            def num(v):
+                return float(v) if isinstance(v, (int, float)) else None
+
+            out.append(
+                (
+                    obj.get("name") or obj.get("legalName") or "",
+                    addr.get("streetAddress") or "",
+                    addr.get("addressLocality") or "",
+                    addr.get("addressRegion") or "",
+                    addr.get("postalCode") or "",
+                    addr.get("addressCountry") or "",
+                    obj.get("telephone") or obj.get("phone") or "",
+                    obj.get("email") or "",
+                    num(geo.get("latitude")),
+                    num(geo.get("longitude")),
+                )
+            )
+    for key, val in obj.items():
+        if key != "@context" and isinstance(val, (dict, list)) and val:
+            _jsonld_walk(val, out)
+
+
+def extract_jsonld_recursive(pages: DataFrame) -> DataFrame:
+    """X31 JSON-LD variant (universal-location-extractor.service.js:
+    208-269, tagged jsonld_recursive): the full-tree recursive walk over
+    every ld+json script. Arbitrary-depth JSON recursion has no fixed
+    relational schema, so — like the sequential-h3 scan — this is the
+    justified Arrow-batched seam: an exact Python twin of the reference
+    walk inside mapInPandas; everything around it stays columnar."""
+    import json
+
+    scripts = _base(pages).select(
+        "sourceUrl",
+        F.explode(
+            F.regexp_extract_all(
+                "body",
+                F.lit(
+                    r'(?is)<script type="application/ld\+json">(.*?)</script>'
+                ),
+                1,
+            )
+        ).alias("blob"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for url, blob in zip(b["sourceUrl"], b["blob"]):
+                found: list = []
+                try:
+                    _jsonld_walk(json.loads(blob), found)
+                except (ValueError, TypeError):
+                    continue
+                rows.extend((url, i, *r) for i, r in enumerate(found))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JSONLD_REC_SCHEMA.fields]
+            )
+
+    return scripts.mapInPandas(gen, _JSONLD_REC_SCHEMA)
+
+
 def extract_structural(pages: DataFrame) -> DataFrame:
     """X31: the five DOM-structural strategies as one tagged union —
     sourceType ∈ {dom_card, dom_list, dom_table, dom_section, dom_grid}.
