@@ -3879,7 +3879,7 @@ _LOC_DOM_ORACLE = """
     WITH b AS (
       SELECT p_partkey AS k,
              concat('lp', p_partkey % 7, '.example.com') AS host
-      FROM part
+      FROM part WHERE p_partkey % 20 = 0
     )
     SELECT sourceType,
            concat('https://', host, '/loc', k, '/', pg) AS sourceUrl,
@@ -3963,7 +3963,9 @@ def _loc_dom_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is dead code — see extract_loc_lists)."""
     from web_crawler_spark.operators import extract as EX
 
-    p = load(spark, sf_dir, "part")
+    # fixture volume is decoupled from SF (the pages are constants): a
+    # deterministic 1-in-20 subset keeps the same coverage per arm
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
     k = F.col("p_partkey")
     host = F.concat(F.lit("lp"), (k % 7).cast("string"), F.lit(".example.com"))
 
@@ -3995,7 +3997,7 @@ _SCRAPER_ORACLE = (
              """ + _duck_pick(_U_CITY_S2) + """ AS cs,
              printf('%05d', 23000 + s_suppkey % 899) AS z1,
              printf('%05d', 19000 + s_suppkey % 899) AS z2
-      FROM supplier
+      FROM supplier WHERE s_suppkey % 5 = 0
     )
     SELECT concat('https://', host, '/a-', k) AS sourceUrl,
            'scraper_pattern' AS sourceType,
@@ -4035,7 +4037,9 @@ def _scraper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scraper.service.js:5-155,223-309)."""
     from web_crawler_spark.operators import extract as EX
 
-    s = load(spark, sf_dir, "supplier")
+    # constant fixture pages: a deterministic 1-in-5 subset decouples
+    # fixture volume from SF without losing any per-arm coverage
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") % 5 == 0)
     k = F.col("s_suppkey")
 
     def pick(arr: list[str]) -> Column:
