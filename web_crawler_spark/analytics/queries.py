@@ -1522,13 +1522,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idealized exact search. Ranks use the 6-dp-rounded cosine with
     vec_id tiebreak (cross-engine determinism)."""
     e = load(spark, sf_dir, "embeddings")
+    # each side's norm projected once pre-join (bit-identical to the
+    # inline cosine — same IEEE fold order; see operators/similarity.py)
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        SIM._l2(F.col("embedding")).alias("_qn"),
     )
-    scored = e.join(F.broadcast(q)).select(
+    c = e.select("vec_id", "embedding", SIM._l2(F.col("embedding")).alias("_cn"))
+    scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(D.cosine_sim(F.col("_qv"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            SIM._dot(F.col("_qv"), F.col("embedding")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     brute = (

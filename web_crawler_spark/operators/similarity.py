@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two tiers, as a 100 TB training-data pipeline needs:
+Three tiers, as a 100 TB training-data pipeline needs:
 
 - ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
   set against the full corpus, one shuffle for the per-query rank. The
@@ -14,15 +14,33 @@ Two tiers, as a 100 TB training-data pipeline needs:
   only its probe buckets — the scan prunes instead of reading 100 TB.
 
 All math is higher-order-function column algebra (zip_with/aggregate) —
-JVM-side, Arrow-free, no UDF.
+JVM-side, Arrow-free, no UDF. Each side's L2 norm is projected ONCE
+before the pair join (``_with_norm``), so per-pair work is a single dot
+fold instead of three array passes — numerically bit-identical to the
+inline form (same IEEE op order), 3× less per-pair compute and a ~3×
+smaller expression tree for Catalyst to analyze/compile.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from web_crawler_spark.operators.dedup import cosine_sim
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array columns (JVM HOFs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _l2(a: Column) -> Column:
+    """Sequential-fold L2 norm — same op order as the inline cosine."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
 
 
 def brute_force_topk(
@@ -39,13 +57,19 @@ def brute_force_topk(
     determinism.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _l2(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias("_cv"),
+        _l2(F.col(vec_col)).alias("_cn"),
+    )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         id_col,
-        cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -92,18 +116,24 @@ def lsh_topk(
         n = corpus.count()
         n_bits = max(4, min(24, math.ceil(math.log2(max(n, 128) / 64.0))))
     c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cv"), sign_bucket(vec_col, n_bits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        _l2(F.col(vec_col)).alias("_cn"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
     )
     probes = [F.lit(0)] + ([F.lit(1 << i) for i in range(n_bits)] if probe_hamming >= 1 else [])
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _l2(F.col(vec_col)).alias("_qn"),
         F.explode(
             F.transform(F.array(*probes), lambda m: sign_bucket(vec_col, n_bits).bitwiseXOR(m))
         ).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id", id_col, cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine")
+        "query_id",
+        id_col,
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     # a corpus vector can match several probe buckets of one query → dedup
     scored = scored.groupBy("query_id", id_col).agg(F.max("cosine").alias("cosine"))
@@ -144,45 +174,62 @@ def ivf_topk(
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(corpus.orderBy(id_col).limit(n_centroids).collect())
     ]
+    # Centroid norms folded driver-side: Python's left-to-right float sum
+    # and math.sqrt replay the exact IEEE op sequence of the JVM fold over
+    # the same literal doubles, so each norm literal is bit-identical to
+    # the aggregate it replaces — the 6-dp-rounded scores cannot move.
+    cnorms = [math.sqrt(sum(x * x for x in vec)) for _, vec in cents]
 
-    def _cent_scores(vcol: F.Column) -> list[F.Column]:
+    def _cent_scores(vcol: Column, norm_col: Column) -> list[Column]:
         return [
             F.round(
-                cosine_sim(vcol, F.array(*[F.lit(x) for x in vec])), 6
+                _dot(vcol, F.array(*[F.lit(x) for x in vec]))
+                / (norm_col * F.lit(cn)),
+                6,
             )
-            for _, vec in cents
+            for (_, vec), cn in zip(cents, cnorms)
         ]
 
-    def _nearest_list(vcol: F.Column) -> F.Column:
+    def _nearest_list(vcol: Column, norm_col: Column) -> Column:
         # argmax cosine == array_min over (-score, index) structs
         structs = [
             F.struct((-s).alias("d"), F.lit(i).alias("i"))
-            for (i, _), s in zip(cents, _cent_scores(vcol))
+            for (i, _), s in zip(cents, _cent_scores(vcol, norm_col))
         ]
         return F.array_min(F.array(*structs))["i"]
 
-    def _probe_lists(vcol: F.Column) -> F.Column:
+    def _probe_lists(vcol: Column, norm_col: Column) -> Column:
         structs = [
             F.struct((-s).alias("d"), F.lit(i).alias("i"))
-            for (i, _), s in zip(cents, _cent_scores(vcol))
+            for (i, _), s in zip(cents, _cent_scores(vcol, norm_col))
         ]
         return F.transform(
             F.slice(F.array_sort(F.array(*structs)), 1, nprobe), lambda s: s["i"]
         )
 
     c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), _l2(F.col(vec_col)).alias("_cn")
+    ).select(
         F.col(id_col),
-        F.col(vec_col).alias("_cv"),
-        _nearest_list(F.col(vec_col)).alias("list_id"),
+        "_cv",
+        "_cn",
+        _nearest_list(F.col("_cv"), F.col("_cn")).alias("list_id"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(_probe_lists(F.col(vec_col))).alias("list_id"),
+        _l2(F.col(vec_col)).alias("_qn"),
+    ).select(
+        "query_id",
+        "_qv",
+        "_qn",
+        F.explode(_probe_lists(F.col("_qv"), F.col("_qn"))).alias("list_id"),
     )
     # each corpus vector lives in exactly one list → no per-pair dedup
     scored = c.join(F.broadcast(q), "list_id").select(
-        "query_id", id_col, cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine")
+        "query_id",
+        id_col,
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
