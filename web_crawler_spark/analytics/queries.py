@@ -1396,7 +1396,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit simhash (md5-derived feature hashes, no
     UDF) + pigeonhole 15-bit block join + Hamming ≤ 3."""
     d = load(spark, sf_dir, "documents")
-    simmed = D.simhash_table(d, "doc_id", "text", k=3)
+    # persist the signature table (lazily): it feeds both sides of the
+    # block self-join, and the broadcast join plan defeats ReuseExchange,
+    # so without this the explode + 60-vote aggregate runs twice. One row
+    # per doc (id, simhash) — small at any corpus size relative to input.
+    simmed = D.simhash_table(d, "doc_id", "text", k=3).persist()
     pairs = D.simhash_candidates(simmed, "doc_id", "simhash", n_blocks=4)
     return pairs.filter(F.col("hamming") <= 3).select(
         "a", "b", F.col("hamming").cast("long").alias("hamming")

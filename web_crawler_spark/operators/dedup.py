@@ -125,8 +125,16 @@ def minhash_lsh_candidates(
     shingle → md5-minhash signature (perms) → band keys → self-join on
     band key → distinct pairs (a<b). One shuffle on band key; no cross
     join. Returns (a, b) candidate id pairs.
+
+    The signature table is persisted (lazily) before the self-join: both
+    join sides read it, and a broadcast band-join plan defeats
+    ReuseExchange, so lineage alone would run the explode + min-aggregate
+    pass twice. Lazy persist keeps it to one compute without adding a
+    serial materialization job — the broadcast-build side fills the cache
+    and the probe side reads it. One row of ``perms`` longs per doc —
+    tiny next to the shingle stream it replaces, at any corpus size.
     """
-    sig = minhash_signature_table(df, id_col, text_col, k, perms)
+    sig = minhash_signature_table(df, id_col, text_col, k, perms).persist()
     band_cols = [
         F.md5(
             F.concat(
