@@ -243,15 +243,32 @@ def attach_payload(records: DataFrame, images: DataFrame) -> DataFrame:
     )
 
 
-def records_pipeline(pages: DataFrame, fuzzy: bool = True) -> DataFrame:
+def records_pipeline(
+    pages: DataFrame, fuzzy: bool = True, truncate_lineage: bool = True
+) -> DataFrame:
     """pages → 7-strategy extraction → confidence floor → greedy fuzzy
-    dedup per host → geocode enrich → canonical records (+ payload)."""
+    dedup per host → geocode enrich → canonical records (+ payload).
+
+    ``truncate_lineage`` persists the two stage boundaries (extraction
+    output, canonical records) via lazy localCheckpoint. Everything
+    downstream of extraction re-analyzes the full 7-strategy union tree
+    on every DataFrame operation otherwise — driver-side plan work that
+    dominates wall time well before executors see a row (and grows with
+    plan depth, not data). Extraction output is rows-per-location, far
+    smaller than the page bodies it came from, so the materialization is
+    cheap at any scale; pass False to keep pure lineage (e.g. when a
+    caller checkpoints to its own table right after, as the crawl loop
+    does)."""
     from web_crawler_spark.operators import extract as EX
     from web_crawler_spark.operators import fuzzy as FZ
 
     raw = EX.extract_all(pages)
+    if truncate_lineage:
+        raw = raw.localCheckpoint(eager=False)
     enriched = geocode_enrich(raw)
     recs = to_canonical_records(enriched)
+    if truncate_lineage:
+        recs = recs.localCheckpoint(eager=False)
     if fuzzy:
         deduped = FZ.fuzzy_dedup(
             recs, "seed_host", order_cols=["sourceUrl", "locationName", "extractionMethod"]
