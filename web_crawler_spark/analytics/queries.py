@@ -3486,7 +3486,7 @@ _H3_ORACLE = """
              concat('Town', s_suppkey % 20) AS c2,
              concat(1 + s_suppkey % 250, ' Oak St') AS st2,
              printf('%05d', 40000 + s_suppkey % 59999) AS pc2
-      FROM supplier
+      FROM supplier WHERE s_suppkey <= 400
     )
     SELECT concat('https://h', s_suppkey % 9, '.example.com/global') AS sourceUrl,
            0.8 AS confidence, c1 AS locationName, st1 AS street, c1 AS city,
@@ -3504,10 +3504,13 @@ def _h3_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     title-case h3 = city, following <p> = address (the one justified
     mapInPandas extractor; location-extractor.service.js:656-698). Each
     body carries two country sections plus an orphan <p> before any city
-    that must NOT emit; the oracle reconstructs both expected rows."""
+    that must NOT emit; the oracle reconstructs both expected rows.
+    Fixture volume is SF-independent (keys ≤ 400 — the widest structural
+    modulus cycles inside the cap; this arm crosses into Python per row
+    via mapInPandas, so bounding the page count matters more here)."""
     from web_crawler_spark.operators import extract as EX
 
-    s = load(spark, sf_dir, "supplier")
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 400)
     k = F.col("s_suppkey")
     body = F.concat(
         F.lit("<html><p>orphan paragraph, 11111</p><h3>USA</h3><h3>City"),
@@ -3593,7 +3596,7 @@ _STRUCTURAL_ORACLE = (
              """ + _duck_pick(_U_CITY_S) + """ AS cs,
              """ + _duck_pick(_U_CITY_C) + """ AS cc,
              """ + _duck_pick(_U_CITY_G) + """ AS cg
-      FROM supplier
+      FROM supplier WHERE s_suppkey <= 100
     )
     SELECT sourceUrl, 'dom_list' AS sourceType, cl AS locationName,
            concat(1 + k % 300, ' Oak Street') AS street, cl AS city,
@@ -3634,10 +3637,15 @@ def _structural_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, section heading override, the card path's page-level
     currentCountry from the LAST country header, and extractCountry's
     ordered-substring scan — the grid row says 'Reach us at … Canada'
-    and the expected country is 'US' (bug-compatible with :511-521)."""
+    and the expected country is 'US' (bug-compatible with :511-521).
+
+    Fixture volume is SF-independent (keys ≤ 100): the pages differ only
+    in key-derived data, and every variant modulus (5, 9) cycles fully
+    inside the cap, so coverage is identical while the heavy DOM regex
+    battery runs on a bounded page count at any SF."""
     from web_crawler_spark.operators import extract as EX
 
-    s = load(spark, sf_dir, "supplier")
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 100)
     k = F.col("s_suppkey")
 
     def pick(arr: list[str]) -> Column:
@@ -3696,7 +3704,7 @@ _DATAATTR_ORACLE = (
              concat('https://d', s_suppkey % 9, '.example.com/offices') AS sourceUrl,
              """ + _duck_pick(_U_CITY_D) + """ AS cd,
              """ + _duck_pick(_U_CITY_P) + """ AS cp
-      FROM supplier
+      FROM supplier WHERE s_suppkey <= 100
     )
     SELECT sourceUrl, 'data_attr' AS sourceType,
            concat(cd, ' Plaza NYC') AS locationName,
@@ -3742,10 +3750,11 @@ def _dataattr_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     heading so the name falls back to 'Contact Location {i+1}' with i the
     per-page jQuery .each index (location-extractor.service.js:350-450).
     Decoys per gate: a 1-char data-city, an http script entry, and a
-    16-char contact block."""
+    16-char contact block. Fixture volume is SF-independent (keys ≤ 100,
+    every variant modulus cycles inside the cap)."""
     from web_crawler_spark.operators import extract as EX
 
-    s = load(spark, sf_dir, "supplier")
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 100)
     k = F.col("s_suppkey")
 
     def pick(arr: list[str]) -> Column:
@@ -3802,7 +3811,7 @@ _HEURISTIC_ORACLE = (
              printf('%05d', 30000 + s_suppkey % 9999) AS z2,
              printf('%05d', 44000 + s_suppkey % 9999) AS z3,
              printf('%05d', 88000 + s_suppkey % 9999) AS z4
-      FROM supplier
+      FROM supplier WHERE s_suppkey <= 100
     )
     SELECT sourceUrl, 'heur_semantic' AS sourceType,
            CAST(NULL AS VARCHAR) AS locationName,
@@ -3846,10 +3855,12 @@ def _heuristic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     item glued with its short-item decoy, so its key differs. The
     page-level dedup drops the S3 duplicates of the <address> line and
     the heading sibling (strategy push order wins), and the '(12) Oak
-    5!!' decoy dies at the key-length > 10 gate."""
+    5!!' decoy dies at the key-length > 10 gate. Fixture volume is
+    SF-independent (keys ≤ 100, every variant modulus cycles inside the
+    cap)."""
     from web_crawler_spark.operators import extract as EX
 
-    s = load(spark, sf_dir, "supplier")
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 100)
     k = F.col("s_suppkey")
 
     def pick(arr: list[str]) -> Column:
@@ -3890,7 +3901,7 @@ _LOC_DOM_ORACLE = """
     WITH b AS (
       SELECT p_partkey AS k,
              concat('lp', p_partkey % 7, '.example.com') AS host
-      FROM part WHERE p_partkey % 20 = 0
+      FROM part WHERE p_partkey % 20 = 0 AND p_partkey <= 2000
     )
     SELECT sourceType,
            concat('https://', host, '/loc', k, '/', pg) AS sourceUrl,
@@ -3975,8 +3986,11 @@ def _loc_dom_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_crawler_spark.operators import extract as EX
 
     # fixture volume is decoupled from SF (the pages are constants): a
-    # deterministic 1-in-20 subset keeps the same coverage per arm
-    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
+    # deterministic 1-in-20 subset plus an SF-independent key cap keeps
+    # the same coverage per arm on a bounded page count at any SF
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_partkey") % 20 == 0) & (F.col("p_partkey") <= 2000)
+    )
     k = F.col("p_partkey")
     host = F.concat(F.lit("lp"), (k % 7).cast("string"), F.lit(".example.com"))
 
@@ -4008,7 +4022,7 @@ _SCRAPER_ORACLE = (
              """ + _duck_pick(_U_CITY_S2) + """ AS cs,
              printf('%05d', 23000 + s_suppkey % 899) AS z1,
              printf('%05d', 19000 + s_suppkey % 899) AS z2
-      FROM supplier WHERE s_suppkey % 5 = 0
+      FROM supplier WHERE s_suppkey % 5 = 0 AND s_suppkey <= 250
     )
     SELECT concat('https://', host, '/a-', k) AS sourceUrl,
            'scraper_pattern' AS sourceType,
@@ -4048,9 +4062,12 @@ def _scraper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scraper.service.js:5-155,223-309)."""
     from web_crawler_spark.operators import extract as EX
 
-    # constant fixture pages: a deterministic 1-in-5 subset decouples
-    # fixture volume from SF without losing any per-arm coverage
-    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") % 5 == 0)
+    # constant fixture pages: a deterministic 1-in-5 subset plus an
+    # SF-independent key cap decouples fixture volume from SF without
+    # losing any per-arm coverage (page variants a/b/c exist per key)
+    s = load(spark, sf_dir, "supplier").where(
+        (F.col("s_suppkey") % 5 == 0) & (F.col("s_suppkey") <= 250)
+    )
     k = F.col("s_suppkey")
 
     def pick(arr: list[str]) -> Column:
@@ -4107,6 +4124,7 @@ _GENERIC_ADDR_ORACLE = """
     CROSS JOIN (VALUES
         ('12 Harbor Street', CAST(NULL AS VARCHAR)),
         (CAST(NULL AS VARCHAR), '94607')) AS v(street, postcode)
+    WHERE p_partkey <= 2000
     """
 
 _GEN_BODY = (
@@ -4123,10 +4141,11 @@ _GEN_BODY = (
 def _generic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 strategy 7 (dom_generic, :392-417): a duplicated street block
     (exact-text set keeps one), an under-window paragraph, and a
-    postal-only section."""
+    postal-only section. Fixture volume is SF-independent (keys ≤ 2000;
+    the page body is a constant)."""
     from web_crawler_spark.operators import extract as EX
 
-    p = load(spark, sf_dir, "part")
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
     k = F.col("p_partkey")
     return EX.extract_generic_addresses(
         p.select(
@@ -4151,6 +4170,7 @@ _JSONLD_REC_ORACLE = """
          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
     ) AS v(locationName, street, city, state, postcode, country, phone,
            email, latitude, longitude)
+    WHERE p_partkey <= 2000
     """
 
 _JL_BLOB = (
@@ -4167,10 +4187,11 @@ def _jsonld_rec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 recursive JSON-LD walk (jsonld_recursive, :208-269): an @graph
     whose sibling keys are short-circuited, a substring-gated
     'CorporatePlace' type, a nested LocalBusiness two levels deep, and a
-    malformed second script that must be skipped."""
+    malformed second script that must be skipped. Fixture volume is
+    SF-independent (keys ≤ 2000; the blob is a constant)."""
     from web_crawler_spark.operators import extract as EX
 
-    p = load(spark, sf_dir, "part")
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
     k = F.col("p_partkey")
     body = F.concat(
         F.lit('<body><script type="application/ld+json">'),

@@ -485,7 +485,11 @@ class CrawlDriver:
         cand = FR.clean_candidate_links(links)
         cand = FR.first_occurrence_per_page(cand)
         # persisted: feeds the anti-join, the dedup metric, and (via
-        # new_frontier_rows) the base append — one computation, not 3
+        # new_frontier_rows) the base append — one computation, not 3.
+        # (An Observation riding the anti-join scan would fold the
+        # candidate-count job away entirely, but CollectMetrics under a
+        # join trips a JVM assertion in this PySpark build — the count()
+        # below reads the persisted rows, so it's a cheap cached-scan job.)
         cand = FR.dedup_first_discoverer(cand).persist()
         bloom = self._read_bloom() if cfg.use_bloom else None
         # seen set == base discovery rows (delta only changes status)
