@@ -46,6 +46,14 @@ def get_spark(
         # 16g, not bigger: oversized heaps measurably GC-anti-scale at high
         # local thread counts (see BENCH.md); real clusters size per-core
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # The generated-class cache defaults to 100 entries — smaller than
+        # the number of codegen units in ONE multi-strategy composite query
+        # (AQE re-plans per stage, each stage compiles), so a single
+        # execution can evict its own classes and re-pay multi-second
+        # Janino compiles on every run. 2000 entries keeps every plan this
+        # engine produces compiled-once per JVM; the cached classes are
+        # small (metaspace, not heap).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
