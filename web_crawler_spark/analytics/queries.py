@@ -4370,27 +4370,41 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     contact_page), X34 (the four heuristic strategies with the
     normalized-key first-wins dedup, tagged heur_*), and X35 (the
     scraper chain with the sequential longer-wins similarity dedup,
-    tagged scraper_*) ride the same tagged-union path."""
-    stru = _structural_rows(spark, sf_dir)
-    parts = [
-        _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
-        _align_extract(_microdata_rows(spark, sf_dir), "microdata"),
-        _align_extract(_inline_script_rows(spark, sf_dir), "inline_script"),
-        _align_extract(_xhr_rows(spark, sf_dir), "xhr"),
-        _align_extract(_h3_rows(spark, sf_dir), "h3_sequential"),
-        _align_extract(_text_line_rows(spark, sf_dir), "text_line"),
-        _align_extract_tagged(stru),
-        _align_extract_tagged(_dataattr_rows(spark, sf_dir)),
-        _align_extract_tagged(_heuristic_rows(spark, sf_dir)),
-        _align_extract_tagged(
+    tagged scraper_*) ride the same tagged-union path.
+
+    The 13 arm plans are CONSTRUCTED concurrently: each arm is hundreds
+    of py4j round-trips of eager per-op analysis, driver-side work that
+    the JVM overlaps cleanly across threads (plan construction has no
+    shared mutable state). Interleaved A/B at sf0.1: serial build+run
+    27/52/14 s vs parallel 17/18/12 s — faster and far less sensitive
+    to concurrent JIT storms. Execution is a single action either way."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = [
+        lambda: _align_extract(_jsonld_rows(spark, sf_dir), "jsonld"),
+        lambda: _align_extract(_microdata_rows(spark, sf_dir), "microdata"),
+        lambda: _align_extract(
+            _inline_script_rows(spark, sf_dir), "inline_script"
+        ),
+        lambda: _align_extract(_xhr_rows(spark, sf_dir), "xhr"),
+        lambda: _align_extract(_h3_rows(spark, sf_dir), "h3_sequential"),
+        lambda: _align_extract(_text_line_rows(spark, sf_dir), "text_line"),
+        lambda: _align_extract_tagged(_structural_rows(spark, sf_dir)),
+        lambda: _align_extract_tagged(_dataattr_rows(spark, sf_dir)),
+        lambda: _align_extract_tagged(_heuristic_rows(spark, sf_dir)),
+        lambda: _align_extract_tagged(
             _scraper_rows(spark, sf_dir).drop("activity", "usageShare")
         ),
-        _align_extract_tagged(
+        lambda: _align_extract_tagged(
             _loc_dom_rows(spark, sf_dir).drop("activity", "usageShare")
         ),
-        _align_extract_tagged(_generic_rows(spark, sf_dir)),
-        _align_extract(_jsonld_rec_rows(spark, sf_dir), "jsonld_recursive"),
+        lambda: _align_extract_tagged(_generic_rows(spark, sf_dir)),
+        lambda: _align_extract(
+            _jsonld_rec_rows(spark, sf_dir), "jsonld_recursive"
+        ),
     ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        parts = [f.result() for f in [pool.submit(b) for b in builders]]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
