@@ -120,3 +120,49 @@ def test_embedding_neardup_and_cosine(spark):
     pairs = D.embedding_neardup_pairs(df, threshold=0.9)
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_substring_dup_pairs_semantics(spark):
+    """Verbatim 8-token passages pair; boilerplate above the df-cap does
+    not; min_shared gates single-span coincidences."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "this site uses cookies to improve your browsing experience ok"
+    rows = [
+        # docs 1 and 2 share the 10-token passage verbatim -> >= 3 shared
+        # 8-token windows -> a pair
+        (1, f"unique one text {passage} trailing words here"),
+        (2, f"other doc opening {passage} different ending tokens"),
+        # doc 3 shares only ONE 8-token window with doc 1 (prefix of the
+        # passage cut short) -> below min_shared=2 -> no pair
+        (3, "padding start alpha beta gamma delta epsilon zeta eta theta stop pad"),
+    ]
+    # 12 docs whose ONLY common text is the boilerplate sentence; with
+    # max_df=10 its spans are dropped, so they pair with nothing
+    rows += [(10 + i, f"doc{i} body {boiler} filler{i} tail{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["a"], r["b"]): r["shared_spans"]
+        for r in D.substring_dup_pairs(
+            df, "doc_id", "text", window=8, min_shared=2, max_df=10
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 3  # 10-token passage -> 3 windows
+    assert all(a == 1 and b == 2 for (a, b) in pairs), pairs
+
+    # min_shared=1 admits the single-window overlap with doc 3
+    pairs1 = {
+        (r["a"], r["b"])
+        for r in D.substring_dup_pairs(
+            df, "doc_id", "text", window=8, min_shared=1, max_df=10
+        ).collect()
+    }
+    # the passage prefix window lives in docs 1 AND 2, so doc 3 pairs
+    # with both under min_shared=1
+    assert (1, 3) in pairs1 and (2, 3) in pairs1
+
+    # raising the df-cap above 12 lets the boilerplate docs pair
+    pairs_nocap = D.substring_dup_pairs(
+        df, "doc_id", "text", window=8, min_shared=2, max_df=100
+    ).count()
+    assert pairs_nocap > len(pairs)

@@ -416,12 +416,53 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
       FROM lineitem
     ) WHERE rn = 1
+    UNION ALL
+    -- substring (verbatim-passage) dedup: pairs sharing >= 2 exact
+    -- 8-token spans, spans in > 100 docs df-capped before the self-join
+    -- (normalization matches functions/text.py:normalize_text)
+    SELECT 'substring', a.doc_id, b.doc_id, count(*)::DOUBLE
+    FROM (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(toks) - 7, 1)),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS s
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                     '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+    ) a
+    JOIN (SELECT s FROM (
+            SELECT doc_id, unnest(list_distinct(
+              list_transform(generate_series(1, greatest(len(toks) - 7, 1)),
+                             i -> array_to_string(toks[i:i+7], ' ')))) AS s
+            FROM (SELECT doc_id,
+                         string_split(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS toks
+                  FROM documents))
+          GROUP BY s HAVING count(*) <= 100) f USING (s)
+    JOIN (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(toks) - 7, 1)),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS s
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                     '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+    ) b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
     """,
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2: the two exact-dedup survivor policies — first-wins via the
     explicit ingest-order window and best-wins (highest score,
-    deterministic tiebreak) — unioned under a policy tag."""
+    deterministic tiebreak) — plus the substring (verbatim-passage)
+    dedup of the training-data literature: document pairs sharing ≥ 2
+    exact 8-token spans, with spans above the df-cap dropped before the
+    self-join (operators/dedup.py:substring_dup_pairs). All unioned
+    under a policy tag."""
     li = load(spark, sf_dir, "lineitem")
     first = D.dedup_first_wins(
         li.withColumn("_ord", F.struct("l_linenumber", "l_partkey", "l_suppkey")),
@@ -445,7 +486,16 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("val"),
         )
     )
-    return first.unionByName(best)
+    d = load(spark, sf_dir, "documents")
+    sub = D.substring_dup_pairs(
+        d, "doc_id", "text", window=8, min_shared=2, max_df=100
+    ).select(
+        F.lit("substring").alias("policy"),
+        F.col("a").alias("grp"),
+        F.col("b").alias("chosen"),
+        F.col("shared_spans").cast("double").alias("val"),
+    )
+    return first.unionByName(best).unionByName(sub)
 
 
 @query(

@@ -69,6 +69,59 @@ def dedup_exact_text(df: DataFrame, text_col: str = "text", order: str | None = 
     return out.drop("_fp")
 
 
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact substring (verbatim-passage) dedup: document pairs sharing at
+    least ``min_shared`` identical ``window``-token spans. The suffix-array
+    criterion of the training-data dedup literature (find documents with a
+    long verbatim overlap), restated for a fixed window length as a span
+    equi-join — which Spark executes as ONE shuffle on the span hash,
+    where a suffix-array build would be a global sort.
+
+    Scale contract (module rule: never an O(n²) cross join): spans are
+    de-duplicated per document, then any span occurring in more than
+    ``max_df`` documents is dropped BEFORE the self-join — one boilerplate
+    sentence shared by 10^6 docs would otherwise make a single join key
+    quadratic. At that document frequency a span is boilerplate by
+    definition (the literature's df-cap); genuinely duplicated passages
+    still pair through their rarer neighboring spans. Spans ride as md5
+    hashes so the shuffle key is fixed-width regardless of window length.
+
+    Returns (a, b, shared_spans), a < b.
+    """
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(TX.shingles(F.col(text_col), window)), F.md5
+            )
+        ).alias("_h"),
+    )
+    rare = (
+        spans.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("_h")
+    )
+    # spans and rare are both partitioned by _h from the aggregate — the
+    # filter join and the pair self-join reuse that partitioning
+    kept = spans.join(rare, "_h")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, "_h")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .filter(F.col("shared_spans") >= min_shared)
+    )
+
+
 # -------------------------------------------------------- canonical merge A3
 def canonical_merge(
     df: DataFrame,
