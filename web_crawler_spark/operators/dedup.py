@@ -95,6 +95,11 @@ def substring_dup_pairs(
 
     Returns (a, b, shared_spans), a < b.
     """
+    # persisted (lazily): the span stream feeds the df-cap aggregate, the
+    # cap join probe, and both pair-join sides — without it the explode +
+    # 8-way shingle fold recomputes up to 4x (broadcast joins defeat
+    # ReuseExchange, as with the minhash/simhash signature tables). One
+    # (id, md5) row per distinct span — bounded by total corpus tokens.
     spans = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -102,16 +107,14 @@ def substring_dup_pairs(
                 F.array_distinct(TX.shingles(F.col(text_col), window)), F.md5
             )
         ).alias("_h"),
-    )
+    ).persist()
     rare = (
         spans.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= max_df)
         .select("_h")
     )
-    # spans and rare are both partitioned by _h from the aggregate — the
-    # filter join and the pair self-join reuse that partitioning
-    kept = spans.join(rare, "_h")
+    kept = spans.join(rare, "_h").persist()
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(b, "_h")
