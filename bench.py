@@ -50,7 +50,10 @@ HEADLINE = [
 # windows (BENCH.md), and a single-pass total can't distinguish a real
 # regression from a noisy neighbor. Median absorbs one bad pass; the
 # per-query min/max spread ships in the JSON tail for transparency.
-PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+# 5 passes: this host shows stochastic 20-60s stalls that hit 1-2 passes
+# per bench run (documented in BENCH.md); a median of 5 discards up to two
+# outliers per query where a median of 3 could still be captured by one
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
 
 
 def main() -> None:
