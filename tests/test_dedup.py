@@ -166,3 +166,22 @@ def test_substring_dup_pairs_semantics(spark):
         df, "doc_id", "text", window=8, min_shared=2, max_df=100
     ).count()
     assert pairs_nocap > len(pairs)
+
+
+def test_substring_dup_pairs_frees_span_persists(spark):
+    """The corpus-token-scale span persists are scoped to the call: after
+    substring_dup_pairs returns, only the pair-scale materialized result
+    may remain in the block store — the span stream and its df-capped
+    projection are unpersisted (the 100 TB hazard: a persist with no owner
+    pins ~the whole corpus for the SparkContext lifetime)."""
+    rows = [(i, f"shared passage alpha beta gamma delta epsilon doc{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = D.substring_dup_pairs(df, "doc_id", "text", window=4, min_shared=1, max_df=100)
+    out.count()  # consume after return — must NOT need the freed inputs
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # at most the lineage-truncated pair result itself remains persisted;
+    # both corpus-scale intermediates are gone (unpersist was blocking)
+    assert after <= before + 1, (before, after)
+    assert out.count() > 0  # result is still fully readable post-unpersist

@@ -94,12 +94,18 @@ def substring_dup_pairs(
     hashes so the shuffle key is fixed-width regardless of window length.
 
     Returns (a, b, shared_spans), a < b.
+
+    Persist lifecycle: the span stream feeds the df-cap aggregate, the cap
+    join probe, and both pair-join sides — without a persist the explode +
+    shingle fold recomputes up to 4x (broadcast joins defeat ReuseExchange,
+    as with the minhash/simhash signature tables). But the span stream is
+    ~one (id, md5) row per corpus token — at 100 TB, a persist with no
+    owner would pin ~the corpus itself for the lifetime of the
+    SparkContext. So the persists are SCOPED TO THIS CALL: persist → run
+    the pair join to a lineage-truncating materialization of the (small,
+    pair-scale) result → unpersist both intermediates before returning.
+    Callers get a DataFrame whose blocks are pair-sized, not corpus-sized.
     """
-    # persisted (lazily): the span stream feeds the df-cap aggregate, the
-    # cap join probe, and both pair-join sides — without it the explode +
-    # 8-way shingle fold recomputes up to 4x (broadcast joins defeat
-    # ReuseExchange, as with the minhash/simhash signature tables). One
-    # (id, md5) row per distinct span — bounded by total corpus tokens.
     spans = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -116,13 +122,22 @@ def substring_dup_pairs(
     )
     kept = spans.join(rare, "_h").persist()
     a, b = kept.alias("a"), kept.alias("b")
-    return (
+    out = (
         a.join(b, "_h")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
         .agg(F.count(F.lit(1)).alias("shared_spans"))
         .filter(F.col("shared_spans") >= min_shared)
     )
+    try:
+        # materialize the pair-scale result so the corpus-scale inputs can
+        # be dropped immediately (localCheckpoint truncates lineage, so the
+        # unpersisted span stream is never re-read by the consumer)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spans.unpersist(blocking=True)
+        kept.unpersist(blocking=True)
+    return out
 
 
 # -------------------------------------------------------- canonical merge A3
