@@ -61,6 +61,58 @@ def test_ivf_topk_self_rank1_partition_and_recall(spark):
     assert again == {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
 
 
+def test_ivf_codebook_scales_to_1024_centroids(spark):
+    """The codebook rides as DATA (one broadcast row), so the analyzed
+    plan is O(1) in n_centroids — the old literal-array form inlined
+    n_centroids × dim literals per scoring site and stopped compiling at
+    realistic codebook sizes."""
+    df = _vecs(spark, n=1200, dim=8)
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    top = SIM.ivf_topk(df, q, k=3, n_centroids=1024, nprobe=2, query_id_col="query_id")
+    # the plan text must not grow with the codebook: no inlined centroid
+    # literal arrays (a 1024×8 literal codebook would dwarf this bound)
+    plan = top._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 50_000, len(plan)
+    rows = top.collect()
+    r1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1}  # self list probed first → rank 1 = self
+
+
+def test_ivf_hash_seeding_balances_clustered_ids(spark):
+    """Clustered fixture: ids 0..99 are one tight cluster, 100..399 are
+    three other clusters. First-N seeding puts every centroid inside
+    cluster 0, so the other 300 vectors funnel into whichever of those
+    centroids is least-far — badly skewed inverted lists. Hash-spread
+    seeding samples the whole corpus and must cut the max list size."""
+    import math
+
+    rows = []
+    for i in range(400):
+        cl = 0 if i < 100 else 1 + (i - 100) // 100  # ids 0-99 all cluster 0
+        base = [math.sin(cl * 2.1 + j) for j in range(8)]
+        rows.append((i, [b + 0.001 * math.sin(i + j) for j, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def max_list(strategy):
+        cb = SIM.ivf_codebook(df, n_centroids=8, seed_strategy=strategy)
+        sizes = (
+            SIM.ivf_assign(df, cb)
+            .groupBy("list_id")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        return sizes
+
+    first_max = max_list("first")
+    hash_max = max_list("hash")
+    # first-N: all 8 centroids in cluster 0 → ≥1 list absorbs ~a whole
+    # foreign cluster (≥100 rows). hash spread: centroids land across
+    # clusters → max list bounded by ~one cluster + slack.
+    assert first_max >= 100, first_max
+    assert hash_max < first_max, (hash_max, first_max)
+
+
 def test_grid_pipeline(spark):
     df = spark.createDataFrame(
         [(i, f"name{i}", float(i % 7) if i % 5 else None) for i in range(30)],

@@ -1507,9 +1507,13 @@ _BUCKET_SQL = (
       GROUP BY query_id, vec_id
     ),
     cents AS (
+      -- hash-spread codebook seeding (operators/similarity.py:ivf_codebook):
+      -- the 8 corpus vectors with the smallest md5('cb|' || id), mirrored
+      -- bit-identically (md5 hex sorts the same in both engines)
       SELECT embedding AS ce,
-             row_number() OVER (ORDER BY vec_id) - 1 AS ci
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+             row_number() OVER (ORDER BY md5('cb|' || vec_id::VARCHAR), vec_id) - 1 AS ci
+      FROM (SELECT * FROM embeddings
+            ORDER BY md5('cb|' || vec_id::VARCHAR), vec_id LIMIT 8)
     ),
     cscore AS (
       SELECT c.vec_id, c.embedding, cents.ci,
@@ -1568,9 +1572,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 under all three tiers, tagged by variant: 'brute' =
     exact cosine (broadcast queries × corpus, the right plan for small
     query sets), 'lsh' = sign-LSH with Hamming-1 multi-probe, 'ivf' =
-    IVF-flat (deterministic 8-centroid coarse codebook → inverted lists
-    → 2-list probe; at cluster scale the corpus partitions by list_id and
-    each query's scan prunes to nprobe/n_centroids of the data). The
+    IVF-flat (8-centroid coarse codebook, hash-spread-seeded and carried
+    as a broadcast one-row table → inverted lists → 2-list probe; at
+    cluster scale the corpus partitions by list_id and each query's scan
+    prunes to nprobe/n_centroids of the data). The
     oracle mirrors each approximate operator's bucketing/assignment
     exactly, so the probe-set + rank semantics are checked, not an
     idealized exact search. Ranks use the 6-dp-rounded cosine with

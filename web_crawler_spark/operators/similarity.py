@@ -141,6 +141,88 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_strategy: str = "hash",
+) -> DataFrame:
+    """Build the IVF coarse codebook as DATA: a one-row DataFrame whose
+    single ``_cb`` column is array<struct<i, ce, cn>> (centroid index,
+    vector, L2 norm). Broadcast-joined to corpus/queries, the whole
+    codebook rides as one column value — the expression tree and compiled
+    plan are O(1) in ``n_centroids`` (the literal-array form grew linearly
+    and stopped compiling around realistic 4k–65k codebooks), and a
+    Lloyd-trained codebook drops in as a different DataFrame, not code.
+
+    ``seed_strategy='hash'`` (default) picks the ``n_centroids`` corpus
+    vectors with the smallest ``md5('cb|' || id)`` — a deterministic,
+    cross-engine-reproducible spread over the WHOLE corpus, so inverted
+    lists stay balanced even when ids are clustered (first-N ids from one
+    tight cluster would funnel most of the corpus into a handful of
+    lists). ``'first'`` keeps the old smallest-id seeding for comparison.
+
+    Centroid norms are folded driver-side: Python's left-to-right float
+    sum and math.sqrt replay the exact IEEE op sequence of the JVM fold
+    over the same doubles, so the 6-dp-rounded scores cannot move between
+    engines.
+    """
+    if seed_strategy == "hash":
+        order = [F.md5(F.concat(F.lit("cb|"), F.col(id_col).cast("string"))), F.col(id_col)]
+    elif seed_strategy == "first":
+        order = [F.col(id_col)]
+    else:
+        raise ValueError(f"unknown seed_strategy {seed_strategy!r}")
+    rows = corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids).collect()
+    entries = []
+    for i, r in enumerate(rows):
+        vec = [float(x) for x in r[vec_col]]
+        entries.append((i, vec, math.sqrt(sum(x * x for x in vec))))
+    return corpus.sparkSession.createDataFrame(
+        [(entries,)], "_cb array<struct<i:int, ce:array<double>, cn:double>>"
+    )
+
+
+def _cb_scored(vcol: Column, norm_col: Column) -> Column:
+    """(-round(cosine,6), i) structs for every codebook entry — one
+    transform over the ``_cb`` column, O(1) plan size in n_centroids.
+    argmax cosine == array_min over the structs; ties break toward the
+    lower centroid index (struct field order d, i)."""
+    return F.transform(
+        F.col("_cb"),
+        lambda ent: F.struct(
+            (-F.round(_dot(vcol, ent["ce"]) / (norm_col * ent["cn"]), 6)).alias("d"),
+            ent["i"].alias("i"),
+        ),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its inverted list: (id, _cv, _cn,
+    list_id). Shuffle-free — a broadcast single-row join carries the
+    codebook to every partition, and the argmin is per-row column algebra.
+    At cluster scale this is the projection you write partitioned by
+    ``list_id`` to build the IVF index."""
+    return (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("_cv"), _l2(F.col(vec_col)).alias("_cn")
+        )
+        .join(F.broadcast(codebook))
+        .select(
+            F.col(id_col),
+            "_cv",
+            "_cn",
+            F.array_min(_cb_scored(F.col("_cv"), F.col("_cn")))["i"].alias("list_id"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,6 +232,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    seed_strategy: str = "hash",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse codebook → inverted lists → probe ``nprobe``.
 
@@ -161,69 +245,34 @@ def ivf_topk(
     the IVF index structure of Faiss/Milvus, expressed as partition
     pruning.
 
-    The codebook is deterministic and cross-engine reproducible: the
-    ``n_centroids`` corpus vectors with the smallest ids (a Lloyd-trained
-    codebook drops in by swapping these literals — the plan shape, which
-    is what matters at scale, is unchanged). Assignment scores round to
-    6 dp before the argmax so Spark and a SQL oracle agree at ulp
-    boundaries; ties break toward the lower centroid index. Assignment
-    is pure whole-stage-codegen column algebra (array_min over
-    (score, index) structs) — no shuffle, no UDF.
+    The codebook is a broadcast one-row table (see :func:`ivf_codebook`),
+    hash-spread-seeded by default; pass ``codebook`` to use a trained one.
+    Assignment scores round to 6 dp before the argmax so Spark and a SQL
+    oracle agree at ulp boundaries; ties break toward the lower centroid
+    index. Assignment stays shuffle-free column algebra: a broadcast
+    single-row join (no repartition) plus array_min over per-entry
+    (score, index) structs — no per-centroid expression growth, no UDF.
     """
-    cents = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(corpus.orderBy(id_col).limit(n_centroids).collect())
-    ]
-    # Centroid norms folded driver-side: Python's left-to-right float sum
-    # and math.sqrt replay the exact IEEE op sequence of the JVM fold over
-    # the same literal doubles, so each norm literal is bit-identical to
-    # the aggregate it replaces — the 6-dp-rounded scores cannot move.
-    cnorms = [math.sqrt(sum(x * x for x in vec)) for _, vec in cents]
-
-    def _cent_scores(vcol: Column, norm_col: Column) -> list[Column]:
-        return [
-            F.round(
-                _dot(vcol, F.array(*[F.lit(x) for x in vec]))
-                / (norm_col * F.lit(cn)),
-                6,
-            )
-            for (_, vec), cn in zip(cents, cnorms)
-        ]
-
-    def _nearest_list(vcol: Column, norm_col: Column) -> Column:
-        # argmax cosine == array_min over (-score, index) structs
-        structs = [
-            F.struct((-s).alias("d"), F.lit(i).alias("i"))
-            for (i, _), s in zip(cents, _cent_scores(vcol, norm_col))
-        ]
-        return F.array_min(F.array(*structs))["i"]
-
-    def _probe_lists(vcol: Column, norm_col: Column) -> Column:
-        structs = [
-            F.struct((-s).alias("d"), F.lit(i).alias("i"))
-            for (i, _), s in zip(cents, _cent_scores(vcol, norm_col))
-        ]
-        return F.transform(
-            F.slice(F.array_sort(F.array(*structs)), 1, nprobe), lambda s: s["i"]
-        )
-
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cv"), _l2(F.col(vec_col)).alias("_cn")
-    ).select(
-        F.col(id_col),
-        "_cv",
-        "_cn",
-        _nearest_list(F.col("_cv"), F.col("_cn")).alias("list_id"),
+    cb = (
+        codebook
+        if codebook is not None
+        else ivf_codebook(corpus, n_centroids, id_col, vec_col, seed_strategy)
     )
+    c = ivf_assign(corpus, cb, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _l2(F.col(vec_col)).alias("_qn"),
-    ).select(
+    ).join(F.broadcast(cb)).select(
         "query_id",
         "_qv",
         "_qn",
-        F.explode(_probe_lists(F.col("_qv"), F.col("_qn"))).alias("list_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cb_scored(F.col("_qv"), F.col("_qn"))), 1, nprobe),
+                lambda s: s["i"],
+            )
+        ).alias("list_id"),
     )
     # each corpus vector lives in exactly one list → no per-pair dedup
     scored = c.join(F.broadcast(q), "list_id").select(
