@@ -110,6 +110,37 @@ def test_connected_min_deep_chain(spark):
     assert comp == {n: 1 for n in range(1, 101)}
 
 
+def test_connected_min_reliable_checkpoint(spark):
+    """checkpoint='reliable' writes each iteration's labels to the durable
+    checkpoint dir (cluster survivability: a lost executor replays from
+    storage instead of killing the lineage-truncated job) and must produce
+    exactly the local-mode labels. Without a checkpoint dir it fails fast
+    with a clear message instead of Spark's deep-stack error."""
+    import tempfile
+
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 40)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+
+    sc = spark.sparkContext
+    had_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    if not had_dir:
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            D.connected_min(pairs, checkpoint="reliable")
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="wcs_ckpt_"))
+    local = {r["node"]: r["component"] for r in D.connected_min(pairs).collect()}
+    reliable = {
+        r["node"]: r["component"]
+        for r in D.connected_min(pairs, checkpoint="reliable").collect()
+    }
+    assert reliable == local
+    assert reliable[40] == 1 and reliable[101] == 100
+
+    with pytest.raises(ValueError):
+        D.connected_min(pairs, checkpoint="bogus")
+
+
 def test_embedding_neardup_and_cosine(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),

@@ -271,7 +271,9 @@ def minhash_dedup(
     )
 
 
-def connected_min(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_min(
+    pairs: DataFrame, max_iters: int = 25, checkpoint: str = "local"
+) -> DataFrame:
     """Connected components over an edge list (a,b) by alternating min-label
     propagation ("hook": pull the minimum label across each edge) with
     pointer jumping ("compress": relabel through the label table itself,
@@ -286,7 +288,26 @@ def connected_min(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     resolve in ~log2(d) rounds. max_iters=25 therefore covers diameters up
     to ~2^25 hops; if the fixpoint is still not reached the function FAILS
     LOUDLY (RuntimeError) rather than returning silently degraded labels.
+
+    ``checkpoint`` picks the per-iteration lineage cut: ``'local'``
+    (default) uses localCheckpoint — executor-local blocks, right for
+    local mode and cheapest on a healthy cluster, but an executor loss
+    mid-propagation is unrecoverable (lineage is truncated AND the blocks
+    are gone). ``'reliable'`` writes each iteration's labels to the
+    SparkContext checkpoint dir (HDFS/object store on a real cluster), so
+    a lost executor replays from durable storage — the setting a 100 TB
+    multi-hour run wants. Requires ``spark.sparkContext.setCheckpointDir``.
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = pairs.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise RuntimeError(
+                "connected_min(checkpoint='reliable') needs a durable "
+                "checkpoint location: call spark.sparkContext."
+                "setCheckpointDir('<hdfs-or-object-store-path>') first"
+            )
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -322,7 +343,11 @@ def connected_min(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 F.coalesce("_ccomp", "component").alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = (
+            new_labels.checkpoint(eager=True)
+            if checkpoint == "reliable"
+            else new_labels.localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
