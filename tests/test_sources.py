@@ -230,6 +230,36 @@ def test_excel_report_stdlib_xlsx(spark, tmp_path):
         assert "xl/_rels/workbook.xml.rels" in z.namelist()
 
 
+def test_read_xlsx_grid_roundtrip(spark, tmp_path):
+    """read_xlsx_grid inverts write_excel_report exactly: every non-null
+    cell comes back as (sheet, data_row, column_name, value-as-written),
+    including numeric rendering and the frames-added qualityColor."""
+    import os
+
+    rows = [
+        ("Acme", "https://acme.com", "done", 3, 95),
+        ("Bar", "https://bar.org", "error", 0, 40),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "companyName string, url string, status string, locationsCount int,"
+        " qualityScore int",
+    )
+    path = os.path.join(str(tmp_path), "report.xlsx")
+    BK.write_excel_report(df, path, force_stdlib=True)
+    grid = BK.read_xlsx_grid(path)
+    cells = {(s, rn, col): val for (s, rn, col, val) in grid}
+    # Summary: grouped rows ordered by companyName
+    assert cells[("Summary", 0, "companyName")] == "Acme"
+    assert cells[("Summary", 0, "locationsCount")] == "3"
+    assert cells[("Summary", 1, "companyName")] == "Bar"
+    # All Locations: original columns + the X25 color added by frames
+    assert cells[("All Locations", 0, "qualityScore")] == "95"
+    assert cells[("All Locations", 0, "qualityColor")] == "#10b981"
+    assert cells[("All Locations", 1, "qualityColor")] == "#ef4444"
+    assert cells[("All Locations", 1, "url")] == "https://bar.org"
+
+
 def test_first_working_sitemap_unknown_paths_rank_last(spark):
     # a robots-harvested custom path must NOT beat conventional ones
     rows = [

@@ -2112,33 +2112,115 @@ def q_bulk_csv_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BK.coalesce_synonyms(frame)
 
 
+# hash64 inputs for the serving-envelope ids, mirrored as md5 literals in
+# the oracle ('|'-joined, length-prefixed URLs — serving.py:28-34,54)
+_JOBID_INPUT = "job|2|17:https://a.example|17:https://b.example|2024-01-01T00:00:00Z"
+_REQKEY_INPUT = "crawl|1|21:https://cache.example|single"
+
+
 @query(
-    "csv_export_roundtrip",
-    oracle="""
-    SELECT c_custkey,
-           concat(c_name, ', has "quoted, commas"') AS note
+    "sink_roundtrips",
+    oracle=f"""
+    WITH res AS (
+      SELECT c_name AS companyName,
+             concat('https://c', c_custkey, '.example.com') AS url,
+             CASE WHEN c_custkey % 4 = 0 THEN 'failed' ELSE 'success' END AS status,
+             c_custkey % 7 AS locationsCount,
+             (c_custkey * 13) % 101 AS qualityScore
+      FROM customer WHERE c_custkey <= 30
+    ),
+    loc AS (
+      SELECT *,
+             CASE WHEN qualityScore >= 90 THEN '#10b981'
+                  WHEN qualityScore >= 70 THEN '#3b82f6'
+                  WHEN qualityScore >= 50 THEN '#f59e0b'
+                  ELSE '#ef4444' END AS qualityColor,
+             row_number() OVER (ORDER BY companyName) - 1 AS rn
+      FROM res
+    ),
+    summ AS (
+      SELECT companyName, min(url) AS url, min(status) AS status,
+             sum(locationsCount) AS locationsCount,
+             row_number() OVER (ORDER BY companyName) - 1 AS rn
+      FROM res GROUP BY companyName
+    )
+    SELECT 'csv' AS variant, 'export' AS sheet, c_custkey AS rn, 'note' AS col,
+           concat(c_name, ', has "quoted, commas"') AS val
     FROM customer WHERE c_custkey < 100
+    UNION ALL
+    SELECT 'xlsx', 'Summary', rn, t.col, t.val
+    FROM summ CROSS JOIN LATERAL (VALUES
+      ('companyName', companyName), ('url', url), ('status', status),
+      ('locationsCount', locationsCount::VARCHAR)) t(col, val)
+    UNION ALL
+    SELECT 'xlsx', 'All Locations', rn, t.col, t.val
+    FROM loc CROSS JOIN LATERAL (VALUES
+      ('companyName', companyName), ('url', url), ('status', status),
+      ('locationsCount', locationsCount::VARCHAR),
+      ('qualityScore', qualityScore::VARCHAR),
+      ('qualityColor', qualityColor)) t(col, val)
+    UNION ALL
+    SELECT 'envelope', 'meta', 0::BIGINT, t.col, t.val FROM (VALUES
+      ('success', 'true'),
+      ('totalRecords', '5'),
+      ('cached', 'false'),
+      ('mode', 'single'),
+      ('jobId', 'job_' || format('{{:015x}}',
+        cast(('0x' || substr(md5('{_JOBID_INPUT}'), 1, 15)) as ubigint)::bigint)),
+      ('crawledAt', '2024-01-01T00:00:00Z')) t(col, val)
+    UNION ALL
+    SELECT 'envelope', 'data', c_custkey - 1, t.col, t.val
+    FROM customer CROSS JOIN LATERAL (VALUES
+      ('c_custkey', c_custkey::VARCHAR), ('c_name', c_name)) t(col, val)
+    WHERE c_custkey BETWEEN 1 AND 5
+    UNION ALL
+    SELECT 'cache', 'state', 0::BIGINT, 'hit_rows', count(*)::VARCHAR
+    FROM customer WHERE c_custkey <= 25
+    UNION ALL
+    SELECT 'cache', 'state', 0::BIGINT, t.col, t.val FROM (VALUES
+      ('first_lookup', 'miss'),
+      ('second_lookup', 'hit'),
+      ('site_mode_lookup', 'skip'),
+      ('hit_equals_put', 'true'),
+      ('request_key', 'req_' || format('{{:015x}}',
+        cast(('0x' || substr(md5('{_REQKEY_INPUT}'), 1, 15)) as ubigint)::bigint))) t(col, val)
     """,
 )
-def q_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 as driver-checked evidence: rows with embedded commas and quotes
-    go through the RFC-4180 CSV export sink (quoteAll + double-quote
-    doubling, CustomDataGrid.jsx:168-190) and are read back by a strict
-    CSV reader — the oracle is the pre-export content, so any escaping
-    defect breaks the value hash."""
+def q_sink_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every sink/driver-side surface as one driver-checked roundtrip,
+    melted to a (variant, sheet, rn, col, val) grid:
+
+    - 'csv' (S9): rows with embedded commas and quotes go through the
+      RFC-4180 CSV export sink (quoteAll + double-quote doubling,
+      CustomDataGrid.jsx:168-190) and are read back by a strict CSV
+      reader — any escaping defect breaks the value hash.
+    - 'xlsx' (S10): the two-sheet quality-colored workbook is written by
+      the stdlib zipfile+XML writer (bulk-processor.service.js:127-240)
+      and re-read by parsing the sheet XML itself (read_xlsx_grid) — the
+      oracle recomputes both sheets (Summary group-by + All Locations
+      with X25 colors) from the source table, so cell placement, header
+      mapping, and value rendering are all checked.
+    - 'envelope' (S11 + X30): the JSON response envelope
+      (crawl.controller.js:55-64) with deterministic jobId and pinned
+      crawledAt (X29/X30 replacement) — the oracle re-derives the jobId
+      from the same md5 construction.
+    - 'cache' (S12): ResultCache miss → put → hit → site-mode skip
+      (cache.service.js:47-69); the hit must equal the stored frame and
+      the request key matches the oracle's md5 re-derivation.
+    """
     import tempfile
 
+    from web_crawler_spark import serving as SV
     from web_crawler_spark.sources import bulk as BK
 
-    c = (
-        load(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") < 100)
-        .select(
-            "c_custkey",
-            F.concat("c_name", F.lit(', has "quoted, commas"')).alias("note"),
-        )
+    cust = load(spark, sf_dir, "customer")
+
+    # ---- csv (S9) ----
+    c = cust.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.concat("c_name", F.lit(', has "quoted, commas"')).alias("note"),
     )
-    out = tempfile.mkdtemp(prefix="wcs_csvrt_") + "/export"
+    out = tempfile.mkdtemp(prefix="wcs_sinkrt_") + "/export"
     BK.export_csv(c, out, columns=["c_custkey", "note"])
     back = (
         spark.read.option("header", True)
@@ -2146,9 +2228,82 @@ def q_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", '"')
         .csv(out)
     )
-    return back.select(
-        F.col("c_custkey").cast("long").alias("c_custkey"), "note"
+    csv_arm = back.select(
+        F.lit("csv").alias("variant"),
+        F.lit("export").alias("sheet"),
+        F.col("c_custkey").cast("long").alias("rn"),
+        F.lit("note").alias("col"),
+        F.col("note").alias("val"),
     )
+
+    # ---- xlsx (S10) ----
+    results = cust.filter(F.col("c_custkey") <= 30).select(
+        F.col("c_name").alias("companyName"),
+        F.concat(F.lit("https://c"), "c_custkey", F.lit(".example.com")).alias("url"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("failed"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+        (F.col("c_custkey") % 7).alias("locationsCount"),
+        ((F.col("c_custkey") * 13) % 101).alias("qualityScore"),
+    )
+    xlsx_path = tempfile.mkdtemp(prefix="wcs_sinkrt_") + "/report.xlsx"
+    BK.write_excel_report(results, xlsx_path, force_stdlib=True)
+    xlsx_arm = spark.createDataFrame(
+        [("xlsx", s, rn, col, val) for (s, rn, col, val) in BK.read_xlsx_grid(xlsx_path)],
+        "variant string, sheet string, rn bigint, col string, val string",
+    )
+
+    # ---- envelope (S11 + X30) ----
+    env_src = (
+        cust.filter(F.col("c_custkey").between(1, 5))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+    env = SV.json_response(
+        env_src,
+        ["https://a.example", "https://b.example"],
+        mode="single",
+        cached=False,
+        run_ts="2024-01-01T00:00:00Z",
+    )
+    env_rows = [
+        ("envelope", "meta", 0, "success", str(env["success"]).lower()),
+        ("envelope", "meta", 0, "totalRecords", str(env["totalRecords"])),
+        ("envelope", "meta", 0, "cached", str(env["cached"]).lower()),
+        ("envelope", "meta", 0, "mode", env["mode"]),
+        ("envelope", "meta", 0, "jobId", env["jobId"]),
+        ("envelope", "meta", 0, "crawledAt", env["crawledAt"]),
+    ]
+    for i, rec in enumerate(env["data"]):
+        env_rows.append(("envelope", "data", i, "c_custkey", str(rec["c_custkey"])))
+        env_rows.append(("envelope", "data", i, "c_name", rec["c_name"]))
+
+    # ---- cache (S12) ----
+    cache = SV.ResultCache(tempfile.mkdtemp(prefix="wcs_sinkrt_cache_"))
+    curls = ["https://cache.example"]
+    put_df = cust.filter(F.col("c_custkey") <= 25).select("c_custkey", "c_name")
+    first = cache.get(spark, curls, "single")
+    cache.put(put_df, curls, "single")
+    hit = cache.get(spark, curls, "single")
+    site = cache.get(spark, curls, "site")
+    equal = (
+        hit is not None
+        and hit.exceptAll(put_df).count() == 0
+        and put_df.exceptAll(hit).count() == 0
+    )
+    cache_rows = [
+        ("cache", "state", 0, "first_lookup", "miss" if first is None else "stale"),
+        ("cache", "state", 0, "second_lookup", "hit" if hit is not None else "miss"),
+        ("cache", "state", 0, "site_mode_lookup", "skip" if site is None else "hit"),
+        ("cache", "state", 0, "hit_rows", str(hit.count() if hit is not None else 0)),
+        ("cache", "state", 0, "hit_equals_put", str(equal).lower()),
+        ("cache", "state", 0, "request_key", SV.request_key(curls, "single")),
+    ]
+    driver_arm = spark.createDataFrame(
+        env_rows + cache_rows,
+        "variant string, sheet string, rn bigint, col string, val string",
+    )
+    return csv_arm.unionByName(xlsx_arm).unionByName(driver_arm)
 
 
 # --------------------------------------------------------------------------

@@ -274,12 +274,53 @@ def write_xlsx_stdlib(sheets: dict[str, tuple[list[str], list[tuple]]], path: st
     return path
 
 
-def write_excel_report(results: DataFrame, path: str) -> str:
+def read_xlsx_grid(path: str) -> list[tuple[str, int, str, str]]:
+    """Strict re-reader for the S10 roundtrip oracle: parse the workbook's
+    own XML (zipfile + ElementTree, no spreadsheet library) and return the
+    cell grid as (sheet, data_row_index, column_name, value_as_written).
+    Header row 1 names the columns; empty cells are omitted."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": _XLSX_XMLNS}
+
+    def _cell_ref_letters(ref: str) -> str:
+        return "".join(ch for ch in ref if ch.isalpha())
+
+    def _cell_val(cell) -> str | None:
+        if cell.get("t") == "inlineStr":
+            t = cell.find("m:is/m:t", ns)
+            return t.text if t is not None and t.text is not None else ""
+        v = cell.find("m:v", ns)
+        return v.text if v is not None else None
+
+    out: list[tuple[str, int, str, str]] = []
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
+        for i, name in enumerate(names):
+            root = ET.fromstring(z.read(f"xl/worksheets/sheet{i + 1}.xml"))
+            rows = root.findall(".//m:row", ns)
+            header = {
+                _cell_ref_letters(c.get("r")): _cell_val(c)
+                for c in rows[0].findall("m:c", ns)
+            }
+            for rn, row in enumerate(rows[1:]):
+                for c in row.findall("m:c", ns):
+                    val = _cell_val(c)
+                    if val is not None:
+                        out.append((name, rn, header[_cell_ref_letters(c.get("r"))], val))
+    return out
+
+
+def write_excel_report(results: DataFrame, path: str, force_stdlib: bool = False) -> str:
     """S10: two-sheet workbook with quality color-coded cells. Uses
     openpyxl when installed (fast path); otherwise falls back to the
-    stdlib zipfile+XML writer above — the sink runs everywhere."""
+    stdlib zipfile+XML writer above — the sink runs everywhere.
+    ``force_stdlib`` pins the stdlib writer regardless (the roundtrip
+    oracle parses the stdlib writer's exact XML subset)."""
     frames = excel_report_frames(results)
-    if not HAVE_OPENPYXL:
+    if force_stdlib or not HAVE_OPENPYXL:
         sheets = {}
         for sheet, sdf in frames.items():
             # deterministic row order: a report is a small, bounded result
