@@ -136,6 +136,25 @@ def test_grid_pipeline(spark):
     )
 
 
+def test_autocomplete_suggestions(spark):
+    """useAutocomplete.js:11-15 semantics: case-insensitive CONTAINS (not
+    prefix) over distinct option values; blank input -> no suggestions."""
+    df = spark.createDataFrame(
+        [("BUILDING",), ("HOUSEHOLD",), ("MACHINERY",), ("AUTOMOBILE",),
+         ("BUILDING",), ("FURNITURE",)],
+        "seg string",
+    )
+    got = [r["suggestion"] for r in grid.autocomplete(df, "seg", "ld").collect()]
+    assert got == ["BUILDING", "HOUSEHOLD"]  # mid-word match, deduped, sorted
+    # input case is irrelevant both ways
+    assert [r["suggestion"] for r in grid.autocomplete(df, "seg", "LD").collect()] == got
+    # blank / whitespace input -> empty (the hook's trim() gate)
+    assert grid.autocomplete(df, "seg", "").count() == 0
+    assert grid.autocomplete(df, "seg", "   ").count() == 0
+    # top-N cap
+    assert grid.autocomplete(df, "seg", "U", limit=2).count() == 2
+
+
 # -------------------------------------------------- J3 reverse geocode -----
 def test_reverse_geocode_cascade_and_none(spark):
     from pyspark.sql import functions as F

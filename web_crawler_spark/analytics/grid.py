@@ -53,6 +53,26 @@ def keyset_page(df: DataFrame, key: str, after, size: int = 20, ascending: bool 
     return df.filter(pred).orderBy(c.asc() if ascending else c.desc()).limit(size)
 
 
+def autocomplete(df: DataFrame, col: str, value: str, limit: int = 10) -> DataFrame:
+    """Autocomplete suggestions (useAutocomplete.js:11-15): distinct values
+    of ``col`` whose lowercase form contains lowercase(value); blank or
+    whitespace-only input yields no suggestions (the hook's
+    ``value.trim().length > 0`` gate). The reference filters a driver-side
+    options array in its original order; the distributed restatement
+    returns sorted distinct values (deterministic at any scale) capped at
+    ``limit`` — the UI shows a bounded dropdown, so the cap is a top-N,
+    not a truncation of semantics."""
+    if not value or not value.strip():
+        return df.select(F.col(col).cast("string").alias("suggestion")).limit(0)
+    return (
+        df.select(F.col(col).cast("string").alias("suggestion"))
+        .where(F.lower(F.col("suggestion")).contains(value.lower()))
+        .distinct()
+        .orderBy("suggestion")
+        .limit(limit)
+    )
+
+
 def export_csv(df: DataFrame, path: str, columns: list[str] | None = None) -> None:
     """S9: CSV export with full quoting, matching the UI's "-escaped export.
     escape='"' doubles embedded quotes (RFC 4180) instead of Spark's

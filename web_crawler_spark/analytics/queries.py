@@ -240,13 +240,24 @@ def q_url_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'range', c_custkey, c_name, NULL, round(c_acctbal, 2)
     FROM customer WHERE c_acctbal BETWEEN 1000 AND 5000
+    UNION ALL
+    SELECT 'autocomplete_a', NULL::BIGINT, NULL::VARCHAR, s, NULL::DOUBLE
+    FROM (SELECT DISTINCT c_mktsegment AS s FROM customer
+          WHERE contains(lower(c_mktsegment), 'a') ORDER BY s LIMIT 10)
+    UNION ALL
+    SELECT 'autocomplete_ld', NULL::BIGINT, NULL::VARCHAR, s, NULL::DOUBLE
+    FROM (SELECT DISTINCT c_mktsegment AS s FROM customer
+          WHERE contains(lower(c_mktsegment), 'ld') ORDER BY s LIMIT 10)
     """,
 )
 def q_grid_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11+F12+W7+W8: the UI grid pipeline's three slices (CustomDataGrid)
-    — conjunctive contains-filter + sort + limit, page 3 of the name-sorted
-    grid, and the '1000-5000' quality-range filter — unioned under a
-    variant tag so each slice keeps its independent oracle coverage."""
+    """F11+F12+W7+W8 + autocomplete: the UI grid pipeline's slices
+    (CustomDataGrid) — conjunctive contains-filter + sort + limit, page 3
+    of the name-sorted grid, the '1000-5000' quality-range filter, and the
+    autocomplete suggestion query (useAutocomplete.js:11-15: distinct
+    values, case-insensitive CONTAINS — the 'ld' arm proves mid-word
+    matching, e.g. BUILDING/HOUSEHOLD) — unioned under a variant tag so
+    each slice keeps its independent oracle coverage."""
     cust = load(spark, sf_dir, "customer")
     fs = (
         grid.contains_filter(cust, {"c_name": "00001", "c_mktsegment": "a"})
@@ -270,7 +281,21 @@ def q_grid_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("c_mktsegment"),
         F.round("c_acctbal", 2).alias("acctbal"),
     )
-    return fs.unionByName(pg).unionByName(rg)
+
+    def _ac(tag: str, needle: str) -> DataFrame:
+        return grid.autocomplete(cust, "c_mktsegment", needle, limit=10).select(
+            F.lit(tag).alias("variant"),
+            F.lit(None).cast("long").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.col("suggestion").alias("c_mktsegment"),
+            F.lit(None).cast("double").alias("acctbal"),
+        )
+
+    return (
+        fs.unionByName(pg).unionByName(rg)
+        .unionByName(_ac("autocomplete_a", "a"))
+        .unionByName(_ac("autocomplete_ld", "LD"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -525,26 +550,115 @@ def q_canonical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_report",
     oracle="""
-    SELECT count(*) AS total,
-           count(*) FILTER (WHERE q >= 90) AS excellent,
-           count(*) FILTER (WHERE q >= 70 AND q < 90) AS good,
-           count(*) FILTER (WHERE q >= 50 AND q < 70) AS fair,
-           count(*) FILTER (WHERE q < 50) AS poor,
-           round(avg(q), 4) AS avg_score
-    FROM (SELECT (o_totalprice % 100) AS q FROM orders)
+    WITH src AS (
+      SELECT (o_totalprice % 100) AS q,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE (o_totalprice % 100) / 100.0 END AS conf
+      FROM orders
+    ),
+    qb AS (
+      SELECT CASE WHEN q >= 90 THEN 'excellent' WHEN q >= 70 THEN 'good'
+                  WHEN q >= 50 THEN 'fair' ELSE 'poor' END AS band,
+             count(*) AS n
+      FROM src GROUP BY 1
+    ),
+    cb AS (
+      SELECT CASE WHEN conf IS NULL THEN 'unknown'
+                  WHEN conf >= 0.90 THEN 'high'
+                  WHEN conf >= 0.75 THEN 'medium_high'
+                  WHEN conf >= 0.70 THEN 'medium'
+                  ELSE 'low' END AS band,
+             count(*) AS n
+      FROM src GROUP BY 1
+    )
+    SELECT 'quality' AS report, band, n,
+           round(100.0 * n / (SELECT count(*) FROM src), 4) AS pct
+    FROM qb
+    UNION ALL
+    SELECT 'quality', 'avg_score', NULL::BIGINT, round(avg(q), 4) FROM src
+    UNION ALL
+    SELECT 'quality', 'total', count(*), 100.0 FROM src
+    UNION ALL
+    SELECT 'confidence', band, n,
+           CASE WHEN band = 'unknown' THEN NULL
+                ELSE round(100.0 * n / (SELECT count(*) FROM src), 0) END
+    FROM cb
     """,
 )
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: banded quality report (data-quality.service.js:114-136)."""
-    o = load(spark, sf_dir, "orders").select((F.col("o_totalprice") % 100).alias("q"))
-    return o.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.count(F.when(F.col("q") >= 90, 1)).alias("excellent"),
-        F.count(F.when((F.col("q") >= 70) & (F.col("q") < 90), 1)).alias("good"),
-        F.count(F.when((F.col("q") >= 50) & (F.col("q") < 70), 1)).alias("fair"),
-        F.count(F.when(F.col("q") < 50, 1)).alias("poor"),
-        F.round(F.avg("q"), 4).alias("avg_score"),
+    """A5 + the confidence-distribution histogram, as one banded report
+    (report, band, n, pct):
+
+    - 'quality' rows: the excellent/good/fair/poor count bands at the
+      90/70/50 edges plus avg_score and total
+      (data-quality.service.js:114-136).
+    - 'confidence' rows: the UI's confidence histogram
+      (ExtractionStats.jsx:22-47): HIGH >= 0.90, MED-HIGH >= 0.75,
+      MEDIUM >= 0.70, LOW below, non-numeric -> unknown; pct is the
+      whole-percent share of ALL rows (toFixed(0) = half-up for
+      positives, matching round(x, 0) in both engines), with no percent
+      shown for 'unknown' exactly as the component omits it.
+    """
+    w = Window.partitionBy()  # ≤6 rows post-agg — a global window is free
+    src = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") % 100).alias("q"),
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise((F.col("o_totalprice") % 100) / 100.0)
+        .alias("conf"),
     )
+    qb = (
+        src.groupBy(
+            F.when(F.col("q") >= 90, "excellent")
+            .when(F.col("q") >= 70, "good")
+            .when(F.col("q") >= 50, "fair")
+            .otherwise("poor")
+            .alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("quality").alias("report"), "band", "n",
+            F.round(100.0 * F.col("n") / F.sum("n").over(w), 4).alias("pct"),
+        )
+    )
+    extras = src.agg(
+        F.count(F.lit(1)).alias("_t"), F.round(F.avg("q"), 4).alias("_avg")
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quality").alias("report"),
+                    F.lit("avg_score").alias("band"),
+                    F.lit(None).cast("long").alias("n"),
+                    F.col("_avg").alias("pct"),
+                ),
+                F.struct(
+                    F.lit("quality").alias("report"),
+                    F.lit("total").alias("band"),
+                    F.col("_t").alias("n"),
+                    F.lit(100.0).alias("pct"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.report", "r.band", "r.n", "r.pct")
+    cb = (
+        src.groupBy(
+            F.when(F.col("conf").isNull(), "unknown")
+            .when(F.col("conf") >= 0.90, "high")
+            .when(F.col("conf") >= 0.75, "medium_high")
+            .when(F.col("conf") >= 0.70, "medium")
+            .otherwise("low")
+            .alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("confidence").alias("report"), "band", "n",
+            F.when(
+                F.col("band") != "unknown",
+                F.round(100.0 * F.col("n") / F.sum("n").over(w), 0),
+            ).alias("pct"),
+        )
+    )
+    return qb.unionByName(extras).unionByName(cb)
 
 
 @query(
