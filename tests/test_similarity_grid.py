@@ -113,6 +113,31 @@ def test_ivf_hash_seeding_balances_clustered_ids(spark):
     assert hash_max < first_max, (hash_max, first_max)
 
 
+def test_ivf_train_codebook_reduces_distortion(spark):
+    """Lloyd refinement must not worsen the quantizer: mean (1 - cosine)
+    to the assigned centroid decreases (or holds) after training, and the
+    trained codebook drops into ivf_topk as data."""
+    import math
+
+    rows = []
+    for i in range(300):
+        cl = i % 3
+        base = [math.cos(cl * 2.0 + j) for j in range(6)]
+        rows.append((i, [b + 0.01 * math.sin(7 * i + j) for j, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeded = SIM.ivf_codebook(df, n_centroids=3)
+    trained = SIM.ivf_train_codebook(df, n_centroids=3, iters=3)
+    d0 = SIM.ivf_distortion(df, seeded)
+    d1 = SIM.ivf_distortion(df, trained)
+    assert d1 <= d0 + 1e-12, (d0, d1)
+
+    q = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    top = SIM.ivf_topk(df, q, k=3, nprobe=1, codebook=trained, query_id_col="query_id")
+    r1 = {r["query_id"]: r["vec_id"] for r in top.collect() if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}  # self still rank 1 in its own list
+
+
 def test_grid_pipeline(spark):
     df = spark.createDataFrame(
         [(i, f"name{i}", float(i % 7) if i % 5 else None) for i in range(30)],

@@ -198,6 +198,72 @@ def _cb_scored(vcol: Column, norm_col: Column) -> Column:
     )
 
 
+def ivf_train_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_strategy: str = "hash",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF codebook, entirely as
+    DataFrame ops — the trained-codebook path that :func:`ivf_topk`
+    accepts via ``codebook=``.
+
+    Each iteration: (1) assign every corpus vector to its nearest
+    centroid with :func:`ivf_assign` (broadcast join, shuffle-free);
+    (2) recompute centroids as per-list means via posexplode →
+    groupBy(list_id, pos) — the row expansion is dim×, but the aggregate
+    is map-side combined, so the shuffle carries at most
+    n_centroids × dim × n_partitions pre-combined rows, not the corpus;
+    (3) collect the n_centroids × dim means (the codebook itself, which
+    must fit on the driver by definition — it broadcasts) and rebuild the
+    one-row codebook table. Lists that go empty keep their previous
+    centroid. Deterministic given the seed strategy and input; float-mean
+    reduction order is engine-internal, so a trained codebook is INPUT
+    DATA to the oracled query, not itself oracle-mirrored.
+    """
+    cb = ivf_codebook(corpus, n_centroids, id_col, vec_col, seed_strategy)
+    entries = {e["i"]: (list(e["ce"]), float(e["cn"])) for e in cb.first()["_cb"]}
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cb, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode("_cv").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("ce")
+            )
+        )
+        for r in means.collect():
+            vec = [float(x) for x in r["ce"]]
+            nrm = math.sqrt(sum(x * x for x in vec))
+            if nrm > 0:  # degenerate all-zero mean keeps the old centroid
+                entries[r["list_id"]] = (vec, nrm)
+        cb = corpus.sparkSession.createDataFrame(
+            [([(i, vec, nrm) for i, (vec, nrm) in sorted(entries.items())],)],
+            "_cb array<struct<i:int, ce:array<double>, cn:double>>",
+        )
+    return cb
+
+
+def ivf_distortion(corpus: DataFrame, codebook: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Mean (1 - cosine) of each vector to its assigned centroid — the
+    quantity Lloyd iterations minimize; exposed for training diagnostics."""
+    assigned = ivf_assign(corpus, codebook, id_col, vec_col)
+    scored = assigned.join(F.broadcast(codebook)).select(
+        (
+            1
+            + F.array_min(_cb_scored(F.col("_cv"), F.col("_cn")))["d"]
+        ).alias("dist")
+    )
+    return scored.agg(F.avg("dist")).first()[0]
+
+
 def ivf_assign(
     corpus: DataFrame,
     codebook: DataFrame,
