@@ -84,3 +84,85 @@ def test_parse_robots_txt_feeds_robots_gate(spark):
     allowed, blocked = FR.robots_gate(frontier, parsed)
     assert [r["url"] for r in allowed.collect()] == ["https://a.example.com/open/y"]
     assert [r["url"] for r in blocked.collect()] == ["https://a.example.com/blocked/x"]
+
+
+# ------------------------------------------------------- cuckoo filter ----
+def test_cuckoo_no_false_negatives_and_low_fpr(spark):
+    members = _urls(spark, 0, 5000).cache()
+    ck = SF.build_cuckoo(members).cache()
+
+    flagged = SF.prune_cuckoo(members, ck)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+    outsiders = _urls(spark, 1_000_000, 5000, tag="zz")
+    fp = SF.prune_cuckoo(outsiders, ck).filter(F.col("maybe_seen")).count()
+    # 16-bit fingerprints, 2 cells x 4 slots: FPR ~ 8/65535 ~ 0.012%
+    assert fp / 5000 < 0.005, f"false-positive rate too high: {fp}/5000"
+
+
+def test_cuckoo_delete_forgets_only_the_deleted(spark):
+    members = _urls(spark, 0, 2000).cache()
+    ck = SF.build_cuckoo(members)
+    gone = _urls(spark, 0, 500)     # first 500 expire (TTL / re-crawl)
+    kept = _urls(spark, 500, 1500)
+    after = SF.delete_from_cuckoo(ck, gone).cache()
+    assert SF.prune_cuckoo(gone, after).filter(F.col("maybe_seen")).count() == 0
+    assert SF.prune_cuckoo(kept, after).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_merge_is_union_and_idempotent(spark):
+    a = _urls(spark, 0, 1000)
+    b = _urls(spark, 1000, 1000)
+    ca, cb = SF.build_cuckoo(a).cache(), SF.build_cuckoo(b).cache()
+    merged = SF.merge_cuckoos(ca, cb).cache()
+    both = a.unionByName(b)
+    assert SF.prune_cuckoo(both, merged).filter(~F.col("maybe_seen")).count() == 0
+    # idempotent + deterministic: merge(a, a) is byte-identical to a,
+    # so replaying a wave's append cannot corrupt the seen set
+    twice = SF.merge_cuckoos(ca, ca)
+    rows_a = {r["bucket"]: bytes(r["table"]) for r in ca.collect()}
+    rows_t = {r["bucket"]: bytes(r["table"]) for r in twice.collect()}
+    assert rows_a == rows_t
+
+
+def test_cuckoo_build_deterministic_across_input_order(spark):
+    fwd = _urls(spark, 0, 3000)
+    rev = fwd.orderBy(F.col("url").desc())
+    t1 = {r["bucket"]: bytes(r["table"]) for r in SF.build_cuckoo(fwd).collect()}
+    t2 = {r["bucket"]: bytes(r["table"]) for r in SF.build_cuckoo(rev).collect()}
+    assert t1 == t2
+
+
+def test_cuckoo_kicking_converges_at_high_load():
+    # driver-side unit test of the bulk inserter at 0.8 load in ONE cell
+    # page: forces real kicking rounds rather than first-try placement
+    import numpy as np
+
+    from web_crawler_spark.operators.seen_filter import (
+        _ck_build_table, _ck_dedup, _ck_entries,
+    )
+
+    rng_h1 = np.arange(1, 6554, dtype=np.int64) * np.int64(2654435761)
+    rng_h2 = np.arange(1, 6554, dtype=np.int64) * np.int64(40503)
+    n_cells, n_slots = 2048, 4  # capacity 8192; 6553 entries = 0.80 load
+    fp, canon = _ck_entries(rng_h1, rng_h2, n_cells)
+    fp, canon = _ck_dedup(fp, canon)
+    table = _ck_build_table(fp, canon, n_cells, n_slots)
+    # every entry findable in one of its two cells
+    from web_crawler_spark.operators.seen_filter import _ck_cellhash
+    alt = canon ^ _ck_cellhash(fp, n_cells)
+    found = (table[canon] == fp[:, None]).any(1) | (table[alt] == fp[:, None]).any(1)
+    assert found.all()
+
+
+def test_cuckoo_overflow_raises():
+    import numpy as np
+    import pytest
+
+    from web_crawler_spark.operators.seen_filter import _ck_build_table
+
+    n_cells, n_slots = 64, 4
+    with pytest.raises(RuntimeError, match="capacity|converge"):
+        fp = (np.arange(1, 250, dtype=np.uint16) % 0xFFFF) + 1
+        canon = np.zeros(249, dtype=np.int64)  # everything into one cell pair
+        _ck_build_table(fp, canon, n_cells, n_slots)

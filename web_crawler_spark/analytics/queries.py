@@ -330,20 +330,67 @@ def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "anti_join_seen",
     oracle="""
-    SELECT o.o_orderstatus AS status, count(*) AS n_orders
-    FROM orders o
-    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-    GROUP BY o.o_orderstatus
+    WITH base AS (
+      SELECT o.o_orderstatus AS status, count(*) AS n_orders
+      FROM orders o
+      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      GROUP BY o.o_orderstatus
+    )
+    SELECT 'exact' AS arm, status, n_orders FROM base
+    UNION ALL SELECT 'bloom' AS arm, status, n_orders FROM base
+    UNION ALL SELECT 'cuckoo' AS arm, status, n_orders FROM base
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: left_anti against a 'seen' set (frontier vs visited analogue)."""
+    """J1: left_anti against a 'seen' set (frontier vs visited analogue),
+    three arms that must agree row-for-row:
+
+    - ``exact``   — the plain hash-partitioned left_anti join;
+    - ``bloom``   — partitioned-Bloom pre-prune (seen_filter.build_bloom /
+                    prune) + exact verify of only the maybe_seen survivors;
+    - ``cuckoo``  — partitioned-cuckoo pre-prune (seen_filter.build_cuckoo /
+                    prune_cuckoo) + exact verify, the deletable sketch.
+
+    Both sketches admit false positives but never false negatives, so
+    definite-new rows bypass the join and the exact anti-join on the
+    maybe_seen remainder restores exactness — at 10^10 URLs the sketch
+    prunes the shuffle down to the (tiny) collision set. Ref analogue:
+    site-crawler.service.js:134-136 visited Sets.
+    """
+    from web_crawler_spark.operators import seen_filter as SF
+
     o = load(spark, sf_dir, "orders")
     seen = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+
+    def agg(df: DataFrame, arm: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ).select(F.lit(arm).alias("arm"), "status", "n_orders")
+
+    exact = o.join(seen, o.o_custkey == seen.c_custkey, "left_anti")
+
+    # sketch arms: keys rendered as URLs (the sketches key on strings)
+    cand = o.withColumn(
+        "url", F.concat(F.lit("https://seen.example.com/c"), F.col("o_custkey"))
+    )
+    seen_urls = seen.select(
+        F.concat(F.lit("https://seen.example.com/c"), F.col("c_custkey")).alias("url")
+    )
+
+    def sketch_arm(filt: DataFrame, prune_fn) -> DataFrame:
+        probed = prune_fn(cand, filt)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "url")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "url")
+        verified = maybe.join(seen, maybe.o_custkey == seen.c_custkey, "left_anti")
+        return fresh.unionByName(verified)
+
+    bloom = sketch_arm(SF.build_bloom(seen_urls), SF.prune)
+    cuckoo = sketch_arm(SF.build_cuckoo(seen_urls), SF.prune_cuckoo)
+
     return (
-        o.join(seen, o.o_custkey == seen.c_custkey, "left_anti")
-        .groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        agg(exact, "exact")
+        .unionByName(agg(bloom, "bloom"))
+        .unionByName(agg(cuckoo, "cuckoo"))
     )
 
 

@@ -154,3 +154,290 @@ def prune(
             yield out
 
     return joined.mapInPandas(check, schema=schema)
+
+
+# ===========================================================================
+# Partitioned cuckoo filter — the deletable half of the north rule's
+# "bloom/cuckoo URL-seen set".
+# ===========================================================================
+#
+# Why a second sketch: the Bloom half above is OR-mergeable and replay-safe
+# but cannot forget — a URL scheduled for re-crawl (TTL expiry, robots
+# change) stays "seen" until a full rebuild. The cuckoo filter stores 16-bit
+# fingerprints in a 2-choice, 4-slot-per-cell table, so membership, merge,
+# AND deletion are all per-bucket local operations.
+#
+# Layout mirrors the bloom table: the URL space shards into ``n_buckets``
+# by ``xxhash64(url)``; each bucket owns an independent (n_cells × n_slots)
+# uint16 table serialized as one binary cell — the whole filter is a small
+# ``(bucket int, table binary)`` DataFrame persisted beside the frontier.
+# Scale-out at 10^10 URLs is horizontal (more buckets), never bigger rows.
+#
+# Determinism/idempotence: an item IS its canonical entry
+# ``(fp, min(i, i ^ cellhash(fp)))``. build/merge/delete all reduce to
+# "rebuild this bucket from a sorted, deduped entry set", so identical seen
+# sets produce byte-identical tables, merge(a, a) == a, and a replayed wave
+# append cannot double-insert (same replay-safety the bloom gets from OR).
+#
+# Reference analogue: site-crawler.service.js:134-136 — visited Sets, which
+# support delete() but cannot exist at 10^10 URLs.
+
+DEFAULT_CK_CELLS = 1 << 13  # per bucket; power of 2 (XOR-alternate cells)
+DEFAULT_CK_SLOTS = 4
+_CK_MAX_ROUNDS = 500
+
+
+def _ck_cellhash(fp: np.ndarray, n_cells: int) -> np.ndarray:
+    """splitmix64-style mix of the fingerprint → XOR step for the alternate
+    cell (partial-key cuckoo hashing, Fan et al. 2014)."""
+    x = fp.astype(np.uint64)
+    x = (x * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(29)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(32)
+    return (x & np.uint64(n_cells - 1)).astype(np.int64)
+
+
+def _ck_entries(h1: np.ndarray, h2: np.ndarray, n_cells: int):
+    """(fp uint16 in [1, 0xFFFF], canonical cell) for each key. h1 also
+    picked the bucket (low bits via pmod), so the cell comes from h1's
+    upper bits to stay decorrelated."""
+    fp = ((h2.astype(np.uint64) % np.uint64(0xFFFF)) + np.uint64(1)).astype(np.uint16)
+    i1 = ((h1.astype(np.uint64) >> np.uint64(16)) & np.uint64(n_cells - 1)).astype(np.int64)
+    canon = np.minimum(i1, i1 ^ _ck_cellhash(fp, n_cells))
+    return fp, canon
+
+
+def _ck_dedup(fp: np.ndarray, canon: np.ndarray):
+    """Sort + dedup entries on (canon, fp): one stored copy per item, and a
+    deterministic insertion order regardless of input order."""
+    key = (canon.astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+    uniq = np.unique(key)
+    return (uniq & np.uint64(0xFFFF)).astype(np.uint16), (uniq >> np.uint64(16)).astype(np.int64)
+
+
+def _ck_build_table(
+    fp: np.ndarray, canon: np.ndarray, n_cells: int, n_slots: int
+) -> np.ndarray:
+    """Bulk cuckoo insertion, fully vectorized: round-based two-choice
+    placement with bounded kicking. Raises RuntimeError instead of silently
+    overflowing (same failure contract as connected_min)."""
+    if len(fp) > int(0.84 * n_cells * n_slots):
+        raise RuntimeError(
+            f"cuckoo bucket over capacity: {len(fp)} entries into "
+            f"{n_cells}x{n_slots} slots (load > 0.84); raise n_buckets or n_cells"
+        )
+    table = np.zeros((n_cells, n_slots), dtype=np.uint16)
+    occ = np.zeros(n_cells, dtype=np.int64)
+    t = canon.copy()
+    step = _ck_cellhash(fp, n_cells)
+    pend = np.arange(len(fp), dtype=np.int64)
+    rnd = 0
+    while len(pend):
+        if rnd >= _CK_MAX_ROUNDS:
+            raise RuntimeError(
+                f"cuckoo insertion did not converge after {_CK_MAX_ROUNDS} "
+                f"rounds ({len(pend)} keys pending); table too full"
+            )
+        order = np.argsort(t[pend], kind="stable")
+        ps = pend[order]
+        tcs = t[ps]
+        # rank of each key within its target cell this round
+        first = np.r_[True, tcs[1:] != tcs[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(tcs)), 0)
+        )
+        rank = np.arange(len(tcs)) - grp_start
+        free = n_slots - occ[tcs]
+        place = rank < free
+        if place.any():
+            cells = tcs[place]
+            table[cells, occ[cells] + rank[place]] = fp[ps[place]]
+            np.add.at(occ, cells, 1)
+        rem = ps[~place]
+        trem = tcs[~place]
+        if len(rem) and rnd >= 2:
+            # kick: the first overflow key of each (now full) cell evicts
+            # the slot at rnd % n_slots; the displaced fingerprint re-enters
+            # the pending set aimed at its own alternate cell.
+            fmask = np.r_[True, trem[1:] != trem[:-1]]
+            ev = fmask & (occ[trem] == n_slots)
+            if ev.any():
+                evk, evc = rem[ev], trem[ev]
+                v = rnd % n_slots
+                displaced = table[evc, v].copy()
+                table[evc, v] = fp[evk]
+                dstep = _ck_cellhash(displaced, n_cells)
+                base = len(fp)
+                fp = np.concatenate([fp, displaced])
+                t = np.concatenate([t, evc ^ dstep])
+                step = np.concatenate([step, dstep])
+                others = rem[~ev]
+                t[others] ^= step[others]
+                pend = np.concatenate(
+                    [others, np.arange(base, len(fp), dtype=np.int64)]
+                )
+                rnd += 1
+                continue
+        if len(rem):
+            t[rem] ^= step[rem]  # retry the alternate cell next round
+        pend = rem
+        rnd += 1
+    return table
+
+
+def _ck_extract_entries(table: np.ndarray, n_cells: int):
+    """Back from a packed table to the canonical entry set."""
+    cells, slots = np.nonzero(table)
+    fp = table[cells, slots]
+    canon = np.minimum(cells, cells ^ _ck_cellhash(fp, n_cells))
+    return fp, canon.astype(np.int64)
+
+
+def build_cuckoo(
+    df: DataFrame,
+    url_col: str = "url",
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_cells: int = DEFAULT_CK_CELLS,
+    n_slots: int = DEFAULT_CK_SLOTS,
+) -> DataFrame:
+    """Aggregate a DataFrame of URLs into the partitioned cuckoo table."""
+
+    def agg_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        fp, canon = _ck_entries(
+            pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), n_cells
+        )
+        fp, canon = _ck_dedup(fp, canon)
+        table = _ck_build_table(fp, canon, n_cells, n_slots)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["_bucket"].iloc[0])], "table": [table.tobytes()]}
+        )
+
+    hashed = _with_hashes(df.select(url_col), url_col, n_buckets)
+    return hashed.groupBy("_bucket").applyInPandas(
+        agg_bucket, schema="bucket int, table binary"
+    )
+
+
+def merge_cuckoos(
+    a: DataFrame,
+    b: DataFrame,
+    n_cells: int = DEFAULT_CK_CELLS,
+    n_slots: int = DEFAULT_CK_SLOTS,
+) -> DataFrame:
+    """Per-bucket union of the canonical entry sets, rebuilt. Idempotent
+    (merge(a, a) == a byte-for-byte) and commutative — safe under wave
+    replay, like the bloom OR."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        fps, canons = [], []
+        for blob in pdf["table"]:
+            if blob is None:
+                continue
+            tab = np.frombuffer(blob, dtype=np.uint16).reshape(n_cells, n_slots)
+            fp, canon = _ck_extract_entries(tab, n_cells)
+            fps.append(fp)
+            canons.append(canon)
+        if not fps:
+            fps, canons = [np.zeros(0, dtype=np.uint16)], [np.zeros(0, dtype=np.int64)]
+        fp, canon = _ck_dedup(np.concatenate(fps), np.concatenate(canons))
+        table = _ck_build_table(fp, canon, n_cells, n_slots)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "table": [table.tobytes()]}
+        )
+
+    return (
+        a.select("bucket", "table")
+        .unionByName(b.select("bucket", "table"))
+        .groupBy("bucket")
+        .applyInPandas(merge_group, schema="bucket int, table binary")
+    )
+
+
+def delete_from_cuckoo(
+    filt: DataFrame,
+    urls: DataFrame,
+    url_col: str = "url",
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_cells: int = DEFAULT_CK_CELLS,
+    n_slots: int = DEFAULT_CK_SLOTS,
+) -> DataFrame:
+    """Remove the given URLs' fingerprints (the operation the Bloom half
+    cannot do — TTL expiry / forced re-crawl). Per-bucket cogroup: entry
+    set minus the deleted canonical entries, rebuilt. Deleting a URL that
+    was never inserted is a no-op unless it fingerprint-collides with a
+    stored item — the documented cuckoo-filter caveat (delete only what
+    you inserted)."""
+
+    def del_group(key, filt_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(filt_pdf) == 0:
+            return pd.DataFrame({"bucket": [], "table": []})
+        tab = np.frombuffer(filt_pdf["table"].iloc[0], dtype=np.uint16).reshape(
+            n_cells, n_slots
+        )
+        fp, canon = _ck_extract_entries(tab, n_cells)
+        if len(del_pdf):
+            dfp, dcanon = _ck_entries(
+                del_pdf["_h1"].to_numpy(), del_pdf["_h2"].to_numpy(), n_cells
+            )
+            key_have = (canon.astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+            key_del = (dcanon.astype(np.uint64) << np.uint64(16)) | dfp.astype(np.uint64)
+            keep = ~np.isin(key_have, key_del)
+            fp, canon = _ck_dedup(fp[keep], canon[keep])
+        table = _ck_build_table(fp, canon, n_cells, n_slots)
+        return pd.DataFrame({"bucket": [int(key[0])], "table": [table.tobytes()]})
+
+    hashed = _with_hashes(urls.select(url_col), url_col, n_buckets)
+    return (
+        filt.select("bucket", "table")
+        .groupBy("bucket")
+        .cogroup(hashed.groupBy("_bucket"))
+        .applyInPandas(del_group, schema="bucket int, table binary")
+    )
+
+
+def prune_cuckoo(
+    candidates: DataFrame,
+    filt: DataFrame,
+    url_col: str = "url",
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_cells: int = DEFAULT_CK_CELLS,
+    n_slots: int = DEFAULT_CK_SLOTS,
+) -> DataFrame:
+    """Adds boolean ``maybe_seen``: False ⇒ definitely NOT in the seen set.
+    Same contract and plan shape as the bloom ``prune`` (broadcast join +
+    numpy membership over Arrow batches); FPR ≈ 2·n_slots/2^16 ≈ 0.012%."""
+    hashed = _with_hashes(candidates, url_col, n_buckets)
+    joined = hashed.join(F.broadcast(filt), hashed["_bucket"] == filt["bucket"], "left")
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    schema = out_fields + ", maybe_seen boolean"
+    in_cols = [f.name for f in candidates.schema.fields]
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            res = np.zeros(n, dtype=bool)
+            if n:
+                fp, canon = _ck_entries(
+                    pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), n_cells
+                )
+                alt = canon ^ _ck_cellhash(fp, n_cells)
+                for bkt, idx in pdf.groupby("_bucket").indices.items():
+                    blob = pdf["table"].iloc[idx[0]]
+                    if blob is None:
+                        continue
+                    tab = np.frombuffer(blob, dtype=np.uint16).reshape(
+                        n_cells, n_slots
+                    )
+                    f_i = fp[idx][:, None]
+                    res[idx] = (tab[canon[idx]] == f_i).any(axis=1) | (
+                        tab[alt[idx]] == f_i
+                    ).any(axis=1)
+            out = pdf[in_cols].copy()
+            out["maybe_seen"] = res
+            yield out
+
+    return joined.mapInPandas(check, schema=schema)
