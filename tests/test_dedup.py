@@ -216,3 +216,31 @@ def test_substring_dup_pairs_frees_span_persists(spark):
     # both corpus-scale intermediates are gone (unpersist was blocking)
     assert after <= before + 1, (before, after)
     assert out.count() > 0  # result is still fully readable post-unpersist
+
+
+def test_decontaminate_flags_only_span_sharers(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox appears verbatim"),
+            (2, "completely unrelated content about spark shuffles"),
+            (3, "fox jumps over the lazy dog said the benchmark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["first_eval_hit"], r["shared_spans"])
+        for r in decontaminate(train, bench, window=4).collect()
+    }
+    # doc 1 shares "the quick brown fox"; doc 3 shares "fox jumps over the",
+    # "jumps over the lazy", "over the lazy dog"; doc 2 is clean
+    assert set(got) == {1, 3}
+    assert got[1] == (100, 1)
+    assert got[3] == (100, 3)

@@ -98,3 +98,30 @@ def test_extract_pins_tagged_battery(spark):
                                     # after the district digits)
         ("K1A 0B1", "canada"),      # UK pattern must not claim it
     ]
+
+
+def test_repetition_stats_run_length_semantics(spark):
+    # Gopher signals computed by hand: "a b a b a b c" →
+    # 2-grams: [a b, b a, a b, b a, a b, b c] → mode "a b" x3 (len 3),
+    # dup grams: "a b" x3 + "b a" x2 → dup_chars = 3*3 + 2*3 = 15
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame([("a b a b a b c",), ("x y z",)], "t string")
+    got = {
+        r["t"]: (r["s"]["top_n"], r["s"]["top_len"], r["s"]["dup_chars"])
+        for r in df.select("t", repetition_stats("t", 2).alias("s")).collect()
+    }
+    assert got["a b a b a b c"] == (3, 3, 15)
+    assert got["x y z"] == (1, 3, 0)  # all 2-grams distinct → no dups
+
+
+def test_repetition_stats_short_doc_whole_shingle(spark):
+    # fewer tokens than k → one whole-doc shingle, never a crash
+    from web_crawler_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame([("hello",), ("",)], "t string")
+    rows = {r["t"]: r["s"] for r in df.select("t", repetition_stats("t", 3).alias("s")).collect()}
+    assert rows["hello"]["top_n"] == 1 and rows["hello"]["dup_chars"] == 0
+    assert rows[""]["dup_chars"] == 0

@@ -525,6 +525,32 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) b USING (s)
     WHERE a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+    UNION ALL
+    -- benchmark decontamination: train docs (doc_id % 37 != 0) sharing
+    -- any exact 4-token span with the eval stand-in (doc_id % 37 = 0)
+    SELECT 'decontaminate', t.doc_id,
+           min(e.doc_id), count(DISTINCT s)::DOUBLE
+    FROM (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+                       i -> array_to_string(toks[i:i+3], ' ')))) AS s
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                     '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents WHERE doc_id % 37 != 0)
+    ) t
+    JOIN (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+                       i -> array_to_string(toks[i:i+3], ' ')))) AS s
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                     '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents WHERE doc_id % 37 = 0)
+    ) e USING (s)
+    GROUP BY t.doc_id
     """,
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,7 +593,21 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("chosen"),
         F.col("shared_spans").cast("double").alias("val"),
     )
-    return first.unionByName(best).unionByName(sub)
+    # benchmark decontamination: eval set = doc_id % 37 == 0 (the held-out
+    # benchmark stand-in), train docs flagged on any shared 4-token span
+    # (GPT-3 App. C n-gram rule; window rescaled to this corpus's doc
+    # lengths). Eval spans broadcast — the corpus side never shuffles.
+    decon = D.decontaminate(
+        d.filter(F.col("doc_id") % 37 != 0),
+        d.filter(F.col("doc_id") % 37 == 0),
+        "doc_id", "text", window=4,
+    ).select(
+        F.lit("decontaminate").alias("policy"),
+        F.col("doc_id").alias("grp"),
+        F.col("first_eval_hit").alias("chosen"),
+        F.col("shared_spans").cast("double").alias("val"),
+    )
+    return first.unionByName(best).unionByName(sub).unionByName(decon)
 
 
 @query(
@@ -1356,35 +1396,74 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
     oracle=f"""
     WITH t AS (
       SELECT doc_id, n_chars, text, {_TOKS_SQL.format(col='text')} AS toks,
+             length({_NORM_SQL.format(col='text')}) AS norm_len,
              len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
       FROM documents
     ),
     m AS (
-      SELECT doc_id, n_chars, toks, bpe_tokens, length(text) AS n,
+      SELECT doc_id, n_chars, toks, norm_len, bpe_tokens, length(text) AS n,
              CASE WHEN len(toks) > 0 THEN
                len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
              ELSE 0.0 END AS sw_ratio,
              CASE WHEN length(text) > 0 THEN n_punct::DOUBLE / length(text) ELSE 0.0 END AS p_ratio
       FROM t
+    ),
+    -- Gopher repetition signals (Rae et al. 2021 A1.1): 2-/3-gram
+    -- multisets; shingle fragments mirror functions/text.py:shingles
+    -- (docs shorter than k tokens yield one whole-doc shingle)
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 1)),
+        i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM t
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 2, 1)),
+        i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM t
+    ),
+    r2 AS (
+      SELECT doc_id, n * l AS top_chars FROM (
+        SELECT doc_id, count(*) AS n, length(g) AS l,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM g2 GROUP BY doc_id, g
+      ) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT doc_id,
+             sum(CASE WHEN n >= 2 THEN n * length(g) ELSE 0 END) AS dup_chars
+      FROM (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY doc_id, g)
+      GROUP BY doc_id
     )
-    SELECT doc_id, n_chars, len(toks) AS n_tokens, bpe_tokens,
+    SELECT m.doc_id, n_chars, len(toks) AS n_tokens, bpe_tokens,
            len(list_distinct(toks)) AS n_unique,
            round(sw_ratio, 6) AS stopword_ratio,
            round(p_ratio, 6) AS punct_ratio,
            (CASE WHEN n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
             + CASE WHEN sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
-            + CASE WHEN p_ratio < 0.2 THEN 30 ELSE 0 END) AS quality
-    FROM m
+            + CASE WHEN p_ratio < 0.2 THEN 30 ELSE 0 END) AS quality,
+           round(top_chars::DOUBLE / greatest(norm_len, 1), 6) AS top2_char_frac,
+           round(dup_chars::DOUBLE / greatest(norm_len, 1), 6) AS dup3_char_frac,
+           round((norm_len - (len(toks) - 1))::DOUBLE / len(toks), 6) AS mean_word_len
+    FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
     """,
 )
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics in one scan: token counting (whitespace +
-    BPE-ish regex), distinct-token counts, and the corpus quality score's
-    length/stopword/punctuation components — one row per document, a
-    single narrow projection over the documents table."""
+    BPE-ish regex), distinct-token counts, the corpus quality score's
+    length/stopword/punctuation components, and the Gopher repetition
+    signals (top-2-gram char fraction, duplicated-3-gram char fraction,
+    mean word length — functions/text.py:repetition_stats, a shuffle-free
+    run-length scan over the sorted shingle array) — one row per document,
+    a single narrow projection over the documents table."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(TX.normalize_text("text"), " ")
+    norm_len = F.length(TX.normalize_text("text"))
+    r2 = TX.repetition_stats("text", 2)
+    r3 = TX.repetition_stats("text", 3)
     return d.select(
         "doc_id",
         "n_chars",
@@ -1394,6 +1473,15 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         TX.quality_score_text("text").alias("quality"),
+        F.round(
+            (r2.top_n * r2.top_len).cast("double") / F.greatest(norm_len, F.lit(1)), 6
+        ).alias("top2_char_frac"),
+        F.round(
+            r3.dup_chars.cast("double") / F.greatest(norm_len, F.lit(1)), 6
+        ).alias("dup3_char_frac"),
+        F.round(
+            (norm_len - (F.size(toks) - 1)).cast("double") / F.size(toks), 6
+        ).alias("mean_word_len"),
     )
 
 

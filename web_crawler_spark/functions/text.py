@@ -184,3 +184,53 @@ def word_overlap_similarity(a: Column | str, b: Column | str) -> Column:
     inter = F.size(F.array_intersect(ta, tb))
     uni = F.size(F.array_union(ta, tb))
     return F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
+
+
+def repetition_stats(text: Column | str, k: int) -> Column:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1) over the
+    k-token shingle multiset, as one struct column:
+
+    - ``top_n``     — multiplicity of the most frequent k-gram;
+    - ``top_len``   — its character length (ties resolve to the first
+                      gram in sort order, so the value is deterministic);
+    - ``dup_chars`` — total characters across all k-grams occurring more
+                      than once (count x gram length).
+
+    Implemented as a single ``aggregate`` pass over the SORTED shingle
+    array — a run-length scan entirely inside the row, so the metric
+    costs zero shuffle at any corpus size (the naive form is
+    explode -> groupBy(doc, gram) -> re-agg: two corpus-scale shuffles).
+    """
+    s = F.array_sort(shingles(text, k))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top_n"),
+        F.lit(0).cast("long").alias("top_len"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc.prev == x
+        run2 = F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        # a run closes when the gram changes; duplicated runs bank chars
+        dup2 = acc.dup_chars + F.when(
+            ~same & (acc.run >= 2), acc.run * F.length(acc.prev)
+        ).otherwise(F.lit(0).cast("long"))
+        top_n2 = F.greatest(acc.top_n, run2)
+        top_len2 = F.when(run2 > acc.top_n, F.length(x)).otherwise(acc.top_len)
+        return F.struct(
+            x.alias("prev"), run2.alias("run"), top_n2.alias("top_n"),
+            top_len2.alias("top_len"), dup2.alias("dup_chars"),
+        )
+
+    def fin(acc: Column) -> Column:
+        dup = acc.dup_chars + F.when(
+            acc.run >= 2, acc.run * F.length(acc.prev)
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            acc.top_n.alias("top_n"), acc.top_len.alias("top_len"),
+            dup.alias("dup_chars"),
+        )
+
+    return F.aggregate(s, init, step, fin)

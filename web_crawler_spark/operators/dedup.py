@@ -736,3 +736,46 @@ def phash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one exact ``window``-token span with any document in the eval /
+    benchmark set — the GPT-3 appendix-C / PaLM n-gram decontamination
+    rule (13-grams there; the window rescales to this corpus's document
+    lengths).
+
+    Plan shape for 100 TB: the eval side is a benchmark suite — tiny
+    relative to the corpus — so its distinct span stream BROADCASTS onto
+    the train side's span stream; the corpus side never shuffles. Spans
+    ride as md5 hashes (fixed-width keys, and identical SQL exists in
+    DuckDB for the oracle). The hit stream is benchmark-sized, so the
+    per-document aggregate after the join is negligible.
+
+    Returns ``(id_col, first_eval_hit, shared_spans)`` for contaminated
+    training documents only: the lowest contaminating eval doc id and the
+    number of distinct shared spans.
+    """
+
+    def spans(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(
+                F.transform(
+                    F.array_distinct(TX.shingles(F.col(text_col), window)),
+                    F.md5,
+                )
+            ).alias("_h"),
+        )
+
+    hits = spans(train, "_id").join(F.broadcast(spans(eval_set, "_eid")), "_h")
+    return hits.groupBy(F.col("_id").alias(id_col)).agg(
+        F.min("_eid").alias("first_eval_hit"),
+        F.countDistinct("_h").alias("shared_spans"),
+    )
