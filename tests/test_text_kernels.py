@@ -125,3 +125,18 @@ def test_repetition_stats_short_doc_whole_shingle(spark):
     rows = {r["t"]: r["s"] for r in df.select("t", repetition_stats("t", 3).alias("s")).collect()}
     assert rows["hello"]["top_n"] == 1 and rows["hello"]["dup_chars"] == 0
     assert rows[""]["dup_chars"] == 0
+
+
+def test_hash_split_is_deterministic_and_roughly_proportioned(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.text import hash_split
+
+    df = spark.range(0, 10_000).select(hash_split("id").alias("split"))
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.87 < counts["train"] / 10_000 < 0.93
+    # stable: same key → same split regardless of what else is in the table
+    one = spark.range(42, 43).select(hash_split("id").alias("s")).first()["s"]
+    again = spark.range(0, 100).filter(F.col("id") == 42).select(hash_split("id").alias("s")).first()["s"]
+    assert one == again

@@ -1447,7 +1447,10 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
             + CASE WHEN p_ratio < 0.2 THEN 30 ELSE 0 END) AS quality,
            round(top_chars::DOUBLE / greatest(norm_len, 1), 6) AS top2_char_frac,
            round(dup_chars::DOUBLE / greatest(norm_len, 1), 6) AS dup3_char_frac,
-           round((norm_len - (len(toks) - 1))::DOUBLE / len(toks), 6) AS mean_word_len
+           round((norm_len - (len(toks) - 1))::DOUBLE / len(toks), 6) AS mean_word_len,
+           CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(m.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substr(md5('split|' || CAST(m.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
     FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
     """,
 )
@@ -1482,6 +1485,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (norm_len - (F.size(toks) - 1)).cast("double") / F.size(toks), 6
         ).alias("mean_word_len"),
+        TX.hash_split("doc_id").alias("split"),
     )
 
 

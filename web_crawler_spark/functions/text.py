@@ -234,3 +234,28 @@ def repetition_stats(text: Column | str, k: int) -> Column:
         )
 
     return F.aggregate(s, init, step, fin)
+
+
+def hash_split(key: Column | str, train_pct: int = 90, val_pct: int = 5) -> Column:
+    """Deterministic train/val/test assignment: md5 of the row key, first
+    16 bits mod 100 against the split boundaries. Properties that make
+    this the training-data-pipeline standard over ``rand()`` splits:
+    stable under corpus growth and re-partitioning (a document's split
+    never depends on other rows or on execution order), reproducible
+    across engines (md5 is md5 everywhere — the DuckDB oracle computes
+    the identical label), and leakage-safe when keyed on the dedup
+    cluster id instead of the raw doc id."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), _c(key).cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int")
+        % 100
+    )
+    return (
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
