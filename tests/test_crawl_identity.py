@@ -218,3 +218,36 @@ def test_discover_location_pages_reference_trace(spark):
     assert by_url["https://b.ex.com/p9"]["priority"] == 999
     assert "https://other.ex.net/contact" not in by_url
     assert "https://b.ex.com/pricing" not in by_url
+
+
+def test_requeue_recrawls_only_the_expired(spark, tmp_path):
+    cfg = CrawlConfig(max_pages=10, max_depth=3, use_bloom=True)
+    driver = CrawlDriver(spark, WEB, str(tmp_path / "requeue"), cfg)
+    driver.run()
+    before = {
+        r["url"]: (r["status"], r["visit_seq"], r["wave_visited"])
+        for r in driver.frontier().collect()
+    }
+    visited = sorted(u for u, (s, _, _) in before.items() if s == "visited")
+    expired = visited[:3]
+
+    n = driver.requeue(spark.createDataFrame([(u,) for u in expired], "url string"))
+    assert n == 3
+    mid = {r["url"]: r["status"] for r in driver.frontier().collect()}
+    assert all(mid[u] == "queued" for u in expired)
+
+    # requeue of a url that was never visited is a no-op
+    assert driver.requeue(spark.createDataFrame([("https://nope.example/x",)], "url string")) == 0
+
+    driver.run(resume=True)
+    after = {
+        r["url"]: (r["status"], r["visit_seq"], r["wave_visited"])
+        for r in driver.frontier().collect()
+    }
+    # the expired urls are visited again, at their original deterministic
+    # position (visit_seq == enqueue_seq); everything else is unchanged
+    for u in expired:
+        assert after[u][0] == "visited"
+        assert after[u][1] == before[u][1]
+    unchanged = {u: v for u, v in after.items() if u not in expired}
+    assert unchanged == {u: v for u, v in before.items() if u not in expired}

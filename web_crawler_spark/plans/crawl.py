@@ -239,6 +239,87 @@ class CrawlDriver:
         ]
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
+    # ---------------------------------------------------------- requeue ---
+    def requeue(self, urls: DataFrame) -> int:
+        """Re-queue previously visited (or errored) URLs for a fresh fetch —
+        TTL expiry / forced re-crawl, the mutation a crawl ledger needs that
+        the reference's in-memory ``visited`` Sets get from ``delete()``
+        (site-crawler.service.js:134-136).
+
+        Mechanics: fold the status delta into base (the existing replay-safe
+        compact), then rewrite base flipping matching visited/error rows back
+        to ``queued`` with their visit columns cleared, and re-publish the
+        per-seed running visit counts decremented by the requeued rows so the
+        page budget frees up. ``run(resume=True)`` then picks the rows up in
+        the normal wave loop; re-visits reuse ``visit_seq = enqueue_seq``, so
+        the crawl order stays deterministic.
+
+        The discovery Bloom needs no surgery: it gates NEW url discovery and
+        requeued urls already hold base rows, so re-discoveries still dedup
+        against the frontier. A deployment keying a sketch on the VISITED set
+        instead would pair this with ``seen_filter.delete_from_cuckoo`` (the
+        deletable sketch); the Bloom cannot forget.
+
+        ``urls`` is a DataFrame with a ``url`` column — typically a small TTL
+        batch (joined broadcast). Location budgets (``loc_found``) stay
+        consumed: harvested locations remain in the pages log, so a re-visit
+        must not double-fund the W5 cap. Returns the number of rows requeued.
+        """
+        if not self.frontier_tbl.exists():
+            return 0
+        state = self.load_state() or {}
+        wave = state.get("wave", 0)
+        self._compact(wave)  # base becomes the single status authority
+
+        base = self.frontier_tbl.read(self.spark)
+        rq = urls.select(F.col("url").alias("_rq")).distinct()
+        marked = base.join(F.broadcast(rq), base["url"] == F.col("_rq"), "left")
+        hit = F.col("_rq").isNotNull() & F.col("status").isin("visited", "error")
+        counts = {
+            r["seed_host"]: r["n"]
+            for r in marked.filter(hit)
+            .groupBy("seed_host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return 0
+
+        reset = (
+            marked.withColumn(
+                "status", F.when(hit, F.lit("queued")).otherwise(F.col("status"))
+            )
+            .withColumn(
+                "wave_visited",
+                F.when(hit, F.lit(None).cast("int")).otherwise(F.col("wave_visited")),
+            )
+            .withColumn(
+                "visit_seq",
+                F.when(hit, F.lit(None).cast("long")).otherwise(F.col("visit_seq")),
+            )
+            .drop("_rq")
+        )
+        # overwrite writes a NEW fileset; the old base files the lazy plan
+        # reads live until expire_snapshots (same contract as _compact)
+        self.frontier_tbl.overwrite(
+            reset,
+            summary={"wave": wave, "op": "requeue", "max_seq": self._base_agg()},
+            lineage_key="seed_host",
+        )
+        visited_n, loc_found = self._delta_agg()
+        for seed, c in counts.items():
+            visited_n[seed] = max(0, visited_n.get(seed, 0) - c)
+        self.delta_tbl.overwrite(
+            self.spark.createDataFrame([], DELTA_SCHEMA),
+            summary={
+                "wave": wave, "op": "requeue",
+                "visited_n": visited_n, "loc_found": loc_found,
+            },
+        )
+        self._save_state(wave, done=False)
+        return n
+
     # ------------------------------------------------------------- run ----
     def run(self, resume: bool = False, max_waves: int = 100) -> DataFrame:
         """Run (or resume) the crawl; returns the final frontier DataFrame."""
