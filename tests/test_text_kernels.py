@@ -140,3 +140,35 @@ def test_hash_split_is_deterministic_and_roughly_proportioned(spark):
     one = spark.range(42, 43).select(hash_split("id").alias("s")).first()["s"]
     again = spark.range(0, 100).filter(F.col("id") == 42).select(hash_split("id").alias("s")).first()["s"]
     assert one == again
+
+
+def test_pack_bins_greedy_fill_within_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.text import pack_bins
+
+    # one bucket (n_buckets=1) → pure greedy fill in key order
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300), (4, 50)], "doc_id long, nt int"
+    )
+    got = {
+        r["doc_id"]: (r["p"]["bin"], r["p"]["offset"])
+        for r in df.select(
+            "doc_id", pack_bins("nt", "doc_id", n_buckets=1, capacity=512).alias("p")
+        ).collect()
+    }
+    # cum_before: 0, 300, 600, 900 → bins 0,0,1,1; offsets 0,300,88,388
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (1, 388)}
+
+
+def test_pack_bins_no_global_sort(spark):
+    # the plan must window per bucket, never a single global partition
+    from web_crawler_spark.functions.text import pack_bins
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn(
+        "nt", (F.col("doc_id") % 90 + 10).cast("int")
+    )
+    plan = df.select(
+        pack_bins("nt", "doc_id", n_buckets=8).alias("p")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -1450,8 +1450,19 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
            round((norm_len - (len(toks) - 1))::DOUBLE / len(toks), 6) AS mean_word_len,
            CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(m.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
                 WHEN CAST(('0x' || substr(md5('split|' || CAST(m.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           pack_bucket, (cum_before // 512)::BIGINT AS pack_bin,
+           (cum_before % 512)::BIGINT AS pack_offset
     FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+    JOIN (
+      SELECT doc_id, pack_bucket,
+             coalesce(sum(nt) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before
+      FROM (SELECT doc_id, len(toks) AS nt,
+                   (CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8)::BIGINT AS pack_bucket
+            FROM t)
+    ) pk USING (doc_id)
     """,
 )
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,7 +1497,13 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (norm_len - (F.size(toks) - 1)).cast("double") / F.size(toks), 6
         ).alias("mean_word_len"),
         TX.hash_split("doc_id").alias("split"),
-    )
+        TX.pack_bins(F.size(toks), "doc_id").alias("_pk"),
+    ).select(
+        "*",
+        F.col("_pk.bucket").cast("long").alias("pack_bucket"),
+        F.col("_pk.bin").alias("pack_bin"),
+        F.col("_pk.offset").alias("pack_offset"),
+    ).drop("_pk")
 
 
 @query(

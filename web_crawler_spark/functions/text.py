@@ -259,3 +259,47 @@ def hash_split(key: Column | str, train_pct: int = 90, val_pct: int = 5) -> Colu
         .when(h < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def pack_bins(
+    n_tokens: Column | str,
+    order_key: Column | str,
+    n_buckets: int = 8,
+    capacity: int = 512,
+) -> Column:
+    """Sequence packing for training: assign each document a deterministic
+    position in a fixed-capacity token stream — struct(bucket, bin, offset).
+
+    Documents shard into ``n_buckets`` by md5 of the order key, then pack
+    greedily in key order within the bucket: a running token count gives
+    each doc its bin (``cum_before // capacity``) and offset
+    (``cum_before % capacity``). A document may straddle a bin boundary —
+    the trainer splits at ``capacity`` like a separator-less GPT-style
+    pack; offset says where the doc starts.
+
+    Scale shape: the only wide operation is a PER-BUCKET window cumsum —
+    buckets are independent, so parallelism is n_buckets (size it to the
+    cluster; the default 8 is fixture-scale). No global sort exists
+    anywhere: a single global packing order would serialize the corpus
+    through one partition, which is exactly the 100 TB trap this avoids.
+    The md5 bucketing is engine-portable, so the assignment is
+    reproducible in the DuckDB oracle and across reruns.
+    """
+    key = _c(order_key)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack|"), key.cast("string"))), 1, 4), 16, 10)
+        .cast("int") % n_buckets
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(_c(n_tokens)).over(w), F.lit(0).cast("long"))
+    return F.struct(
+        bucket.alias("bucket"),
+        F.floor(cum_before / capacity).cast("long").alias("bin"),
+        (cum_before % capacity).cast("long").alias("offset"),
+    )
