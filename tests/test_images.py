@@ -70,3 +70,48 @@ def test_synthesize_is_deterministic(spark):
     a = IM.synthesize_images(spark, 20).select("image_id", "phash").collect()
     b = IM.synthesize_images(spark, 20).select("image_id", "phash").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_curate_pairs_gate_cascade(spark):
+    rows = [
+        # (image_id, w, h, fmt, caption, expected_reason)
+        ("ok", 128, 128, "png", "a photo of a red bicycle", None),
+        ("fmt", 128, 128, "gif", "a photo of a red bicycle", "bad_format"),
+        ("small", 32, 128, "png", "a photo of a red bicycle", "too_small"),
+        ("aspect", 64, 400, "jpeg", "a photo of a red bicycle", "bad_aspect"),
+        ("nocap", 128, 128, "png", "   ", "no_caption"),
+        ("nullcap", 128, 128, "png", None, "no_caption"),
+        ("short", 128, 128, "png", "photo", "caption_length"),
+        ("long", 128, 128, "png", " ".join(["word"] * 33), "caption_length"),
+        ("junk", 128, 128, "png", "IMG_4321.JPG photo", "junk_caption"),
+        ("junk2", 128, 128, "png", "dsc 0042 from camera", "junk_caption"),
+        ("url", 128, 128, "png", "buy at https://shop.example.com now",
+         "url_in_caption"),
+        ("digits", 128, 128, "png", "1234 5678 90", "digit_heavy"),
+        # cascade order: bad_format wins over every later gate
+        ("multi", 8, 999, "bmp", "IMG_1.JPG https://x.test 12345",
+         "bad_format"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "image_id string, w int, h int, fmt string, caption string",
+    )
+    got = {r["image_id"]: r for r in IM.curate_pairs(df).collect()}
+    for image_id, _, _, _, _, want in rows:
+        assert got[image_id]["reject_reason"] == want, image_id
+        assert got[image_id]["keep"] == (want is None)
+    assert got["ok"]["n_caption_tokens"] == 6
+    assert abs(got["aspect"]["aspect"] - 6.25) < 1e-9
+
+
+def test_curate_pairs_composes_with_input_hint_schema(spark):
+    # gates run over the real synthesized payload table: metadata-only
+    # projection, no decode required
+    imgs = IM.synthesize_images(spark, 30)
+    out = IM.curate_pairs(imgs)
+    rows = out.collect()
+    assert len(rows) == len(imgs.collect())
+    # synthesized dims are 16..96 => every row fails a dim gate or passes
+    for r in rows:
+        if r["keep"]:
+            assert min(r["w"], r["h"]) >= 64 and r["aspect"] <= 3.0

@@ -2048,10 +2048,11 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("image_id", "w", "h", "fmt", "caption", "phash")
 
 
-@query("image_features")
-def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_feature_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary image columns (Arrow-batched
-    mapInPandas): per-format decode success + mean luma stats."""
+    mapInPandas): per-format decode success + mean luma stats. Golden-
+    pinned source for the image_features composite (tools/pin_oracles.py
+    key ``image_features_agg``)."""
     from web_crawler_spark.images import image_features, synthesize_images
 
     imgs = synthesize_images(spark, 120)
@@ -2061,6 +2062,128 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("decode_ok"), 1)).alias("n_ok"),
         F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
     )
+
+
+# Curation fixture: deterministic image+caption metadata derived from the
+# part table — every gate in images.curate_pairs is exercised by a planted
+# modulus class. The gates read only metadata columns, so the fixture
+# needs no bytes and the oracle re-derives every input in closed form.
+_CURATION_CAPTION_SQL = """
+    CASE p_partkey % 23
+      WHEN 0 THEN concat('IMG_', p_partkey, '.JPG photo')
+      WHEN 1 THEN concat('see https://cdn.example.com/p/', p_partkey, ' now')
+      WHEN 2 THEN '   '
+      WHEN 3 THEN concat(p_partkey, ' ', p_partkey * 31, ' x', p_partkey * 7)
+      WHEN 4 THEN concat(repeat('very ', 40), p_name)
+      ELSE concat('a photo of a ', p_name)
+    END
+"""
+
+_CURATION_ORACLE = f"""
+    WITH fx AS (
+      SELECT printf('img_%06d', p_partkey) AS media_id,
+             (16 + (p_partkey % 40) * 8)::BIGINT AS w,
+             (16 + ((p_partkey // 7) % 40) * 8)::BIGINT AS h,
+             CASE p_partkey % 7 WHEN 0 THEN 'gif' WHEN 1 THEN 'jpeg'
+                                ELSE 'png' END AS fmt,
+             {_CURATION_CAPTION_SQL} AS caption
+      FROM part
+    ),
+    g AS (
+      SELECT *,
+             trim(regexp_replace(caption, '\\s+', ' ', 'g')) AS trimmed,
+             greatest(w, h)::DOUBLE / least(w, h)::DOUBLE AS aspect,
+             CASE WHEN length(caption) > 0 THEN
+               length(regexp_replace(caption, '[^0-9]', '', 'g'))::DOUBLE
+                 / length(caption)
+             ELSE 0.0 END AS digit_ratio
+      FROM fx
+    ),
+    r AS (
+      SELECT *,
+             CASE WHEN length(trimmed) = 0 THEN 0
+                  ELSE len(string_split(trimmed, ' ')) END AS n_tokens,
+             CASE
+               WHEN fmt NOT IN ('png', 'jpeg') THEN 'bad_format'
+               WHEN least(w, h) < 64 THEN 'too_small'
+               WHEN aspect > 3.0 THEN 'bad_aspect'
+               WHEN caption IS NULL OR length(trimmed) = 0 THEN 'no_caption'
+               WHEN (CASE WHEN length(trimmed) = 0 THEN 0
+                          ELSE len(string_split(trimmed, ' ')) END) < 2
+                 OR (CASE WHEN length(trimmed) = 0 THEN 0
+                          ELSE len(string_split(trimmed, ' ')) END) > 32
+                 THEN 'caption_length'
+               WHEN regexp_matches(caption,
+                 '(?i)^(img|dsc|dcim|image|photo|untitled|screenshot)[-_ ]?[0-9]+')
+                 THEN 'junk_caption'
+               WHEN regexp_matches(caption, '(?i)https?://')
+                 THEN 'url_in_caption'
+               WHEN digit_ratio >= 0.3 THEN 'digit_heavy'
+             END AS reject_reason
+      FROM g
+    )
+    SELECT 'curation' AS kernel, media_id, fmt, w AS l1, h AS l2,
+           n_tokens::BIGINT AS l3, round(aspect, 4) AS d1,
+           (reject_reason IS NULL) AS b1, reject_reason AS s1
+    FROM r
+"""
+
+
+@query("image_features")
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload battery as a tagged union: ``features`` — decode +
+    mean-luma stats per format over synthesized input_hint rows (golden-
+    pinned); ``curation`` — the LAION/DataComp-style image+caption pair
+    gates (images.curate_pairs: format / min-dim / aspect / caption
+    length / filename-junk / URL / digit-ratio cascade) over a closed-form
+    metadata fixture, fully re-derived by the DuckDB oracle."""
+    _ns = F.lit(None).cast("string")
+    _nl = F.lit(None).cast("long")
+    _nd = F.lit(None).cast("double")
+    _nb = F.lit(None).cast("boolean")
+    feats = _image_feature_agg_rows(spark, sf_dir).select(
+        F.lit("features").alias("kernel"), _ns.alias("media_id"), "fmt",
+        F.col("n").cast("long").alias("l1"),
+        F.col("n_ok").cast("long").alias("l2"), _nl.alias("l3"),
+        F.col("avg_luma").cast("double").alias("d1"),
+        _nb.alias("b1"), _ns.alias("s1"),
+    )
+    from web_crawler_spark.images import curate_pairs
+
+    p = load(spark, sf_dir, "part")
+    fixture = p.select(
+        F.format_string("img_%06d", "p_partkey").alias("image_id"),
+        (16 + (F.col("p_partkey") % 40) * 8).cast("int").alias("w"),
+        (16 + ((F.col("p_partkey") / 7).cast("long") % 40) * 8)
+            .cast("int").alias("h"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("gif"))
+        .when(F.col("p_partkey") % 7 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("png")).alias("fmt"),
+        F.when(F.col("p_partkey") % 23 == 0,
+               F.concat(F.lit("IMG_"), "p_partkey", F.lit(".JPG photo")))
+        .when(F.col("p_partkey") % 23 == 1,
+              F.concat(F.lit("see https://cdn.example.com/p/"),
+                       "p_partkey", F.lit(" now")))
+        .when(F.col("p_partkey") % 23 == 2, F.lit("   "))
+        .when(F.col("p_partkey") % 23 == 3,
+              F.concat(F.col("p_partkey").cast("string"), F.lit(" "),
+                       (F.col("p_partkey") * 31).cast("string"),
+                       F.lit(" x"), (F.col("p_partkey") * 7).cast("string")))
+        .when(F.col("p_partkey") % 23 == 4,
+              F.concat(F.repeat(F.lit("very "), 40), "p_name"))
+        .otherwise(F.concat(F.lit("a photo of a "), "p_name"))
+        .alias("caption"),
+    )
+    cur = curate_pairs(fixture).select(
+        F.lit("curation").alias("kernel"),
+        F.col("image_id").alias("media_id"), "fmt",
+        F.col("w").cast("long").alias("l1"),
+        F.col("h").cast("long").alias("l2"),
+        F.col("n_caption_tokens").alias("l3"),
+        F.col("aspect").alias("d1"), F.col("keep").alias("b1"),
+        F.col("reject_reason").alias("s1"),
+    )
+    return feats.unionByName(cur)
 
 
 # --------------------------------------------------------------------------
@@ -5481,3 +5604,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their pins in golden.py as source literals for the consolidated oracles).
 # --------------------------------------------------------------------------
 _ORACLES.update({k: v for k, v in _GOLDEN.items() if k in _QUERIES})
+
+# image_features composite: golden-pinned features arm (key
+# ``image_features_agg``; the pre-rename key ``image_features`` is the
+# bootstrap fallback so tools/pin_oracles.py can import this module to
+# regenerate golden.py) + the closed-form curation arm.
+_ORACLES["image_features"] = (
+    """
+    SELECT 'features' AS kernel, CAST(NULL AS VARCHAR) AS media_id, fmt,
+           n::BIGINT AS l1, n_ok::BIGINT AS l2, CAST(NULL AS BIGINT) AS l3,
+           avg_luma::DOUBLE AS d1, CAST(NULL AS BOOLEAN) AS b1,
+           CAST(NULL AS VARCHAR) AS s1
+    FROM ("""
+    + _GOLDEN.get("image_features_agg", _GOLDEN.get("image_features", ""))
+    + """)
+    UNION ALL
+    SELECT * FROM ("""
+    + _CURATION_ORACLE
+    + ")"
+)

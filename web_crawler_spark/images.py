@@ -292,3 +292,72 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+# --------------------------------------------- image+caption curation -----
+# The standard web-scale image-text curation gates (the LAION/DataComp
+# recipe family, applied to the reference's image+caption rows —
+# input_hint schema; caption text comes from the extractors the reference
+# builds in advanced-scraper.service.js). Pure column algebra: the gates
+# read only the metadata columns (w, h, fmt, caption), never the bytes,
+# so curation runs as a narrow projection ahead of any decode — at 100 TB
+# the rejected rows never cost a decode or a shuffle.
+CURATION_JUNK_RE = r"(?i)^(img|dsc|dcim|image|photo|untitled|screenshot)[-_ ]?[0-9]+"
+CURATION_URL_RE = r"(?i)https?://"
+
+
+def curate_pairs(
+    df: DataFrame,
+    min_dim: int = 64,
+    max_aspect: float = 3.0,
+    min_tokens: int = 2,
+    max_tokens: int = 32,
+    max_digit_ratio: float = 0.3,
+    formats: tuple[str, ...] = ("png", "jpeg"),
+) -> DataFrame:
+    """Image+caption pair curation: append ``keep`` / ``reject_reason`` /
+    ``aspect`` / ``n_caption_tokens`` to an input_hint-shaped table.
+
+    Gate cascade (first failure names the reason, mirroring the public
+    LAION-style filtering order):
+
+    1. ``bad_format``     — fmt not in ``formats``
+    2. ``too_small``      — min(w, h) < ``min_dim``
+    3. ``bad_aspect``     — max(w,h)/min(w,h) > ``max_aspect``
+    4. ``no_caption``     — NULL / whitespace-only caption
+    5. ``caption_length`` — token count outside [min_tokens, max_tokens]
+    6. ``junk_caption``   — filename-like caption (IMG_1234 …)
+    7. ``url_in_caption`` — caption embeds a URL
+    8. ``digit_heavy``    — digit chars ≥ ``max_digit_ratio`` of caption
+    """
+    cap = F.col("caption")
+    trimmed = F.trim(F.regexp_replace(cap, r"\s+", " "))
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, " "))
+    )
+    digit_ratio = F.when(F.length(cap) > 0,
+                         F.length(F.regexp_replace(cap, "[^0-9]", ""))
+                         .cast("double") / F.length(cap)).otherwise(F.lit(0.0))
+    aspect = (
+        F.greatest("w", "h").cast("double") / F.least("w", "h").cast("double")
+    )
+    reason = (
+        F.when(~F.col("fmt").isin(*formats), F.lit("bad_format"))
+        .when(F.least("w", "h") < min_dim, F.lit("too_small"))
+        .when(aspect > max_aspect, F.lit("bad_aspect"))
+        .when(cap.isNull() | (F.length(trimmed) == 0), F.lit("no_caption"))
+        .when(
+            (n_tokens < min_tokens) | (n_tokens > max_tokens),
+            F.lit("caption_length"),
+        )
+        .when(cap.rlike(CURATION_JUNK_RE), F.lit("junk_caption"))
+        .when(cap.rlike(CURATION_URL_RE), F.lit("url_in_caption"))
+        .when(digit_ratio >= max_digit_ratio, F.lit("digit_heavy"))
+    )
+    return df.select(
+        "*",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+        F.round(aspect, 4).alias("aspect"),
+        n_tokens.cast("long").alias("n_caption_tokens"),
+    )
