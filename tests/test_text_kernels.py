@@ -172,3 +172,40 @@ def test_pack_bins_no_global_sort(spark):
         pack_bins("nt", "doc_id", n_buckets=8).alias("p")
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_redact_pii_cascade_and_counts(spark):
+    from web_crawler_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail bob.smith+x@mail.example.com now",
+         "mail <EMAIL> now", 1, 0, 0),
+        ("server 10.0.3.7 and 192.168.1.1 up",
+         "server <IP> and <IP> up", 0, 2, 0),
+        ("call +1 (415) 555-0137 or 020 7946 0958 now",
+         "call <PHONE> or <PHONE> now", 0, 0, 2),
+        # order is load-bearing: the IP must be masked before the phone
+        # pattern can eat it
+        ("a3@x.io then 10.1.2.3 then 555 0101 99",
+         "<EMAIL> then <IP> then <PHONE>", 1, 1, 1),
+        ("nothing to scrub", "nothing to scrub", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], "text string")
+    got = df.select("text", redact_pii("text").alias("p")).collect()
+    by_text = {r["text"]: r["p"] for r in got}
+    for text, red, ne, ni, np_ in rows:
+        p = by_text[text]
+        assert p["redacted"] == red, text
+        assert (p["n_emails"], p["n_ips"], p["n_phones"]) == (ne, ni, np_)
+
+
+def test_redact_pii_is_codegen_only(spark):
+    # the scrub is regexp column algebra — no python UDF in the plan
+    from web_crawler_spark.functions.text import redact_pii
+
+    df = spark.range(10).select(
+        F.concat(F.lit("u"), "id", F.lit("@x.io")).alias("text")
+    )
+    plan = df.select(redact_pii("text").alias("p"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1398,8 +1398,40 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
       SELECT doc_id, n_chars, text, {_TOKS_SQL.format(col='text')} AS toks,
              length({_NORM_SQL.format(col='text')}) AS norm_len,
              len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
-             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             concat(text, CASE doc_id % 5
+               WHEN 0 THEN concat(' Contact bob', doc_id,
+                                  '@mail.example.com today')
+               WHEN 1 THEN concat(' Call +1 (415) 555-0', 100 + doc_id % 100,
+                                  ' now')
+               WHEN 2 THEN concat(' Server 10.0.', doc_id % 256,
+                                  '.7 responded')
+               WHEN 3 THEN concat(' Email a', doc_id,
+                                  '@x.io or call 020 7946 0958.')
+               ELSE ''
+             END) AS px
       FROM documents
+    ),
+    -- PII scrub cascade mirror (functions/text.py:redact_pii): counts are
+    -- taken on the string each stage sees, fingerprint on the final mask
+    pii1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(px, '{TX.PII_EMAIL_RE}')) AS n_pii_emails,
+             regexp_replace(px, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g') AS p1
+      FROM t
+    ),
+    pii2 AS (
+      SELECT doc_id, n_pii_emails,
+             len(regexp_extract_all(p1, '{TX.PII_IP_RE}')) AS n_pii_ips,
+             regexp_replace(p1, '{TX.PII_IP_RE}', '<IP>', 'g') AS p2
+      FROM pii1
+    ),
+    pii AS (
+      SELECT doc_id, n_pii_emails, n_pii_ips,
+             len(regexp_extract_all(p2, '{TX.PII_PHONE_RE}')) AS n_pii_phones,
+             md5(regexp_replace(p2, '{TX.PII_PHONE_RE}', '<PHONE>', 'g'))
+               AS pii_fp
+      FROM pii2
     ),
     m AS (
       SELECT doc_id, n_chars, toks, norm_len, bpe_tokens, length(text) AS n,
@@ -1452,8 +1484,12 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
                 WHEN CAST(('0x' || substr(md5('split|' || CAST(m.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split,
            pack_bucket, (cum_before // 512)::BIGINT AS pack_bin,
-           (cum_before % 512)::BIGINT AS pack_offset
+           (cum_before % 512)::BIGINT AS pack_offset,
+           n_pii_emails::BIGINT AS n_pii_emails,
+           n_pii_ips::BIGINT AS n_pii_ips,
+           n_pii_phones::BIGINT AS n_pii_phones, pii_fp
     FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+    JOIN pii USING (doc_id)
     JOIN (
       SELECT doc_id, pack_bucket,
              coalesce(sum(nt) OVER (PARTITION BY pack_bucket ORDER BY doc_id
@@ -1471,13 +1507,35 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/stopword/punctuation components, and the Gopher repetition
     signals (top-2-gram char fraction, duplicated-3-gram char fraction,
     mean word length — functions/text.py:repetition_stats, a shuffle-free
-    run-length scan over the sorted shingle array) — one row per document,
-    a single narrow projection over the documents table."""
+    run-length scan over the sorted shingle array), plus the C4/Dolma-style
+    PII scrub (functions/text.py:redact_pii: email → IP → phone mask
+    cascade over planted-PII text; per-type counts and the md5 fingerprint
+    of the redacted string, which the oracle re-derives — exact string
+    equality without hauling the full text through the hash compare) —
+    one row per document, a single narrow projection over the documents
+    table."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(TX.normalize_text("text"), " ")
     norm_len = F.length(TX.normalize_text("text"))
     r2 = TX.repetition_stats("text", 2)
     r3 = TX.repetition_stats("text", 3)
+    doc_id = F.col("doc_id")
+    plant = (
+        F.when(doc_id % 5 == 0,
+               F.concat(F.lit(" Contact bob"), doc_id.cast("string"),
+                        F.lit("@mail.example.com today")))
+        .when(doc_id % 5 == 1,
+              F.concat(F.lit(" Call +1 (415) 555-0"),
+                       (doc_id % 100 + 100).cast("string"), F.lit(" now")))
+        .when(doc_id % 5 == 2,
+              F.concat(F.lit(" Server 10.0."), (doc_id % 256).cast("string"),
+                       F.lit(".7 responded")))
+        .when(doc_id % 5 == 3,
+              F.concat(F.lit(" Email a"), doc_id.cast("string"),
+                       F.lit("@x.io or call 020 7946 0958.")))
+        .otherwise(F.lit(""))
+    )
+    pii = TX.redact_pii(F.concat(F.col("text"), plant))
     return d.select(
         "doc_id",
         "n_chars",
@@ -1498,12 +1556,17 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_word_len"),
         TX.hash_split("doc_id").alias("split"),
         TX.pack_bins(F.size(toks), "doc_id").alias("_pk"),
+        pii.alias("_pii"),
     ).select(
         "*",
         F.col("_pk.bucket").cast("long").alias("pack_bucket"),
         F.col("_pk.bin").alias("pack_bin"),
         F.col("_pk.offset").alias("pack_offset"),
-    ).drop("_pk")
+        F.col("_pii.n_emails").alias("n_pii_emails"),
+        F.col("_pii.n_ips").alias("n_pii_ips"),
+        F.col("_pii.n_phones").alias("n_pii_phones"),
+        F.md5(F.col("_pii.redacted")).alias("pii_fp"),
+    ).drop("_pk", "_pii")
 
 
 @query(

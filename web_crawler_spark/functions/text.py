@@ -303,3 +303,36 @@ def pack_bins(
         F.floor(cum_before / capacity).cast("long").alias("bin"),
         (cum_before % capacity).cast("long").alias("offset"),
     )
+
+
+# ------------------------------------------------------- PII redaction -----
+# The C4/Dolma-style scrub pass a training corpus runs before release:
+# emails, IPv4 addresses, and phone numbers masked with typed tokens.
+# Patterns are deliberately RE2-safe (no lookaround, no backreferences)
+# so the DuckDB oracle evaluates the identical regex; replacement order
+# is load-bearing (IPs would otherwise be eaten by the phone pattern).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9().\- ]{6,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask PII in ``text``: struct(redacted, n_emails, n_ips, n_phones).
+
+    Cascade: emails → ``<EMAIL>``, then IPv4 → ``<IP>``, then phone-like
+    digit runs → ``<PHONE>``. Each count is taken on the string the stage
+    actually sees (post-prior-redaction), so counts sum to the number of
+    mask tokens in the output. Pure codegen column algebra — no UDF."""
+    t0 = _c(text)
+    n_e = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_i = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    n_p = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return F.struct(
+        t3.alias("redacted"),
+        n_e.cast("long").alias("n_emails"),
+        n_i.cast("long").alias("n_ips"),
+        n_p.cast("long").alias("n_phones"),
+    )
