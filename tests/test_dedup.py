@@ -244,3 +244,38 @@ def test_decontaminate_flags_only_span_sharers(spark):
     assert set(got) == {1, 3}
     assert got[1] == (100, 1)
     assert got[3] == (100, 3)
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.5, "zh": 0.1}
+    a = D.stratified_sample(df, "doc_id", "lang", rates)
+    b = D.stratified_sample(df, "doc_id", "lang", rates)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb  # stable under re-execution
+
+    kept = a.groupBy("lang").count().collect()
+    n = {r["lang"]: r["count"] for r in kept}
+    # 1000 en at 50%, 3000 zh at 10% — md5 buckets are uniform enough
+    # for a ±20% band at this n
+    assert 400 <= n["en"] <= 600 and 240 <= n["zh"] <= 360
+
+    # subset invariance: sampling a filtered corpus keeps exactly the
+    # intersection (the property rand() sampling lacks)
+    sub = D.stratified_sample(
+        df.filter(F.col("doc_id") < 2000), "doc_id", "lang", rates
+    )
+    assert sorted(r["doc_id"] for r in sub.collect()) == [
+        d for d in ra if d < 2000
+    ]
+
+    # flags_only returns every row with the keep verdict
+    fl = D.stratified_sample(df, "doc_id", "lang", rates, flags_only=True)
+    assert fl.count() == 4000
+    assert fl.filter("sample_keep").count() == len(ra)

@@ -551,6 +551,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id % 37 = 0)
     ) e USING (s)
     GROUP BY t.doc_id
+    UNION ALL
+    -- deterministic stratified sampling: per-language hash-Bernoulli
+    -- rates (md5 bucket in [0,10000), mirrors operators/dedup.py:
+    -- stratified_sample — stable under corpus growth, never rand())
+    SELECT 'sample_stratified', doc_id, bucket,
+           rate FROM (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS INTEGER) % 10000)::BIGINT AS bucket,
+             (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25
+                        ELSE 0.1 END)::DOUBLE AS rate
+      FROM documents
+    ) WHERE bucket < rate * 10000
     """,
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,8 +573,10 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak) — plus the substring (verbatim-passage)
     dedup of the training-data literature: document pairs sharing ≥ 2
     exact 8-token spans, with spans above the df-cap dropped before the
-    self-join (operators/dedup.py:substring_dup_pairs). All unioned
-    under a policy tag."""
+    self-join (operators/dedup.py:substring_dup_pairs) — plus benchmark
+    decontamination and deterministic stratified sampling
+    (operators/dedup.py:stratified_sample — per-language hash-Bernoulli
+    corpus mixing). All unioned under a policy tag."""
     li = load(spark, sf_dir, "lineitem")
     first = D.dedup_first_wins(
         li.withColumn("_ord", F.struct("l_linenumber", "l_partkey", "l_suppkey")),
@@ -607,7 +623,22 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_eval_hit").alias("chosen"),
         F.col("shared_spans").cast("double").alias("val"),
     )
-    return first.unionByName(best).unionByName(sub).unionByName(decon)
+    # corpus mixing: deterministic per-language sampling (en halved,
+    # de/fr/es quartered, everything else at 10%)
+    samp = D.stratified_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25},
+        default_rate=0.1,
+    ).select(
+        F.lit("sample_stratified").alias("policy"),
+        F.col("doc_id").alias("grp"),
+        F.col("sample_bucket").alias("chosen"),
+        F.col("sample_rate").alias("val"),
+    )
+    return (
+        first.unionByName(best).unionByName(sub).unionByName(decon)
+        .unionByName(samp)
+    )
 
 
 @query(

@@ -58,6 +58,51 @@ def dedup_best_wins(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    stratum: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    flags_only: bool = False,
+) -> DataFrame:
+    """Deterministic stratified (per-stratum hash-Bernoulli) sampling —
+    the corpus-mixing step of a training-data pipeline (upsample scarce
+    languages/sources, downsample dominant ones).
+
+    Each row draws a bucket in [0, 10000) from md5 of its key (so the
+    draw is stable under corpus growth, re-partitioning, and reruns —
+    never ``rand()``) and is kept iff bucket < rate(stratum) × 10000.
+    Appends ``sample_bucket`` / ``sample_rate`` and filters to the kept
+    rows (or returns all rows with a ``sample_keep`` flag when
+    ``flags_only``). Pure codegen column algebra; rates ride the plan as
+    a literal CASE — strata counts are small by construction (languages,
+    sources), so no join is needed."""
+    k = F.col(key) if isinstance(key, str) else key
+    s = F.col(stratum) if isinstance(stratum, str) else stratum
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), k.cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % 10000
+    )
+    rate: Column = F.lit(float(default_rate))
+    for name, r in sorted(rates.items()):
+        rate = F.when(s == name, F.lit(float(r))).otherwise(rate)
+    out = df.select(
+        "*",
+        bucket.cast("long").alias("sample_bucket"),
+        rate.cast("double").alias("sample_rate"),
+    )
+    keep = F.col("sample_bucket") < F.col("sample_rate") * 10000
+    if flags_only:
+        return out.withColumn("sample_keep", keep)
+    return out.filter(keep)
+
+
 def dedup_exact_text(df: DataFrame, text_col: str = "text", order: str | None = None) -> DataFrame:
     """Exact corpus dedup: hash-groupBy on the md5 fingerprint of
     normalized text; first-wins on ``order`` (or arbitrary if None)."""
