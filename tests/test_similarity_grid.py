@@ -239,3 +239,38 @@ def test_place_details_hit_and_miss_defaults(spark):
     assert h["pd_hours"].endswith("Saturday: Closed")
     assert 2.5 <= h["pd_rating"] <= 4.5
     assert h["pd_types"].endswith(",establishment")
+
+
+def test_pair_cosine_gate_semantics_and_plan(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators import similarity as SIM
+
+    # aligned pair (same direction), anti-aligned pair, orthogonal pair
+    rows = [
+        (1, [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]),   # cos 1.0
+        (2, [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),  # cos -1.0
+        (3, [1.0, 0.0, 0.0], [0.0, 5.0, 0.0]),   # cos 0.0
+        (4, [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]),   # cos ~0.7071
+    ]
+    left = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "pair_id long, embedding array<float>"
+    )
+    right = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "pair_id long, embedding array<float>"
+    )
+    kept = {r["pair_id"]: r["cosine"]
+            for r in SIM.pair_cosine_gate(left, right, threshold=0.5).collect()}
+    assert set(kept) == {1, 4}
+    assert abs(kept[4] - 0.707107) < 1e-6
+
+    flags = SIM.pair_cosine_gate(left, right, threshold=0.5, keep_all=True)
+    assert flags.count() == 4
+    assert flags.filter("pair_keep").count() == 2
+
+    # scale shape: equi-join on the pair key, no broadcast of a big side,
+    # no cartesian
+    plan = SIM.pair_cosine_gate(left, right)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -1930,6 +1930,19 @@ _BUCKET_SQL = (
                                    ORDER BY cosine DESC, vec_id) AS rank
       FROM ivf
     ) WHERE rank <= 5
+    UNION ALL
+    -- CLIP-score-style pair gate (operators/similarity.py:
+    -- pair_cosine_gate): even vec_id = image side, the following odd
+    -- vec_id = its caption; keep pairs with rounded cosine >= 0.1
+    SELECT 'pair_gate', query_id, vec_id, cosine, 1 AS rank FROM (
+      SELECT i.vec_id AS query_id, c.vec_id,
+             round({_DOT_SQL.format(a='i.embedding', b='c.embedding')}
+               / ({_NORM2_SQL.format(a='i.embedding')}
+                  * {_NORM2_SQL.format(a='c.embedding')}), 6) AS cosine
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0) i
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1) c
+        ON c.vec_id = i.vec_id + 1
+    ) WHERE cosine >= 0.1
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,7 +1952,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-flat (8-centroid coarse codebook, hash-spread-seeded and carried
     as a broadcast one-row table → inverted lists → 2-list probe; at
     cluster scale the corpus partitions by list_id and each query's scan
-    prunes to nprobe/n_centroids of the data). The
+    prunes to nprobe/n_centroids of the data), plus 'pair_gate' = the
+    CLIP-score-style image↔caption alignment filter
+    (operators/similarity.py:pair_cosine_gate — co-partitioned equi-join
+    on the pair key, cosine ≥ 0.1 kept). The
     oracle mirrors each approximate operator's bucketing/assignment
     exactly, so the probe-set + rank semantics are checked, not an
     idealized exact search. Ranks use the 6-dp-rounded cosine with
@@ -1987,7 +2003,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select(F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine", "rank")
     )
-    return brute.unionByName(lsh).unionByName(ivf)
+    # pair_gate: CLIP-score-style image↔caption alignment filter — even
+    # vec_ids stand in for image embeddings, the following odd vec_id for
+    # the paired caption; keep pairs with cosine ≥ 0.1
+    img = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_id"), "embedding"
+    )
+    cap = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pair_id"), "embedding"
+    )
+    gate = SIM.pair_cosine_gate(img, cap, threshold=0.1).select(
+        F.lit("pair_gate").alias("variant"),
+        F.col("pair_id").alias("query_id"),
+        (F.col("pair_id") + 1).alias("vec_id"),
+        "cosine", F.lit(1).alias("rank"),
+    )
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(gate)
 
 
 @query(

@@ -78,6 +78,45 @@ def brute_force_topk(
     )
 
 
+def pair_cosine_gate(
+    left: DataFrame,
+    right: DataFrame,
+    pair_col: str = "pair_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.1,
+    keep_all: bool = False,
+) -> DataFrame:
+    """CLIP-score-style pair gate: cosine between two embedding columns
+    joined on a shared pair key, keep pairs scoring ≥ ``threshold`` —
+    the image↔caption alignment filter of the LAION/DataComp recipe
+    (there the embeddings come from a CLIP tower; here they are data).
+
+    Returns (pair_id, cosine[, pair_keep when keep_all]). The join is a
+    plain equi-join on the pair key — both sides shuffle-partition by
+    the same key, so at 100 TB the pairs co-locate and no broadcast or
+    all-pairs structure exists. Each side's norm is projected once
+    before the join (same IEEE fold order as the inline cosine)."""
+    a = left.select(
+        F.col(pair_col).alias("pair_id"),
+        F.col(vec_col).alias("_av"),
+        _l2(F.col(vec_col)).alias("_an"),
+    )
+    b = right.select(
+        F.col(pair_col).alias("pair_id"),
+        F.col(vec_col).alias("_bv"),
+        _l2(F.col(vec_col)).alias("_bn"),
+    )
+    scored = a.join(b, "pair_id").select(
+        "pair_id",
+        F.round(
+            _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6
+        ).alias("cosine"),
+    )
+    if keep_all:
+        return scored.withColumn("pair_keep", F.col("cosine") >= threshold)
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def sign_bucket(vec_col: str, n_bits: int = 8) -> F.Column:
     """Deterministic LSH bucket: sign bits of the first n_bits dimensions.
 
