@@ -1,0 +1,79 @@
+"""The composed training-corpus build: all training-data operators
+chained in release order (plans/corpus.py). Each operator has its own
+oracled query; this suite checks they COMPOSE — schema in/out, drop
+monotonicity, determinism, and the no-driver-loop shape."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.plans import corpus as C
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_text_corpus_end_to_end(spark):
+    docs = _docs(spark)
+    evals = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    out = C.build_text_corpus(
+        train, eval_docs=evals,
+        mix_rates={"en": 0.8}, default_mix_rate=0.5,
+    )
+    rows = out.collect()
+    assert rows, "pipeline kept nothing"
+    assert out.columns == [
+        "doc_id", "lang", "text_redacted", "n_tokens", "split",
+        "pack_bucket", "pack_bin", "pack_offset",
+    ]
+    # gates really dropped something, and nothing leaked past them
+    assert len(rows) < train.count()
+    for r in rows[:50]:
+        assert r["split"] in ("train", "val", "test")
+        assert r["n_tokens"] > 0 and r["pack_offset"] < 512
+    # decontamination: no kept doc shares a 4-token span with evals
+    from web_crawler_spark.operators.dedup import decontaminate
+    leaked = decontaminate(
+        out.select("doc_id", F.col("text_redacted")),
+        evals.select("doc_id", F.col("text").alias("text_redacted")),
+        "doc_id", "text_redacted", window=4,
+    )
+    assert leaked.count() == 0
+
+    # deterministic end to end
+    again = C.build_text_corpus(
+        train, eval_docs=evals,
+        mix_rates={"en": 0.8}, default_mix_rate=0.5,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pair_corpus_end_to_end(spark):
+    from web_crawler_spark.images import synthesize_images
+
+    pairs = synthesize_images(spark, 80)
+    out = C.build_pair_corpus(pairs)
+    kept = out.collect()
+    assert kept and len(kept) < pairs.count()
+    # survivors pass the metadata gates and near-dup collapse kept the
+    # min-id representative: no planted _dup sibling survives with its
+    # original present
+    ids = {r["image_id"] for r in kept}
+    for i in ids:
+        if i.endswith("_dup"):
+            assert i[: -len("_dup")] not in ids
+
+    # alignment gate plugs in when embeddings exist for both sides
+    emb = pairs.select(
+        "image_id",
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: F.crc32(F.concat(F.col("image_id"), i))
+                    .cast("double") / 2**32 - 0.5).alias("embedding"),
+    )
+    gated = C.build_pair_corpus(pairs, caption_emb=emb, image_emb=emb,
+                                align_threshold=0.99)
+    # identical embeddings → cosine 1.0 ≥ 0.99 → same survivors
+    assert {r["image_id"] for r in gated.collect()} == ids

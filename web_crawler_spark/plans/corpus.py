@@ -1,0 +1,146 @@
+"""The end-to-end training-corpus build: every training-data operator in
+this engine, composed in the order a production pipeline runs them.
+
+This is the "what the crawl is FOR" plan — the reference crawls pages and
+emits image+caption / document rows (north_star: "emitting image+caption
+rows"); a training pipeline then turns that raw corpus into a release.
+Stage order follows the public recipes (C4/Gopher/Dolma for text,
+LAION/DataComp for pairs):
+
+  text:   lang-ID gate → quality gate → Gopher repetition gate →
+          PII scrub → exact dedup → substring/near-dup drop →
+          benchmark decontamination → stratified mixing →
+          train/val/test split → sequence packing
+  pairs:  metadata curation gates → phash near-dup collapse →
+          CLIP-score-style alignment gate
+
+Shuffle audit (the 100 TB shape): the per-document gates and the scrub
+are narrow (zero shuffles, whole-stage codegen); each dedup/decon stage
+shuffles once on its key; mixing/split are narrow again; packing windows
+per md5 bucket (parallelism = n_buckets). Nothing here collects to the
+driver and no stage is all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import text as TX
+from web_crawler_spark.operators import dedup as D
+
+
+def build_text_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: int = 70,
+    max_top2_frac: float = 0.2,
+    mix_rates: dict[str, float] | None = None,
+    default_mix_rate: float = 1.0,
+    pack_capacity: int = 512,
+    pack_buckets: int = 8,
+) -> DataFrame:
+    """Raw documents (doc_id, text, lang, …) → release-ready corpus with
+    (doc_id, lang, text_redacted, n_tokens, split, pack_bucket/bin/offset).
+
+    Every stage is one of this engine's oracled operators; this function
+    only sequences them. Returns the kept rows; each drop stage is a
+    filter or anti-join so lineage stays explainable."""
+    toks = F.split(TX.normalize_text("text"), " ")
+    norm_len = F.length(TX.normalize_text("text"))
+    r2 = TX.repetition_stats("text", 2)
+
+    gated = (
+        docs.withColumn("_pred_lang", TX.lang_id("text"))
+        .filter(F.col("_pred_lang").isin(*allowed_langs))
+        .withColumn("_q", TX.quality_score_text("text"))
+        .filter(F.col("_q") >= min_quality)
+        .withColumn(
+            "_top2",
+            (r2.getField("top_n") * r2.getField("top_len")).cast("double")
+            / F.greatest(norm_len, F.lit(1)),
+        )
+        .filter(F.col("_top2") <= max_top2_frac)
+    )
+
+    scrubbed = gated.withColumn("_pii", TX.redact_pii("text")).withColumn(
+        "text_redacted", F.col("_pii.redacted")
+    )
+
+    deduped = D.dedup_exact_text(
+        scrubbed, text_col="text_redacted", order="doc_id"
+    )
+
+    near = D.substring_dup_pairs(
+        deduped, "doc_id", "text_redacted", window=8, min_shared=2
+    ).select(F.col("b").alias("doc_id")).distinct()
+    deduped = deduped.join(near, "doc_id", "left_anti")
+
+    if eval_docs is not None:
+        ev = eval_docs.select("doc_id", F.col("text").alias("text_redacted"))
+        dirty = D.decontaminate(
+            deduped, ev, "doc_id", "text_redacted", window=4
+        ).select("doc_id").distinct()
+        deduped = deduped.join(dirty, "doc_id", "left_anti")
+
+    mixed = (
+        D.stratified_sample(
+            deduped, "doc_id", "lang", mix_rates, default_rate=default_mix_rate
+        )
+        if mix_rates
+        else deduped
+    )
+
+    n_tokens = F.size(F.split(TX.normalize_text("text_redacted"), " "))
+    return (
+        mixed.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("split", TX.hash_split("doc_id"))
+        .withColumn(
+            "_pk",
+            TX.pack_bins(
+                F.col("n_tokens"), "doc_id",
+                n_buckets=pack_buckets, capacity=pack_capacity,
+            ),
+        )
+        .select(
+            "doc_id", "lang", "text_redacted", "n_tokens", "split",
+            F.col("_pk.bucket").alias("pack_bucket"),
+            F.col("_pk.bin").alias("pack_bin"),
+            F.col("_pk.offset").alias("pack_offset"),
+        )
+    )
+
+
+def build_pair_corpus(
+    pairs: DataFrame,
+    caption_emb: DataFrame | None = None,
+    image_emb: DataFrame | None = None,
+    align_threshold: float = 0.1,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Image+caption pairs (input_hint schema) → curated release set.
+
+    Metadata gates first (images.curate_pairs — rejected rows never
+    decode), then phash near-dup collapse to the min-id survivor, then
+    (when both embedding tables are given, keyed by image_id) the
+    CLIP-score-style alignment gate."""
+    from web_crawler_spark.images import curate_pairs
+    from web_crawler_spark.operators.dedup import phash_neardup_pairs
+    from web_crawler_spark.operators.similarity import pair_cosine_gate
+
+    kept = curate_pairs(pairs).filter(F.col("keep")).drop(
+        "keep", "reject_reason", "aspect", "n_caption_tokens"
+    )
+    dup = phash_neardup_pairs(kept, "image_id", "phash", max_hamming=max_hamming)
+    losers = dup.select(F.col("b").alias("image_id")).distinct()
+    kept = kept.join(losers, "image_id", "left_anti")
+
+    if caption_emb is not None and image_emb is not None:
+        aligned = pair_cosine_gate(
+            image_emb.withColumnRenamed("image_id", "pair_id"),
+            caption_emb.withColumnRenamed("image_id", "pair_id"),
+            threshold=align_threshold,
+        ).select(F.col("pair_id").alias("image_id"))
+        kept = kept.join(aligned, "image_id")
+    return kept
