@@ -166,3 +166,27 @@ def test_cuckoo_overflow_raises():
         fp = (np.arange(1, 250, dtype=np.uint16) % 0xFFFF) + 1
         canon = np.zeros(249, dtype=np.int64)  # everything into one cell pair
         _ck_build_table(fp, canon, n_cells, n_slots)
+
+
+def test_prune_modes_agree(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.operators import seen_filter as SF
+
+    urls = spark.range(0, 3000).select(
+        F.concat(F.lit("https://m.example.com/p"), "id").alias("url")
+    )
+    seen = spark.range(0, 3000).filter("id % 7 = 0").select(
+        F.concat(F.lit("https://m.example.com/p"), "id").alias("url")
+    )
+    bl, ck = SF.build_bloom(seen), SF.build_cuckoo(seen)
+    for prune_fn, filt in ((SF.prune, bl), (SF.prune_cuckoo, ck)):
+        got = {}
+        for mode in ("broadcast", "cogroup"):
+            rows = prune_fn(urls, filt, mode=mode).collect()
+            got[mode] = sorted((r["url"], r["maybe_seen"]) for r in rows)
+        assert got["broadcast"] == got["cogroup"]
+        # no false negatives: every true member flagged
+        flagged = {u for u, m in got["broadcast"] if m}
+        for r in seen.collect():
+            assert r["url"] in flagged

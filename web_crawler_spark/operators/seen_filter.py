@@ -112,48 +112,86 @@ def prune(
     n_buckets: int = DEFAULT_BUCKETS,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    mode: str = "broadcast",
 ) -> DataFrame:
     """Adds boolean ``maybe_seen``: False ⇒ definitely NOT in the seen set.
 
-    The bloom table (n_buckets rows × m_bits/8 bytes) broadcast-joins onto
-    the candidate stream; membership check is numpy over Arrow batches.
+    ``mode="broadcast"`` (default): the whole filter (n_buckets ×
+    m_bits/8 bytes — 8 MiB at the defaults) ships to each executor ONCE
+    as a Spark broadcast variable and the membership check is a local
+    numpy lookup per Arrow batch. No join, no shuffle, and crucially no
+    per-row blob: the earlier broadcast-JOIN formulation attached the
+    bucket's 128 KiB bitmap to every candidate row, so a 150k-row prune
+    pushed ~19 GB through the Arrow boundary (measured 41 s at sf0.1 —
+    the fix is >40×). Multiple rows per bucket are OR-merged at collect
+    time, mirroring collapse_blooms' merge-on-read.
+
+    ``mode="cogroup"``: for filters too big to broadcast (≳ executor
+    memory; a 10^10-URL seen set at 12 bits/key is ~15 GB): candidates
+    shuffle by bucket and cogroup with the filter rows, so each bucket's
+    bitmap crosses the boundary once per bucket. Parallelism = n_buckets
+    — size n_buckets to the cluster at that scale.
     """
     hashed = _with_hashes(candidates, url_col, n_buckets)
-    joined = hashed.join(F.broadcast(bloom), hashed["_bucket"] == bloom["bucket"], "left")
-
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     )
     schema = out_fields + ", maybe_seen boolean"
     in_cols = [f.name for f in candidates.schema.fields]
 
-    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            res = np.zeros(n, dtype=bool)
-            if n:
-                valid = pdf["bitmap"].notna().to_numpy()
-                if valid.any():
-                    pos = _bit_positions(
-                        pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), m_bits, k
-                    )
-                    hit = np.ones(n, dtype=bool)
-                    # per-row bitmap differs by bucket; group by bucket
-                    for bkt, idx in pdf.groupby("_bucket").indices.items():
-                        bm_val = pdf["bitmap"].iloc[idx[0]]
-                        if bm_val is None:
-                            hit[idx] = False
-                            continue
-                        bitmap = np.frombuffer(bm_val, dtype=np.uint8)
-                        p = pos[idx]
-                        bits = (bitmap[p >> 3] >> (p & 7)) & 1
-                        hit[idx] = bits.all(axis=1)
-                    res = hit & valid
-            out = pdf[in_cols].copy()
-            out["maybe_seen"] = res
-            yield out
+    def _hits(pdf: pd.DataFrame, bitmap: np.ndarray, idx) -> np.ndarray:
+        pos = _bit_positions(
+            pdf["_h1"].to_numpy()[idx], pdf["_h2"].to_numpy()[idx], m_bits, k
+        )
+        return ((bitmap[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
 
-    return joined.mapInPandas(check, schema=schema)
+    if mode == "broadcast":
+        blobs: dict[int, np.ndarray] = {}
+        for r in bloom.select("bucket", "bitmap").collect():
+            if r["bitmap"] is None:
+                continue
+            bm = np.frombuffer(r["bitmap"], dtype=np.uint8)
+            b = int(r["bucket"])
+            blobs[b] = (blobs[b] | bm) if b in blobs else bm
+        bc = candidates.sparkSession.sparkContext.broadcast(
+            {b: bm.tobytes() for b, bm in blobs.items()}
+        )
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tbl = bc.value
+            for pdf in batches:
+                res = np.zeros(len(pdf), dtype=bool)
+                if len(pdf):
+                    for bkt, idx in pdf.groupby("_bucket").indices.items():
+                        blob = tbl.get(int(bkt))
+                        if blob is not None:
+                            res[idx] = _hits(pdf, np.frombuffer(blob, np.uint8), idx)
+                out = pdf[in_cols].copy()
+                out["maybe_seen"] = res
+                yield out
+
+        return hashed.mapInPandas(check, schema=schema)
+
+    def check_cg(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        res = np.zeros(len(cand_pdf), dtype=bool)
+        maps = [
+            np.frombuffer(m, dtype=np.uint8)
+            for m in filt_pdf["bitmap"] if m is not None
+        ]
+        if len(cand_pdf) and maps:
+            bm = maps[0].copy()
+            for m in maps[1:]:
+                bm |= m
+            res = _hits(cand_pdf, bm, slice(None))
+        out = cand_pdf[in_cols].copy()
+        out["maybe_seen"] = res
+        return out
+
+    return (
+        hashed.groupBy("_bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(check_cg, schema=schema)
+    )
 
 
 # ===========================================================================
@@ -403,41 +441,67 @@ def prune_cuckoo(
     n_buckets: int = DEFAULT_BUCKETS,
     n_cells: int = DEFAULT_CK_CELLS,
     n_slots: int = DEFAULT_CK_SLOTS,
+    mode: str = "broadcast",
 ) -> DataFrame:
     """Adds boolean ``maybe_seen``: False ⇒ definitely NOT in the seen set.
-    Same contract and plan shape as the bloom ``prune`` (broadcast join +
-    numpy membership over Arrow batches); FPR ≈ 2·n_slots/2^16 ≈ 0.012%."""
+    Same contract and modes as the bloom ``prune`` (the whole filter is a
+    broadcast variable by default — one copy per executor, never one per
+    row; ``mode="cogroup"`` shuffles candidates by bucket for filters too
+    big to broadcast); FPR ≈ 2·n_slots/2^16 ≈ 0.012%. A bucket with
+    multiple table rows is treated as the union of their entry sets
+    (hit in any table)."""
     hashed = _with_hashes(candidates, url_col, n_buckets)
-    joined = hashed.join(F.broadcast(filt), hashed["_bucket"] == filt["bucket"], "left")
-
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     )
     schema = out_fields + ", maybe_seen boolean"
     in_cols = [f.name for f in candidates.schema.fields]
 
-    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            res = np.zeros(n, dtype=bool)
-            if n:
-                fp, canon = _ck_entries(
-                    pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), n_cells
-                )
-                alt = canon ^ _ck_cellhash(fp, n_cells)
-                for bkt, idx in pdf.groupby("_bucket").indices.items():
-                    blob = pdf["table"].iloc[idx[0]]
-                    if blob is None:
-                        continue
-                    tab = np.frombuffer(blob, dtype=np.uint16).reshape(
-                        n_cells, n_slots
-                    )
-                    f_i = fp[idx][:, None]
-                    res[idx] = (tab[canon[idx]] == f_i).any(axis=1) | (
-                        tab[alt[idx]] == f_i
-                    ).any(axis=1)
-            out = pdf[in_cols].copy()
-            out["maybe_seen"] = res
-            yield out
+    def _hits(pdf: pd.DataFrame, blobs: list, idx) -> np.ndarray:
+        fp, canon = _ck_entries(
+            pdf["_h1"].to_numpy()[idx], pdf["_h2"].to_numpy()[idx], n_cells
+        )
+        alt = canon ^ _ck_cellhash(fp, n_cells)
+        f_i = fp[:, None]
+        res = np.zeros(len(fp), dtype=bool)
+        for blob in blobs:
+            tab = np.frombuffer(blob, dtype=np.uint16).reshape(n_cells, n_slots)
+            res |= (tab[canon] == f_i).any(axis=1) | (tab[alt] == f_i).any(axis=1)
+        return res
 
-    return joined.mapInPandas(check, schema=schema)
+    if mode == "broadcast":
+        tbl: dict[int, list] = {}
+        for r in filt.select("bucket", "table").collect():
+            if r["table"] is not None:
+                tbl.setdefault(int(r["bucket"]), []).append(r["table"])
+        bc = candidates.sparkSession.sparkContext.broadcast(tbl)
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tblv = bc.value
+            for pdf in batches:
+                res = np.zeros(len(pdf), dtype=bool)
+                if len(pdf):
+                    for bkt, idx in pdf.groupby("_bucket").indices.items():
+                        blobs = tblv.get(int(bkt))
+                        if blobs:
+                            res[idx] = _hits(pdf, blobs, idx)
+                out = pdf[in_cols].copy()
+                out["maybe_seen"] = res
+                yield out
+
+        return hashed.mapInPandas(check, schema=schema)
+
+    def check_cg(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        res = np.zeros(len(cand_pdf), dtype=bool)
+        blobs = [b for b in filt_pdf["table"] if b is not None]
+        if len(cand_pdf) and blobs:
+            res = _hits(cand_pdf, blobs, slice(None))
+        out = cand_pdf[in_cols].copy()
+        out["maybe_seen"] = res
+        return out
+
+    return (
+        hashed.groupBy("_bucket")
+        .cogroup(filt.groupBy("bucket"))
+        .applyInPandas(check_cg, schema=schema)
+    )
