@@ -568,10 +568,10 @@ def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns with
     higher-order functions — JVM-side, no UDF."""
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda s, v: s + v
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda s, v: s + v
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")))
     return dot / (na * nb)
 
 
@@ -690,14 +690,14 @@ def embedding_neardup_pairs(
         # the verify join then evaluates a single dot per candidate
         norm = F.sqrt(
             F.aggregate(
-                F.col("_v"), F.lit(0.0), lambda s, v: s + (v * v).cast("double")
+                F.col("_v"), F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
             )
         )
         vecs = df.select(
             F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
         ).withColumn("_n", norm)
         dot = F.aggregate(
-            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: (x * y).cast("double")),
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda s, v: s + v,
         )

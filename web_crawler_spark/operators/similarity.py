@@ -30,17 +30,28 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two array columns (JVM HOFs)."""
+    """Sequential-fold dot product of two array columns (JVM HOFs).
+
+    Elements cast to double BEFORE the multiply: the DuckDB oracle
+    computes ``a[i]::DOUBLE * b[i]::DOUBLE``, and a float32 product
+    loses the ulp that flips a 6-dp rounding on boundary values
+    (observed once at sf0.1 pair volume)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda s, v: s + v,
     )
 
 
 def _l2(a: Column) -> Column:
-    """Sequential-fold L2 norm — same op order as the inline cosine."""
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")))
+    """Sequential-fold L2 norm — same op order and element precision as
+    the inline cosine (cast before multiply, see _dot)."""
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda s, v: s + v.cast("double") * v.cast("double"),
+        )
+    )
 
 
 def brute_force_topk(
