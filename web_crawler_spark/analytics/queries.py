@@ -827,17 +827,33 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_rollup",
     oracle="""
     SELECT cast(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
-           event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+           event_type, count(*) AS n,
+           floor((sum(CAST(value AS DECIMAL(28, 10)))::DOUBLE / count(*))
+                 * 10000 + 0.5) / 10000 AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-shaped tumbling-window rollup (batch over event time)."""
+    """Streaming-shaped tumbling-window rollup (batch over event time).
+
+    Cross-engine determinism, two layers: (1) the mean sums DECIMAL, not
+    DOUBLE — decimal addition is exact and order-independent, so Spark's
+    partial-aggregate fold order and DuckDB's sequential fold produce the
+    identical sum (float sums disagreed on 3 of 3600 groups at sf0.1);
+    (2) the 4-dp rounding is spelled floor(x*1e4 + 0.5)/1e4 in BOTH
+    engines — the fixture's 2-decimal values make exact 4-dp ties common
+    once the sum is exact, and the engines' native round() break ties
+    differently. The same double goes in, the same double comes out."""
     e = load(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    dsum = F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
     return e.groupBy(
         F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
         "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    ).agg(
+        n.alias("n"),
+        (F.floor(dsum / n * 10000 + 0.5) / 10000).alias("avg_value"),
+    )
 
 
 @query(
