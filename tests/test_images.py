@@ -115,3 +115,104 @@ def test_curate_pairs_composes_with_input_hint_schema(spark):
     for r in rows:
         if r["keep"]:
             assert min(r["w"], r["h"]) >= 64 and r["aspect"] <= 3.0
+
+
+def test_aspect_bucket_nearest_and_batching(spark):
+    df = spark.createDataFrame(
+        [
+            ("a1", 1024, 1024),  # exact square -> 1024x1024
+            ("a2", 100, 400),    # 1:4 -> squashes to widest portrait 512x2048
+            ("a3", 400, 100),    # 4:1 -> 2048x512
+            ("a4", 1000, 1100),  # near-square, slightly tall -> 960x1088
+        ],
+        "image_id string, w int, h int",
+    )
+    got = {r["image_id"]: r for r in IM.aspect_bucket(df).collect()}
+    assert (got["a1"]["bucket_w"], got["a1"]["bucket_h"]) == (1024, 1024)
+    assert got["a1"]["aspect_dist"] == 1.0
+    assert (got["a2"]["bucket_w"], got["a2"]["bucket_h"]) == (512, 2048)
+    assert (got["a3"]["bucket_w"], got["a3"]["bucket_h"]) == (2048, 512)
+    assert (got["a4"]["bucket_w"], got["a4"]["bucket_h"]) == (960, 1088)
+
+    # batching: fill one bucket past batch_size and check the split point
+    many = spark.createDataFrame(
+        [(f"b{i:02d}", 640, 640) for i in range(10)], "image_id string, w int, h int"
+    )
+    rows = IM.aspect_bucket(many, batch_size=8).collect()
+    by_id = {r["image_id"]: r["batch_idx"] for r in rows}
+    assert all(by_id[f"b{i:02d}"] == 0 for i in range(8))
+    assert all(by_id[f"b{i:02d}"] == 1 for i in range(8, 10))
+
+
+def test_aspect_bucket_tie_breaks_to_lowest_index(spark):
+    # aspect exactly between two buckets' ratios: 1088x1024 sits strictly
+    # between 1024x1024 (r=1.0625) and 1088x960 (r=1.0625*...) — construct a
+    # genuine tie instead: buckets (2,1) and (1,2) are equidistant from 1:1.
+    df = spark.createDataFrame([("t", 100, 100)], "image_id string, w int, h int")
+    got = IM.aspect_bucket(df, buckets=[(200, 100), (100, 200)]).collect()[0]
+    assert (got["bucket_w"], got["bucket_h"]) == (200, 100)  # first wins
+
+
+def test_shard_pack_cumulative_offsets(spark):
+    df = spark.createDataFrame(
+        [(f"img_{i:04d}", 1000) for i in range(64)], "image_id string, eb int"
+    )
+    rows = IM.shard_pack(df, "eb", n_writers=2, shard_bytes=4000).collect()
+    assert {r["writer"] for r in rows} <= {0, 1}
+    for wtr in (0, 1):
+        grp = sorted(
+            (r for r in rows if r["writer"] == wtr), key=lambda r: r["image_id"]
+        )
+        cum = 0
+        for r in grp:
+            assert r["shard_idx"] == cum // 4000
+            assert r["shard_offset"] == cum % 4000
+            assert r["shard_key"] == f"w{wtr}-s{r['shard_idx']:05d}"
+            cum += 1000
+
+    # assignment is subset-stable: dropping rows never moves later rows
+    # to a different writer (md5 keying), though offsets re-pack
+    sub = IM.shard_pack(df.limit(32), "eb", n_writers=2, shard_bytes=4000)
+    w_full = {r["image_id"]: r["writer"] for r in rows}
+    for r in sub.collect():
+        assert r["writer"] == w_full[r["image_id"]]
+
+
+def test_verify_invariant_detects_corruption(spark):
+    imgs = IM.synthesize_images(spark, 24)
+    inv = {r["image_id"]: r for r in IM.verify_invariant(imgs).collect()}
+    assert inv and all(r["pixels_ok"] and r["caption_ok"] for r in inv.values())
+    for r in inv.values():
+        if r["fmt"] == "png":
+            assert r["psnr"] is None  # exact lossless match
+        else:
+            assert r["psnr"] >= 40.0
+
+    # corrupt one stored payload (decodes cleanly but to the WRONG pixels —
+    # a valid png of a different image's content) and one caption
+    import zlib as _z
+
+    vic = "img_000000000001"
+    w = 16 + (_z.crc32(f"{vic}|w".encode()) % 6) * 16
+    h = 16 + (_z.crc32(f"{vic}|h".encode()) % 6) * 16
+    wrong = IM.encode_png(IM.synth_pixels("img_999999999999", w, h))
+    bad = imgs.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == vic, F.lit(bytearray(wrong)))
+        .otherwise(F.col("bytes")),
+    )
+    got = {r["image_id"]: r for r in IM.verify_invariant(bad).collect()}
+    assert not got[vic]["pixels_ok"]
+    assert all(r["pixels_ok"] for k, r in got.items() if k != vic)
+    got2 = {
+        r["image_id"]: r
+        for r in IM.verify_invariant(
+            imgs.withColumn(
+                "caption",
+                F.when(F.col("image_id") == "img_000000000002", F.lit("tampered"))
+                .otherwise(F.col("caption")),
+            )
+        ).collect()
+    }
+    assert not got2["img_000000000002"]["caption_ok"]
+    assert all(r["caption_ok"] for k, r in got2.items() if k != "img_000000000002")

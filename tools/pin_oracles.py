@@ -117,6 +117,14 @@ def main() -> None:
     oracles["image_features_agg"] = values_oracle(df.columns, rows)
     print(f"image_features_agg: {len(rows)} rows (golden pin, image_features source)")
 
+    # per-row emission-invariant arm (north rule: decoded-pixel PSNR >= 40 dB
+    # + caption equality), aggregated per format over the SF-independent
+    # synthesized fixture — pinned under a non-query key like the above.
+    df = Q._image_psnr_agg_rows(spark, SF_DIR)
+    rows = [tuple(r) for r in df.collect()]
+    oracles["image_psnr_agg"] = values_oracle(df.columns, rows)
+    print(f"image_psnr_agg: {len(rows)} rows (golden pin, image_features source)")
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "web_crawler_spark", "analytics", "golden.py",

@@ -2209,6 +2209,24 @@ def _image_feature_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_psnr_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row emission invariant (images.verify_invariant:
+    decoded pixels vs independently re-derived ground truth — exact for
+    png, PSNR >= 40 dB for the lossy surrogate — plus caption round-trip
+    equality), aggregated per format. Golden-pinned source for the
+    image_features composite (tools/pin_oracles.py key
+    ``image_psnr_agg``); the fixture is SF-independent so the pin holds
+    at every scale factor."""
+    from web_crawler_spark.images import synthesize_images, verify_invariant
+
+    inv = verify_invariant(synthesize_images(spark, 120))
+    return inv.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("pixels_ok") & F.col("caption_ok"), 1)).alias("n_ok"),
+        F.round(F.min("psnr"), 2).alias("min_psnr"),
+    )
+
+
 # Curation fixture: deterministic image+caption metadata derived from the
 # part table — every gate in images.curate_pairs is exercised by a planted
 # modulus class. The gates read only metadata columns, so the fixture
@@ -2273,6 +2291,70 @@ _CURATION_ORACLE = f"""
     FROM r
 """
 
+# Shared re-derivation of the image-metadata fixture for the bucket/shard
+# arms (same planted moduli as the curation fx CTE above).
+_IMG_FX_SQL = f"""
+      SELECT printf('img_%06d', p_partkey) AS media_id,
+             (16 + (p_partkey % 40) * 8)::BIGINT AS w,
+             (16 + ((p_partkey // 7) % 40) * 8)::BIGINT AS h,
+             CASE p_partkey % 7 WHEN 0 THEN 'gif' WHEN 1 THEN 'jpeg'
+                                ELSE 'png' END AS fmt,
+             {_CURATION_CAPTION_SQL} AS caption
+      FROM part
+"""
+
+
+def _bucket_oracle() -> str:
+    from web_crawler_spark.images import SDXL_BUCKETS
+
+    vals = ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(SDXL_BUCKETS))
+    return f"""
+    WITH fx AS ({_IMG_FX_SQL}),
+    bk(i, bw, bh) AS (VALUES {vals}),
+    d AS (
+      SELECT fx.media_id, fx.fmt, bk.i, bk.bw, bk.bh,
+             greatest(fx.w * bk.bh, fx.h * bk.bw)::DOUBLE
+               / least(fx.w * bk.bh, fx.h * bk.bw)::DOUBLE AS r
+      FROM fx CROSS JOIN bk
+    ),
+    p AS (
+      SELECT *, row_number() OVER (PARTITION BY media_id ORDER BY r, i) AS rn
+      FROM d
+    ),
+    b AS (SELECT * FROM p WHERE rn = 1)
+    SELECT 'bucket' AS kernel, media_id, fmt, bw::BIGINT AS l1, bh::BIGINT AS l2,
+           ((row_number() OVER (PARTITION BY bw, bh ORDER BY media_id) - 1)
+             // 8)::BIGINT AS l3,
+           round(r, 6) AS d1, CAST(NULL AS BOOLEAN) AS b1,
+           concat(bw, 'x', bh) AS s1
+    FROM b
+    """
+
+
+def _shard_oracle() -> str:
+    return f"""
+    WITH fx AS ({_IMG_FX_SQL}),
+    sb AS (
+      SELECT media_id, fmt,
+             (CAST(('0x' || substr(md5('shard|' || media_id), 1, 4)) AS INTEGER)
+               % 8)::BIGINT AS writer,
+             (w * h * 3 + length(caption))::BIGINT AS eb
+      FROM fx
+    ),
+    sc AS (
+      SELECT media_id, fmt, writer,
+             coalesce(sum(eb) OVER (PARTITION BY writer ORDER BY media_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum
+      FROM sb
+    )
+    SELECT 'shard' AS kernel, media_id, fmt, writer AS l1,
+           (cum // 4194304)::BIGINT AS l2, (cum % 4194304)::BIGINT AS l3,
+           CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS BOOLEAN) AS b1,
+           printf('w%d-s%05d', writer, (cum // 4194304)::BIGINT) AS s1
+    FROM sc
+    """
+
 
 @query("image_features")
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2281,7 +2363,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned); ``curation`` — the LAION/DataComp-style image+caption pair
     gates (images.curate_pairs: format / min-dim / aspect / caption
     length / filename-junk / URL / digit-ratio cascade) over a closed-form
-    metadata fixture, fully re-derived by the DuckDB oracle."""
+    metadata fixture, fully re-derived by the DuckDB oracle; ``bucket`` —
+    SDXL-style aspect-ratio bucketing + per-bucket batch assembly
+    (images.aspect_bucket, shuffle-free argmin fold over the literal
+    bucket list); ``shard`` — WebDataset-style byte-budget shard packing
+    (images.shard_pack, md5 writer streams + per-writer cumsum); ``psnr``
+    — the north rule's per-row emission invariant (images.verify_invariant:
+    decoded pixels vs re-derived ground truth, exact for lossless /
+    PSNR >= 40 dB for lossy, plus caption equality), golden-pinned."""
     _ns = F.lit(None).cast("string")
     _nl = F.lit(None).cast("long")
     _nd = F.lit(None).cast("double")
@@ -2328,7 +2417,31 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aspect").alias("d1"), F.col("keep").alias("b1"),
         F.col("reject_reason").alias("s1"),
     )
-    return feats.unionByName(cur)
+    from web_crawler_spark.images import aspect_bucket, shard_pack, verify_invariant  # noqa: F401
+
+    bk = aspect_bucket(fixture).select(
+        F.lit("bucket").alias("kernel"),
+        F.col("image_id").alias("media_id"), "fmt",
+        F.col("bucket_w").alias("l1"), F.col("bucket_h").alias("l2"),
+        F.col("batch_idx").alias("l3"), F.col("aspect_dist").alias("d1"),
+        _nb.alias("b1"), F.col("bucket_key").alias("s1"),
+    )
+    est_bytes = F.col("w").cast("long") * F.col("h") * 3 + F.length("caption")
+    sh = shard_pack(fixture.withColumn("_eb", est_bytes), "_eb").select(
+        F.lit("shard").alias("kernel"),
+        F.col("image_id").alias("media_id"), "fmt",
+        F.col("writer").alias("l1"), F.col("shard_idx").alias("l2"),
+        F.col("shard_offset").alias("l3"), _nd.alias("d1"),
+        _nb.alias("b1"), F.col("shard_key").alias("s1"),
+    )
+    pv = _image_psnr_agg_rows(spark, sf_dir).select(
+        F.lit("psnr").alias("kernel"), _ns.alias("media_id"), "fmt",
+        F.col("n").cast("long").alias("l1"),
+        F.col("n_ok").cast("long").alias("l2"), _nl.alias("l3"),
+        F.col("min_psnr").cast("double").alias("d1"),
+        (F.col("n") == F.col("n_ok")).alias("b1"), _ns.alias("s1"),
+    )
+    return feats.unionByName(cur).unionByName(bk).unionByName(sh).unionByName(pv)
 
 
 # --------------------------------------------------------------------------
@@ -5766,5 +5879,26 @@ _ORACLES["image_features"] = (
     UNION ALL
     SELECT * FROM ("""
     + _CURATION_ORACLE
+    + """)
+    UNION ALL
+    SELECT * FROM ("""
+    + _bucket_oracle()
+    + """)
+    UNION ALL
+    SELECT * FROM ("""
+    + _shard_oracle()
+    + """)
+    UNION ALL
+    SELECT 'psnr' AS kernel, CAST(NULL AS VARCHAR) AS media_id, fmt,
+           n::BIGINT AS l1, n_ok::BIGINT AS l2, CAST(NULL AS BIGINT) AS l3,
+           min_psnr::DOUBLE AS d1, (n = n_ok) AS b1,
+           CAST(NULL AS VARCHAR) AS s1
+    FROM ("""
+    + _GOLDEN.get(
+        "image_psnr_agg",
+        # bootstrap fallback so tools/pin_oracles.py can import this module
+        # before the pin exists; never executed with this placeholder
+        "SELECT '' AS fmt, 0 AS n, 0 AS n_ok, 0.0 AS min_psnr WHERE 1 = 0",
+    )
     + ")"
 )

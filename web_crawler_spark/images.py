@@ -361,3 +361,192 @@ def curate_pairs(
         F.round(aspect, 4).alias("aspect"),
         n_tokens.cast("long").alias("n_caption_tokens"),
     )
+
+
+# ------------------------------------------- aspect-ratio bucketing -----
+# SDXL-style multi-aspect training buckets (Podell et al. 2023, appendix:
+# ~1024^2-px-area resolutions in 64-px steps). Every image snaps to the
+# bucket whose aspect ratio is nearest its own, so a training batch can be
+# assembled from same-shaped tensors without destructive square cropping.
+SDXL_BUCKETS: list[tuple[int, int]] = [
+    (512, 2048), (576, 1792), (640, 1600), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704), (1600, 640),
+    (1792, 576), (2048, 512),
+]
+
+
+def aspect_bucket(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    buckets: list[tuple[int, int]] | None = None,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Assign each image its nearest aspect bucket + a batch index.
+
+    Bucket choice is a shuffle-free ``aggregate`` fold over the literal
+    bucket array — argmin of the ratio distance
+    ``max(w*bh, h*bw) / min(w*bh, h*bw)`` (monotone in |log-aspect
+    delta|, computed as one double division of two exact integer
+    products, so the DuckDB oracle reproduces it bit-for-bit). Ties keep
+    the lowest bucket index (the fold only replaces on strict
+    improvement).
+
+    ``batch_idx`` then packs each bucket's images into fixed-size
+    batches in ``id_col`` order — the single wide operation is a
+    per-bucket window rank, so parallelism is #buckets × cluster and no
+    global sort exists (same scale shape as functions/text.pack_bins).
+    """
+    from pyspark.sql import Window
+
+    bks = buckets if buckets is not None else SDXL_BUCKETS
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(bw).cast("long").alias("bw"),
+            F.lit(bh).cast("long").alias("bh"),
+        )
+        for i, (bw, bh) in enumerate(bks)
+    ])
+
+    def ratio(b):  # exact int products -> one correctly-rounded division
+        return (
+            F.greatest(w * b["bh"], h * b["bw"]).cast("double")
+            / F.least(w * b["bh"], h * b["bw"]).cast("double")
+        )
+
+    init = F.struct(
+        F.lit(-1).alias("i"),
+        F.lit(0).cast("long").alias("bw"),
+        F.lit(0).cast("long").alias("bh"),
+        F.lit(float("inf")).alias("r"),
+    )
+
+    def step(acc, b):
+        r = ratio(b)
+        better = r < acc["r"]
+        return F.struct(
+            F.when(better, b["i"]).otherwise(acc["i"]).alias("i"),
+            F.when(better, b["bw"]).otherwise(acc["bw"]).alias("bw"),
+            F.when(better, b["bh"]).otherwise(acc["bh"]).alias("bh"),
+            F.when(better, r).otherwise(acc["r"]).alias("r"),
+        )
+
+    best = F.aggregate(arr, init, step)
+    out = df.withColumn("_bk", best).select(
+        "*",
+        F.col("_bk.bw").alias("bucket_w"),
+        F.col("_bk.bh").alias("bucket_h"),
+        F.concat(F.col("_bk.bw"), F.lit("x"), F.col("_bk.bh")).alias("bucket_key"),
+        F.round(F.col("_bk.r"), 6).alias("aspect_dist"),
+    ).drop("_bk")
+    win = Window.partitionBy("bucket_key").orderBy(id_col)
+    return out.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(win) - 1) / batch_size).cast("long"),
+    )
+
+
+# ------------------------------------- WebDataset-style shard packing -----
+def shard_pack(
+    df: DataFrame,
+    bytes_col,
+    id_col: str = "image_id",
+    n_writers: int = 8,
+    shard_bytes: int = 4 * 1024 * 1024,
+) -> DataFrame:
+    """Assign each sample a (writer, shard, byte offset) — the WebDataset
+    tar-shard layout a multimodal training job streams from.
+
+    Samples hash into ``n_writers`` independent writer streams (md5 of the
+    id — engine-portable, stable under corpus growth), then pack greedily
+    in id order within the writer: running byte count gives the shard
+    (``cum // shard_bytes``) and start offset (``cum % shard_bytes``).
+    The only wide operation is the per-writer window cumsum — parallelism
+    is ``n_writers`` (size it to the cluster; a global packing order would
+    serialize the corpus through one partition at 100 TB, which this
+    layout exists to avoid).
+    """
+    from pyspark.sql import Window
+
+    key = F.col(id_col).cast("string")
+    writer = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard|"), key)), 1, 4), 16, 10)
+        .cast("int") % n_writers
+    )
+    b = bytes_col if not isinstance(bytes_col, str) else F.col(bytes_col)
+    out = df.withColumn("_wb", F.struct(writer.alias("w"), b.cast("long").alias("b")))
+    win = (
+        Window.partitionBy("_wb.w").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_wb.b").over(win), F.lit(0).cast("long"))
+    return (
+        out.select(
+            "*",
+            F.col("_wb.w").cast("long").alias("writer"),
+            F.col("_wb.b").alias("est_bytes"),
+            F.floor(cum / shard_bytes).cast("long").alias("shard_idx"),
+            (cum % shard_bytes).cast("long").alias("shard_offset"),
+        )
+        .drop("_wb")
+        .withColumn(
+            "shard_key",
+            F.format_string("w%d-s%05d", F.col("writer"), F.col("shard_idx")),
+        )
+    )
+
+
+# ----------------------------------------- north-rule per-row invariant -----
+def verify_invariant(images: DataFrame, caption_fn=None) -> DataFrame:
+    """Per-row emission invariant from the north rule: decoded pixels must
+    match the independently re-derived ground truth — exact equality for
+    lossless formats, PSNR >= 40 dB for lossy — and the caption must
+    round-trip exactly.
+
+    Ground truth is re-derived from the image_id alone (synth_pixels is
+    the deterministic generator the fixture encodes), so the check is
+    end-to-end over the stored bytes: any corruption in encode, storage,
+    or decode fails it. Arrow-batched mapInPandas; the bytes column never
+    crosses row-at-a-time.
+
+    Returns (image_id, fmt, psnr double — NULL for exact lossless
+    matches, pixels_ok, caption_ok).
+    """
+    schema = (
+        "image_id string, fmt string, psnr double, "
+        "pixels_ok boolean, caption_ok boolean"
+    )
+    cap_fn = caption_fn or (lambda i: f"synthetic scene {i}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                image_id = r.image_id
+                base = image_id[:-4] if image_id.endswith("_dup") else image_id
+                i = int(base.rsplit("_", 1)[1])
+                truth = synth_pixels(base, int(r.w), int(r.h))
+                dec = decode_image(bytes(r.bytes), r.fmt)
+                if r.fmt == "png":
+                    ok = dec.shape == truth.shape and bool(np.array_equal(dec, truth))
+                    pv = None
+                else:
+                    pv = psnr(dec, truth)
+                    ok = pv >= 40.0
+                    pv = round(pv, 6)
+                rows.append(
+                    (image_id, r.fmt, pv, bool(ok), r.caption == cap_fn(i))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "fmt", "psnr", "pixels_ok", "caption_ok"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
+        run, schema
+    )
