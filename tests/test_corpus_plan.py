@@ -58,6 +58,26 @@ def test_pair_corpus_end_to_end(spark):
     out = C.build_pair_corpus(pairs)
     kept = out.collect()
     assert kept and len(kept) < pairs.count()
+
+    # every survivor carries the training layout: an aspect bucket with a
+    # batch index, and a WebDataset shard address with in-shard offsets
+    # that are consistent per (writer, shard)
+    for r in kept:
+        assert r["bucket_w"] > 0 and r["bucket_h"] > 0 and r["batch_idx"] >= 0
+        assert r["shard_key"] == f"w{r['writer']}-s{r['shard_idx']:05d}"
+        assert 0 <= r["shard_offset"] < 4 * 1024 * 1024
+    # batches fill to at most batch_size, and all but the last batch of
+    # each bucket are exactly full
+    from collections import Counter
+
+    per_batch = Counter((r["bucket_key"], r["batch_idx"]) for r in kept)
+    assert all(n <= 8 for n in per_batch.values())
+    last = {}
+    for (bk, bi), _n in per_batch.items():
+        last[bk] = max(last.get(bk, -1), bi)
+    for (bk, bi), n in per_batch.items():
+        if bi < last[bk]:
+            assert n == 8
     # survivors pass the metadata gates and near-dup collapse kept the
     # min-id representative: no planted _dup sibling survives with its
     # original present

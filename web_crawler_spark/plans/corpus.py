@@ -12,7 +12,8 @@ LAION/DataComp for pairs):
           benchmark decontamination → stratified mixing →
           train/val/test split → sequence packing
   pairs:  metadata curation gates → phash near-dup collapse →
-          CLIP-score-style alignment gate
+          CLIP-score-style alignment gate → aspect-ratio bucketing →
+          WebDataset shard layout
 
 Shuffle audit (the 100 TB shape): the per-document gates and the scrub
 are narrow (zero shuffles, whole-stage codegen); each dedup/decon stage
@@ -118,14 +119,21 @@ def build_pair_corpus(
     image_emb: DataFrame | None = None,
     align_threshold: float = 0.1,
     max_hamming: int = 8,
+    batch_size: int = 8,
+    shard_bytes: int = 4 * 1024 * 1024,
+    n_writers: int = 8,
 ) -> DataFrame:
-    """Image+caption pairs (input_hint schema) → curated release set.
+    """Image+caption pairs (input_hint schema) → training-ready release.
 
     Metadata gates first (images.curate_pairs — rejected rows never
     decode), then phash near-dup collapse to the min-id survivor, then
     (when both embedding tables are given, keyed by image_id) the
-    CLIP-score-style alignment gate."""
-    from web_crawler_spark.images import curate_pairs
+    CLIP-score-style alignment gate, then the training layout: each
+    survivor gets its SDXL-style aspect bucket + batch index
+    (images.aspect_bucket) and its WebDataset shard address
+    (images.shard_pack over the estimated row bytes) — the columns a
+    loader needs to stream same-shaped batches straight off the shards."""
+    from web_crawler_spark.images import aspect_bucket, curate_pairs, shard_pack
     from web_crawler_spark.operators.dedup import phash_neardup_pairs
     from web_crawler_spark.operators.similarity import pair_cosine_gate
 
@@ -143,4 +151,15 @@ def build_pair_corpus(
             threshold=align_threshold,
         ).select(F.col("pair_id").alias("image_id"))
         kept = kept.join(aligned, "image_id")
-    return kept
+
+    kept = aspect_bucket(kept, batch_size=batch_size)
+    size_guess = (  # metadata-only inputs carry no payload column
+        F.length("bytes") if "bytes" in kept.columns
+        else F.col("w").cast("long") * F.col("h") * 3
+    )
+    est = F.coalesce(size_guess.cast("long"), F.col("w").cast("long") * F.col("h") * 3) \
+        + F.coalesce(F.length("caption"), F.lit(0))
+    return shard_pack(
+        kept.withColumn("_eb", est.cast("long")), "_eb",
+        n_writers=n_writers, shard_bytes=shard_bytes,
+    ).drop("_eb")
