@@ -122,3 +122,72 @@ def test_stateful_sessionization_matches_batch(spark, events_dir):
     for uid, n in want_events.items():
         assert got[uid][1] == n, (uid, got[uid], n)
         assert got[uid][0] == want_sessions[uid], (uid, got[uid], want_sessions[uid])
+
+
+# ------------------------------------------- streaming pair ingest -----
+def test_streaming_pair_ingest_matches_batch_and_replays_idempotently(
+    spark, tmp_path_factory
+):
+    """The micro-batch ingest (curation -> in-batch phash collapse ->
+    cross-batch seen-set dedup, epoch-addressed writes) must accept
+    exactly the rows the batch pipeline accepts, and a full replay from a
+    wiped checkpoint must leave the lake byte-identical (row-identical)."""
+    import shutil
+
+    from web_crawler_spark import images as IM
+    from web_crawler_spark.images import curate_pairs
+    from web_crawler_spark.operators.dedup import phash_neardup_pairs
+    from web_crawler_spark.streaming import ingest as SI
+
+    land = str(tmp_path_factory.mktemp("pairs_land"))
+    work = str(tmp_path_factory.mktemp("pairs_work"))
+
+    # land three epoch files in id order (the arrival contract a wave
+    # emitter provides); _dup siblings of epoch-0 originals land later
+    all_pairs = IM.synthesize_images(spark, 45).cache()
+    ids = sorted(r["image_id"] for r in all_pairs.select("image_id").collect())
+    slices = [ids[:20], ids[20:40], ids[40:]]
+    stage = str(tmp_path_factory.mktemp("pairs_stage"))
+    for i, chunk in enumerate(slices):
+        # the file stream source lists plain files, not nested parquet
+        # directories — stage each slice, then land its part file flat
+        out = os.path.join(stage, f"s{i}")
+        all_pairs.filter(F.col("image_id").isin(chunk)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        shutil.move(os.path.join(out, part), os.path.join(land, f"f{i}.parquet"))
+
+    q = SI.ingest_pairs(
+        SI.stream_pair_files(spark, land, max_files=1), work, max_hamming=8
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["image_id"] for r in SI.read_accepted(spark, work).collect()
+    )
+
+    # batch reference: same gates, global min-id phash collapse
+    kept = curate_pairs(all_pairs).filter(F.col("keep"))
+    dup = phash_neardup_pairs(kept, "image_id", "phash", max_hamming=8)
+    ref = sorted(
+        r["image_id"]
+        for r in kept.join(
+            dup.select(F.col("b").alias("image_id")).distinct(),
+            "image_id",
+            "left_anti",
+        ).collect()
+    )
+    assert got == ref and got
+
+    # replay from scratch: wipe the checkpoint, keep the lake — every epoch
+    # re-runs and must overwrite itself without duplicating a single row
+    shutil.rmtree(os.path.join(work, "_checkpoint"))
+    q2 = SI.ingest_pairs(
+        SI.stream_pair_files(spark, land, max_files=1), work, max_hamming=8
+    )
+    q2.awaitTermination()
+    again = sorted(
+        r["image_id"] for r in SI.read_accepted(spark, work).collect()
+    )
+    assert again == got
+    all_pairs.unpersist()

@@ -816,3 +816,48 @@ def decontaminate(
         F.min("_eid").alias("first_eval_hit"),
         F.countDistinct("_h").alias("shared_spans"),
     )
+
+
+def phash_crossdup_ids(
+    cand: DataFrame,
+    seen: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+    n_blocks: int = 5,
+) -> DataFrame:
+    """Candidate ids whose phash is within ``max_hamming`` of ANY seen
+    phash — the cross-set form of phash_neardup_pairs (streaming ingest
+    probes each micro-batch against the accumulated seen set). Same
+    pigeonhole banding: both sides explode into n_blocks block keys, the
+    equi-join touches only same-block pairs, an exact Hamming filter
+    restores precision. The seen side is typically the big one — the
+    join shuffles on block keys, never all-pairs."""
+    width = 64 // n_blocks + 1
+
+    def blocks(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"_{tag}_id"),
+            F.col(phash_col).alias(f"_{tag}_ph"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{i}:"),
+                            F.shiftrightunsigned(
+                                F.col(phash_col), i * width
+                            ).bitwiseAND(F.lit((1 << width) - 1)),
+                        )
+                        for i in range(n_blocks)
+                    ]
+                )
+            ).alias("block"),
+        )
+
+    return (
+        blocks(cand, "c")
+        .join(blocks(seen, "s"), "block")
+        .filter(hamming64(F.col("_c_ph"), F.col("_s_ph")) <= max_hamming)
+        .select(F.col("_c_id").alias(id_col))
+        .distinct()
+    )
