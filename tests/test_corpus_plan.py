@@ -86,6 +86,19 @@ def test_pair_corpus_end_to_end(spark):
         if i.endswith("_dup"):
             assert i[: -len("_dup")] not in ids
 
+    # exact caption dedup: stamp one survivor's caption onto another
+    # surviving image — only the min-id copy may remain
+    two = sorted(ids)[:2]
+    stamped = pairs.withColumn(
+        "caption",
+        F.when(F.col("image_id") == two[1],
+               F.lit(f"synthetic scene {int(two[0].split('_')[1])}"))
+        .otherwise(F.col("caption")),
+    )
+    after = {r["image_id"] for r in C.build_pair_corpus(stamped).collect()}
+    assert two[0] in after and two[1] not in after
+    assert after == ids - {two[1]}
+
     # alignment gate plugs in when embeddings exist for both sides
     emb = pairs.select(
         "image_id",

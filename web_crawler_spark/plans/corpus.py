@@ -11,9 +11,9 @@ LAION/DataComp for pairs):
           PII scrub → exact dedup → substring/near-dup drop →
           benchmark decontamination → stratified mixing →
           train/val/test split → sequence packing
-  pairs:  metadata curation gates → phash near-dup collapse →
-          CLIP-score-style alignment gate → aspect-ratio bucketing →
-          WebDataset shard layout
+  pairs:  metadata curation gates → exact caption dedup →
+          phash near-dup collapse → CLIP-score-style alignment gate →
+          aspect-ratio bucketing → WebDataset shard layout
 
 Shuffle audit (the 100 TB shape): the per-document gates and the scrub
 are narrow (zero shuffles, whole-stage codegen); each dedup/decon stage
@@ -126,9 +126,12 @@ def build_pair_corpus(
     """Image+caption pairs (input_hint schema) → training-ready release.
 
     Metadata gates first (images.curate_pairs — rejected rows never
-    decode), then phash near-dup collapse to the min-id survivor, then
-    (when both embedding tables are given, keyed by image_id) the
-    CLIP-score-style alignment gate, then the training layout: each
+    decode), then exact caption dedup (the LAION-style collapse of the
+    boilerplate captions stock-photo sites stamp on thousands of images
+    — min-id survivor per distinct caption), then phash near-dup
+    collapse to the min-id survivor, then (when both embedding tables
+    are given, keyed by image_id) the CLIP-score-style alignment gate,
+    then the training layout: each
     survivor gets its SDXL-style aspect bucket + batch index
     (images.aspect_bucket) and its WebDataset shard address
     (images.shard_pack over the estimated row bytes) — the columns a
@@ -140,6 +143,7 @@ def build_pair_corpus(
     kept = curate_pairs(pairs).filter(F.col("keep")).drop(
         "keep", "reject_reason", "aspect", "n_caption_tokens"
     )
+    kept = D.dedup_exact_text(kept, text_col="caption", order="image_id")
     dup = phash_neardup_pairs(kept, "image_id", "phash", max_hamming=max_hamming)
     losers = dup.select(F.col("b").alias("image_id")).distinct()
     kept = kept.join(losers, "image_id", "left_anti")
