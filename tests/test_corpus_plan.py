@@ -99,6 +99,18 @@ def test_pair_corpus_end_to_end(spark):
     assert two[0] in after and two[1] not in after
     assert after == ids - {two[1]}
 
+    # image-side decontamination: an eval set whose one image shares a
+    # survivor's phash (different id) must knock that survivor out
+    vic = sorted(ids)[0]
+    ev = pairs.filter(F.col("image_id") == vic).select(
+        F.concat(F.lit("eval_"), "image_id").alias("image_id"), "phash"
+    )
+    decon = {
+        r["image_id"]
+        for r in C.build_pair_corpus(pairs, eval_pairs=ev).collect()
+    }
+    assert vic not in decon and decon == ids - {vic}
+
     # alignment gate plugs in when embeddings exist for both sides
     emb = pairs.select(
         "image_id",

@@ -117,6 +117,7 @@ def build_pair_corpus(
     pairs: DataFrame,
     caption_emb: DataFrame | None = None,
     image_emb: DataFrame | None = None,
+    eval_pairs: DataFrame | None = None,
     align_threshold: float = 0.1,
     max_hamming: int = 8,
     batch_size: int = 8,
@@ -129,7 +130,9 @@ def build_pair_corpus(
     decode), then exact caption dedup (the LAION-style collapse of the
     boilerplate captions stock-photo sites stamp on thousands of images
     — min-id survivor per distinct caption), then phash near-dup
-    collapse to the min-id survivor, then (when both embedding tables
+    collapse to the min-id survivor, then image-side benchmark
+    decontamination when ``eval_pairs`` is given (drop any training
+    image phash-near an eval image), then (when both embedding tables
     are given, keyed by image_id) the CLIP-score-style alignment gate,
     then the training layout: each
     survivor gets its SDXL-style aspect bucket + batch index
@@ -137,7 +140,10 @@ def build_pair_corpus(
     (images.shard_pack over the estimated row bytes) — the columns a
     loader needs to stream same-shaped batches straight off the shards."""
     from web_crawler_spark.images import aspect_bucket, curate_pairs, shard_pack
-    from web_crawler_spark.operators.dedup import phash_neardup_pairs
+    from web_crawler_spark.operators.dedup import (
+        phash_crossdup_ids,
+        phash_neardup_pairs,
+    )
     from web_crawler_spark.operators.similarity import pair_cosine_gate
 
     kept = curate_pairs(pairs).filter(F.col("keep")).drop(
@@ -147,6 +153,15 @@ def build_pair_corpus(
     dup = phash_neardup_pairs(kept, "image_id", "phash", max_hamming=max_hamming)
     losers = dup.select(F.col("b").alias("image_id")).distinct()
     kept = kept.join(losers, "image_id", "left_anti")
+
+    if eval_pairs is not None:
+        # image-side benchmark decontamination: any training image whose
+        # phash sits within the near-dup radius of an eval image leaks the
+        # benchmark — drop it (cross-set pigeonhole probe, never all-pairs)
+        dirty = phash_crossdup_ids(
+            kept, eval_pairs.select("image_id", "phash"), max_hamming=max_hamming
+        )
+        kept = kept.join(dirty, "image_id", "left_anti")
 
     if caption_emb is not None and image_emb is not None:
         aligned = pair_cosine_gate(
