@@ -29,6 +29,11 @@ Design (scale shape first):
   becomes the partitioned Bloom/cuckoo pre-prune from
   operators/seen_filter (same contract: sketch prunes, exact join on the
   survivors stays authoritative).
+
+Epoch discovery uses driver-local directory listing — correct for this
+container's local lake; a cluster deployment swaps it for the table
+format's manifest list (lake.SnapshotTable or Iceberg metadata), which
+is the same one-function seam the codec stubs document.
 """
 
 from __future__ import annotations
