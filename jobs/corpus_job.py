@@ -1,0 +1,94 @@
+"""Corpus-release entry point: spark-submit --py-files wcs.zip jobs/corpus_job.py
+
+The "what the crawl is FOR" job (plans/corpus.py), packaged the same way
+as the crawl driver (north rule: spark-submit --py-files on a
+multi-executor cluster). Two modes:
+
+- ``--mode text``  — documents parquet → gated / scrubbed / deduped /
+  decontaminated / split / packed corpus parquet.
+- ``--mode pairs`` — image+caption pairs (synthesized input_hint rows
+  here; the crawl's emitted table in production) → curated pairs with
+  aspect buckets and WebDataset shard addresses.
+
+Prints one JSON metrics line (rows in/out, per-stage drops, seconds).
+
+Usage:
+  python tools/package_pyfiles.py
+  spark-submit --master local[8] --py-files dist/wcs.zip \
+      jobs/corpus_job.py --mode text --sf-dir /root/testdata/sf0.01 \
+      --out /tmp/corpus_text
+  spark-submit --master local[8] --py-files dist/wcs.zip \
+      jobs/corpus_job.py --mode pairs --n-pairs 200 --out /tmp/corpus_pairs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["text", "pairs"], required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--n-pairs", type=int, default=200)
+    ap.add_argument("--min-quality", type=int, default=70)
+    ap.add_argument("--pack-capacity", type=int, default=512)
+    ap.add_argument("--shard-bytes", type=int, default=4 * 1024 * 1024)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName(f"wcs_corpus_{args.mode}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from web_crawler_spark.plans import corpus as C
+
+    t0 = time.time()
+    if args.mode == "text":
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        n_in = docs.count()
+        out = C.build_text_corpus(
+            docs,
+            min_quality=args.min_quality,
+            pack_capacity=args.pack_capacity,
+        ).persist()
+        n_out = out.count()
+        out.write.mode("overwrite").parquet(args.out)
+        n_tokens = out.agg({"n_tokens": "sum"}).collect()[0][0]
+        extra = {"total_tokens": int(n_tokens or 0)}
+    else:
+        from web_crawler_spark.images import synthesize_images
+
+        pairs = synthesize_images(spark, args.n_pairs)
+        n_in = pairs.count()
+        out = C.build_pair_corpus(pairs, shard_bytes=args.shard_bytes).persist()
+        n_out = out.count()
+        out.write.mode("overwrite").parquet(args.out)
+        n_shards = out.select("shard_key").distinct().count()
+        extra = {"shards": int(n_shards)}
+
+    out.unpersist()
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "rows_in": int(n_in),
+                "rows_out": int(n_out),
+                "seconds": round(time.time() - t0, 2),
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

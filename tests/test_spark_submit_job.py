@@ -46,3 +46,36 @@ def test_spark_submit_packaged_job(tmp_path):
     assert resumed["visited"] == first["visited"]
     assert resumed["frontier_rows"] == first["frontier_rows"]
     assert resumed["records"] == first["records"]
+
+
+def test_spark_submit_corpus_job(tmp_path):
+    if not os.path.exists(SPARK_SUBMIT):
+        import pytest
+
+        pytest.skip("spark-submit not available")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "package_pyfiles.py")],
+        check=True,
+    )
+
+    def run(mode: str, *extra: str) -> dict:
+        cmd = [
+            SPARK_SUBMIT, "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", os.path.join(ROOT, "dist", "wcs.zip"),
+            os.path.join(ROOT, "jobs", "corpus_job.py"),
+            "--mode", mode, "--out", str(tmp_path / mode), *extra,
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=400, check=True
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    text = run("text", "--sf-dir", "/root/testdata/sf0.001")
+    assert 0 < text["rows_out"] <= text["rows_in"]
+    assert text["total_tokens"] > 0
+
+    pairs = run("pairs", "--n-pairs", "80")
+    assert 0 < pairs["rows_out"] < pairs["rows_in"]
+    assert pairs["shards"] >= 1
