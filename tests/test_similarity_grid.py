@@ -274,3 +274,23 @@ def test_pair_cosine_gate_semantics_and_plan(spark):
     plan = SIM.pair_cosine_gate(left, right)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_probe_radius_widens_candidate_set(spark):
+    """probe_hamming must actually widen the probe: recall against brute
+    force is monotone in the radius, and at radius n_bits every bucket is
+    probed so LSH equals brute force exactly."""
+    df = _vecs(spark, n=60)
+    q = df.filter(F.col("vec_id") % 7 == 0).withColumnRenamed("vec_id", "query_id")
+
+    def ids(res):
+        return {(r["query_id"], r["vec_id"]) for r in res.collect()}
+
+    truth = ids(SIM.brute_force_topk(df, q, k=3, query_id_col="query_id"))
+    got = {
+        ph: ids(SIM.lsh_topk(df, q, k=3, n_bits=6, probe_hamming=ph))
+        for ph in (1, 2, 6)
+    }
+    r = {ph: len(truth & g) / len(truth) for ph, g in got.items()}
+    assert r[1] <= r[2] <= r[6]
+    assert got[6] == truth  # full-radius probe degenerates to exact

@@ -171,7 +171,17 @@ def lsh_topk(
         _l2(F.col(vec_col)).alias("_cn"),
         sign_bucket(vec_col, n_bits).alias("bucket"),
     )
-    probes = [F.lit(0)] + ([F.lit(1 << i) for i in range(n_bits)] if probe_hamming >= 1 else [])
+    # all XOR masks of weight 1..probe_hamming (weight 0 = own bucket).
+    # The probe count is sum_d C(n_bits, d) — combinatorial in
+    # probe_hamming, so widening the probe radius trades plan size and
+    # join fan-out for recall explicitly (measured in tools/ann_recall.py)
+    import itertools
+
+    masks = [0]
+    for d in range(1, probe_hamming + 1):
+        for combo in itertools.combinations(range(n_bits), d):
+            masks.append(sum(1 << b for b in combo))
+    probes = [F.lit(m) for m in masks]
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
