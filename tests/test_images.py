@@ -216,3 +216,29 @@ def test_verify_invariant_detects_corruption(spark):
     }
     assert not got2["img_000000000002"]["caption_ok"]
     assert all(r["caption_ok"] for k, r in got2.items() if k != "img_000000000002")
+
+
+def test_aspect_bucket_matches_naive_argmin_on_random_dims(spark):
+    """Cross-validate the fold against a plain-Python argmin over ~200
+    pseudo-random (w, h) pairs (deterministic LCG — no RNG in tests)."""
+    dims, x = [], 1234567
+    for i in range(200):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        w = 16 + x % 4096
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        h = 16 + x % 4096
+        dims.append((f"r{i:03d}", w, h))
+    df = spark.createDataFrame(dims, "image_id string, w int, h int")
+    got = {r["image_id"]: (r["bucket_w"], r["bucket_h"])
+           for r in IM.aspect_bucket(df).collect()}
+
+    def naive(w, h):
+        best, best_r = None, None
+        for bw, bh in IM.SDXL_BUCKETS:
+            r = max(w * bh, h * bw) / min(w * bh, h * bw)
+            if best_r is None or r < best_r:
+                best, best_r = (bw, bh), r
+        return best
+
+    for iid, w, h in dims:
+        assert got[iid] == naive(w, h), (iid, w, h)
