@@ -720,6 +720,10 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       whole-percent share of ALL rows (toFixed(0) = half-up for
       positives, matching round(x, 0) in both engines), with no percent
       shown for 'unknown' exactly as the component omits it.
+    - 'funnel' rows: the corpus-release drop table
+      (_corpus_funnel_rows) — documents in, cumulative survivors of the
+      lang / quality / Gopher gates and exact dedup, and the
+      train/val/test distribution of the surviving set.
     """
     w = Window.partitionBy()  # ≤6 rows post-agg — a global window is free
     src = load(spark, sf_dir, "orders").select(
@@ -780,7 +784,87 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct"),
         )
     )
-    return qb.unionByName(extras).unionByName(cb)
+    return qb.unionByName(extras).unionByName(cb).unionByName(
+        _corpus_funnel_rows(spark, sf_dir)
+    )
+
+
+def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'funnel' rows for quality_report: the per-gate survivor table a
+    corpus release publishes — documents in, then cumulative survivors of
+    the lang gate, the quality gate, the Gopher top-2-gram gate, exact
+    fingerprint dedup, and finally the train/val/test split distribution
+    of the surviving set (all counts; pct = share of input, 4 dp). Every
+    gate reuses the oracled operator it reports on (functions/text.py);
+    the only shuffles are one aggregate and one fingerprint window."""
+    d = load(spark, sf_dir, "documents")
+    norm_len = F.length(TX.normalize_text("text"))
+    r2 = TX.repetition_stats("text", 2)
+    s1 = TX.lang_id("text") == "en"
+    s2 = s1 & (TX.quality_score_text("text") >= 70)
+    top2 = (r2.getField("top_n") * r2.getField("top_len")).cast("double") / F.greatest(
+        norm_len, F.lit(1)
+    )
+    s3 = s2 & (top2 <= 0.2)
+    staged = d.select(
+        "doc_id", s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    base = staged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n_lang"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n_gopher"),
+    )
+
+    def row(band: str, n, pct):
+        return F.struct(
+            F.lit("funnel").alias("report"), F.lit(band).alias("band"),
+            n.cast("long").alias("n"), pct.cast("double").alias("pct"),
+        )
+
+    def pct_of(n):
+        return F.round(100.0 * n / F.col("n_input"), 4)
+
+    gates = base.select(
+        F.explode(
+            F.array(
+                row("input", F.col("n_input"), F.lit(100.0)),
+                row("lang", F.col("n_lang"), pct_of(F.col("n_lang"))),
+                row("quality", F.col("n_quality"), pct_of(F.col("n_quality"))),
+                row("gopher", F.col("n_gopher"), pct_of(F.col("n_gopher"))),
+            )
+        ).alias("r")
+    ).select("r.report", "r.band", "r.n", "r.pct")
+
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        staged.filter("s3")
+        .withColumn("_rn", F.row_number().over(wfp))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    tail = (
+        surv.select(TX.hash_split("doc_id").alias("sp"))
+        .groupBy("sp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(base.select("n_input")))
+        .select(
+            F.lit("funnel").alias("report"),
+            F.concat(F.lit("split_"), "sp").alias("band"),
+            F.col("n"), pct_of(F.col("n")).alias("pct"),
+        )
+    )
+    exact = (
+        surv.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(base.select("n_input")))
+        .select(
+            F.lit("funnel").alias("report"),
+            F.lit("exact_dedup").alias("band"),
+            F.col("n"), pct_of(F.col("n")).alias("pct"),
+        )
+    )
+    return gates.unionByName(exact).unionByName(tail)
 
 
 @query(
@@ -5901,4 +5985,96 @@ _ORACLES["image_features"] = (
         "SELECT '' AS fmt, 0 AS n, 0 AS n_ok, 0.0 AS min_psnr WHERE 1 = 0",
     )
     + ")"
+)
+
+# quality_report's 'funnel' arm is appended here because its SQL reuses the
+# corpus fragments (_NORM_SQL/_TOKS_SQL/_STOPS_SQL) defined mid-module,
+# after the @query decoration ran (same assembly pattern as image_features).
+_ORACLES["quality_report"] = (
+    _ORACLES["quality_report"]
+    + f"""
+    UNION ALL
+    SELECT * FROM (
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks,
+             length({_NORM_SQL.format(col='text')}) AS nl,
+             length(text) AS n,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS ascii_ratio,
+             md5({_NORM_SQL.format(col='text')}) AS fp
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, nl, fp, n, ascii_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
+             ELSE 0.0 END AS sw_ratio,
+             CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS p_ratio,
+             toks
+      FROM t
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 1)),
+        i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM t
+    ),
+    r2 AS (
+      SELECT doc_id, n * l AS top_chars FROM (
+        SELECT doc_id, count(*) AS n, length(g) AS l,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM g2 GROUP BY doc_id, g
+      ) WHERE rn = 1
+    ),
+    f AS (
+      SELECT m.doc_id, m.fp,
+             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9) AS s1,
+             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9
+              AND (CASE WHEN m.n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
+                   + CASE WHEN m.sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
+                   + CASE WHEN m.p_ratio < 0.2 THEN 30 ELSE 0 END) >= 70) AS s2,
+             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9
+              AND (CASE WHEN m.n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
+                   + CASE WHEN m.sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
+                   + CASE WHEN m.p_ratio < 0.2 THEN 30 ELSE 0 END) >= 70
+              AND r2.top_chars::DOUBLE / greatest(m.nl, 1) <= 0.2) AS s3
+      FROM m JOIN r2 USING (doc_id)
+    ),
+    tot AS (
+      SELECT count(*) AS n_input,
+             count(*) FILTER (WHERE s1) AS n_lang,
+             count(*) FILTER (WHERE s2) AS n_quality,
+             count(*) FILTER (WHERE s3) AS n_gopher
+      FROM f
+    ),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE s3
+      ) WHERE rn = 1
+    ),
+    spl AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS sp
+      FROM surv
+    )
+    SELECT 'funnel' AS report, 'input' AS band, n_input AS n, 100.0 AS pct FROM tot
+    UNION ALL
+    SELECT 'funnel', 'lang', n_lang, round(100.0 * n_lang / n_input, 4) FROM tot
+    UNION ALL
+    SELECT 'funnel', 'quality', n_quality, round(100.0 * n_quality / n_input, 4) FROM tot
+    UNION ALL
+    SELECT 'funnel', 'gopher', n_gopher, round(100.0 * n_gopher / n_input, 4) FROM tot
+    UNION ALL
+    SELECT 'funnel', 'exact_dedup', count(*),
+           round(100.0 * count(*) / (SELECT n_input FROM tot), 4) FROM surv
+    UNION ALL
+    SELECT 'funnel', 'split_' || sp, count(*),
+           round(100.0 * count(*) / (SELECT n_input FROM tot), 4)
+    FROM spl GROUP BY sp
+    )
+"""
 )
