@@ -383,6 +383,7 @@ def aspect_bucket(
     h_col: str = "h",
     buckets: list[tuple[int, int]] | None = None,
     batch_size: int = 8,
+    n_streams: int = 1,
 ) -> DataFrame:
     """Assign each image its nearest aspect bucket + a batch index.
 
@@ -395,9 +396,15 @@ def aspect_bucket(
     improvement).
 
     ``batch_idx`` then packs each bucket's images into fixed-size
-    batches in ``id_col`` order — the single wide operation is a
-    per-bucket window rank, so parallelism is #buckets × cluster and no
-    global sort exists (same scale shape as functions/text.pack_bins).
+    batches in ``id_col`` order. With the default ``n_streams=1`` the
+    window partitions by bucket alone — deterministic global numbering,
+    but parallelism is capped at #buckets (17 for the SDXL list), which
+    is a real ceiling at corpus scale (10^10 rows / 17 buckets = ~10^9
+    rows through one sort). ``n_streams > 1`` md5-salts each bucket into
+    independent batch streams (``batch_stream`` column; batches are
+    fixed-size within a (bucket, stream) pair, which is all a training
+    loader needs) — parallelism becomes #buckets × n_streams, the same
+    writer-stream trick shard_pack and pack_bins use.
     """
     from pyspark.sql import Window
 
@@ -437,14 +444,23 @@ def aspect_bucket(
         )
 
     best = F.aggregate(arr, init, step)
+    stream = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % n_streams
+    ).cast("long") if n_streams > 1 else F.lit(0).cast("long")
     out = df.withColumn("_bk", best).select(
         "*",
         F.col("_bk.bw").alias("bucket_w"),
         F.col("_bk.bh").alias("bucket_h"),
         F.concat(F.col("_bk.bw"), F.lit("x"), F.col("_bk.bh")).alias("bucket_key"),
         F.round(F.col("_bk.r"), 6).alias("aspect_dist"),
+        stream.alias("batch_stream"),
     ).drop("_bk")
-    win = Window.partitionBy("bucket_key").orderBy(id_col)
+    win = Window.partitionBy("bucket_key", "batch_stream").orderBy(id_col)
     return out.withColumn(
         "batch_idx",
         F.floor((F.row_number().over(win) - 1) / batch_size).cast("long"),
