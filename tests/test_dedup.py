@@ -153,6 +153,39 @@ def test_embedding_neardup_and_cosine(spark):
     assert got == {(1, 2)}
 
 
+def test_semantic_dedup_pairs_and_anti_join(spark):
+    """SemDeDup: with an explicit 2-centroid codebook the cluster split is
+    by construction, so the drop set is exact — each later in-cluster
+    vector over threshold is dropped with its best earlier witness, and
+    cross-cluster pairs are never even scored."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.98, 0.2, 0.0, 0.0]),   # cos(1,2) ~ 0.980
+        (3, [0.95, -0.3, 0.0, 0.0]),  # cos(1,3) ~ 0.954, cos(2,3) ~ 0.874
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.1, 0.99, 0.0, 0.0]),   # cos(4,5) ~ 0.995
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = spark.createDataFrame(
+        [([(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0, 0.0], 1.0)],)],
+        "_cb array<struct<i:int, ce:array<double>, cn:double>>",
+    )
+    pairs = D.semantic_dedup_pairs(df, threshold=0.9, codebook=cb)
+    got = {(r["dup"], r["witness"]) for r in pairs.collect()}
+    # 3's witness is 1, not 2: cos(2,3) < 0.9 so 2 never pairs with 3
+    assert got == {(2, 1), (3, 1), (5, 4)}
+
+    kept = {r["vec_id"] for r in D.semantic_dedup(df, threshold=0.9, codebook=cb).collect()}
+    assert kept == {1, 4}
+
+    # hash-seeded path: whatever the 2 seeds, every over-threshold pair is
+    # within one of the two true clusters, so drops can only come from the
+    # non-minimal members {2, 3, 5} and the witness is always the earlier id
+    seeded = D.semantic_dedup_pairs(df, threshold=0.9, n_centroids=2).collect()
+    assert all(r["witness"] < r["dup"] for r in seeded)
+    assert {r["dup"] for r in seeded} <= {2, 3, 5}
+
+
 def test_substring_dup_pairs_semantics(spark):
     """Verbatim 8-token passages pair; boilerplate above the df-cap does
     not; min_shared gates single-span coincidences."""

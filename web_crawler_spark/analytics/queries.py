@@ -2130,16 +2130,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # registered below — built from the shared hyperplanes
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.3) via the multi-band
-    quantized-hyperplane LSH default (4 bands × 8 bits pinned here so the
-    oracle is stable; corpus-size-derived n_bits is the library default,
-    exercised in tests/test_skew.py). The DuckDB oracle re-derives the
-    same band keys with integer arithmetic."""
+    """Embedding near-dup battery, tagged union (variant, a, b, cosine):
+
+    - ``lsh``: cosine pairs ≥ 0.3 via the multi-band quantized-hyperplane
+      LSH default (4 bands × 8 bits pinned here so the oracle is stable;
+      corpus-size-derived n_bits is the library default, exercised in
+      tests/test_skew.py). The DuckDB oracle re-derives the same band
+      keys with integer arithmetic.
+    - ``semdedup``: cluster-scoped SemDeDup drops at the same threshold —
+      IVF hash-seeded 8-centroid assignment, within-list self-join, one
+      row per dropped vector with its best earlier witness (a=witness,
+      b=dup, so a<b like the lsh arm). The oracle mirrors the codebook
+      seeding and rounded argmax centroid assignment exactly as in
+      ann_topk's cents/assign CTEs.
+    """
     e = load(spark, sf_dir, "embeddings")
     pairs = D.embedding_neardup_pairs(
         e, "vec_id", "embedding", threshold=0.3, n_bands=4, n_bits=8, dim=64
     )
-    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+    lsh = pairs.select(
+        F.lit("lsh").alias("variant"), "a", "b", F.round("cosine", 6).alias("cosine")
+    )
+    sem = D.semantic_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_centroids=8
+    ).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("witness").alias("a"),
+        F.col("dup").alias("b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    return lsh.unionByName(sem)
 
 
 def _emb_neardup_oracle() -> str:
@@ -2166,16 +2186,62 @@ def _emb_neardup_oracle() -> str:
     cand AS (
       SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
       FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    lsh AS (
+      SELECT cand.a, cand.b,
+             round({_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+               / ({_NORM2_SQL.format(a='ea.embedding')} * {_NORM2_SQL.format(a='eb.embedding')}), 6)
+               AS cosine
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.a
+      JOIN embeddings eb ON eb.vec_id = cand.b
+      WHERE {_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+            / ({_NORM2_SQL.format(a='ea.embedding')} * {_NORM2_SQL.format(a='eb.embedding')}) >= 0.3
+    ),
+    -- SemDeDup arm (operators/dedup.py:semantic_dedup_pairs): the cents /
+    -- cscore / assign CTEs mirror the broadcast IVF codebook assignment
+    -- bit-for-bit with ann_topk's oracle (hash-spread seeding, 6-dp-rounded
+    -- argmax score, centroid-index tiebreak)
+    cents AS (
+      SELECT embedding AS ce,
+             row_number() OVER (ORDER BY md5('cb|' || vec_id::VARCHAR), vec_id) - 1 AS ci
+      FROM (SELECT * FROM embeddings
+            ORDER BY md5('cb|' || vec_id::VARCHAR), vec_id LIMIT 8)
+    ),
+    cscore AS (
+      SELECT c.vec_id, c.embedding, cents.ci,
+             round({_DOT_SQL.format(a='c.embedding', b='cents.ce')}
+               / ({_NORM2_SQL.format(a='c.embedding')} * {_NORM2_SQL.format(a='cents.ce')}), 6)
+               AS s
+      FROM embeddings c CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, embedding, ci AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, ci) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    sempairs AS (
+      SELECT sa.vec_id AS a, sb.vec_id AS b,
+             {_DOT_SQL.format(a='sa.embedding', b='sb.embedding')}
+               / ({_NORM2_SQL.format(a='sa.embedding')} * {_NORM2_SQL.format(a='sb.embedding')})
+               AS cos_raw
+      FROM assign sa JOIN assign sb
+        ON sa.list_id = sb.list_id AND sa.vec_id < sb.vec_id
+      WHERE {_DOT_SQL.format(a='sa.embedding', b='sb.embedding')}
+            / ({_NORM2_SQL.format(a='sa.embedding')} * {_NORM2_SQL.format(a='sb.embedding')}) >= 0.3
+    ),
+    sem AS (
+      SELECT a, b, round(cos_raw, 6) AS cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY b
+                                     ORDER BY round(cos_raw, 6) DESC, a) AS rn
+        FROM sempairs
+      ) WHERE rn = 1
     )
-    SELECT cand.a, cand.b,
-           round({_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
-             / ({_NORM2_SQL.format(a='ea.embedding')} * {_NORM2_SQL.format(a='eb.embedding')}), 6)
-             AS cosine
-    FROM cand
-    JOIN embeddings ea ON ea.vec_id = cand.a
-    JOIN embeddings eb ON eb.vec_id = cand.b
-    WHERE {_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
-          / ({_NORM2_SQL.format(a='ea.embedding')} * {_NORM2_SQL.format(a='eb.embedding')}) >= 0.3
+    SELECT 'lsh' AS variant, a, b, cosine FROM lsh
+    UNION ALL
+    SELECT 'semdedup' AS variant, a, b, cosine FROM sem
     """
 
 

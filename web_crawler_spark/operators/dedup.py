@@ -732,6 +732,98 @@ def embedding_neardup_pairs(
     )
 
 
+# ------------------------------------------------- SemDeDup (cluster-based)
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    codebook: DataFrame | None = None,
+    seed_strategy: str = "hash",
+) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic deduplication over an embedding
+    column (Abbas et al. 2023, the LAION-style pipeline stage) — the
+    cluster-then-compare member of the near-dup family, next to the LSH
+    candidate generator in :func:`embedding_neardup_pairs`.
+
+    Plan: (1) assign every vector to its nearest coarse centroid with the
+    broadcast IVF codebook (:func:`~web_crawler_spark.operators.similarity.
+    ivf_assign` — shuffle-free column algebra, hash-spread seeding so the
+    inverted lists stay balanced); (2) one shuffle on ``list_id`` and a
+    within-list self-join — pairwise cosine is confined to a cluster, so
+    with ``n_centroids`` scaled to the corpus (the paper's regime: cluster
+    size ≈ constant) total work stays ~linear, honoring this module's
+    no-O(n²) contract; (3) a vector is a duplicate when some EARLIER-id
+    vector in its cluster has cosine ≥ ``threshold`` (the deterministic
+    first-wins form of the paper's keep-one-per-group policy).
+
+    Returns one row per dropped vector: (dup, witness, cosine, list_id),
+    where ``witness`` is the earlier in-cluster neighbor with the highest
+    6-dp-rounded cosine (ties → smallest id), so the output is stable
+    across engines and partitionings. Pass ``codebook`` (e.g. from
+    ``ivf_train_codebook``) to cluster with trained centroids.
+    """
+    from web_crawler_spark.operators import similarity as SIM
+
+    cb = (
+        codebook
+        if codebook is not None
+        else SIM.ivf_codebook(df, n_centroids, id_col, vec_col, seed_strategy)
+    )
+    assigned = SIM.ivf_assign(df, cb, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("a"), F.col("_cv").alias("_va"),
+        F.col("_cn").alias("_na"), "list_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b"), F.col("_cv").alias("_vb"),
+        F.col("_cn").alias("_nb"), "list_id",
+    )
+    # elementwise ::double BEFORE the multiply: a float32 product loses the
+    # ulp that can flip round(.,6) against the SQL oracle's double fold
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("list_id", "a", "b", (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("b").orderBy(F.round("cosine", 6).desc(), F.col("a").asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("b").alias("dup"), F.col("a").alias("witness"), "cosine", "list_id"
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    codebook: DataFrame | None = None,
+    seed_strategy: str = "hash",
+) -> DataFrame:
+    """Corpus after SemDeDup: anti-join the dropped ids from
+    :func:`semantic_dedup_pairs` (first-wins — the smallest id of each
+    semantic group survives, every later member with an over-threshold
+    in-cluster witness is removed)."""
+    drops = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold, n_centroids, codebook, seed_strategy
+    ).select(F.col("dup").alias(id_col))
+    return df.join(drops, id_col, "left_anti")
+
+
 # ------------------------------------------------------------ phash --------
 def phash_neardup_pairs(
     df: DataFrame,
