@@ -153,6 +153,38 @@ def test_embedding_neardup_and_cosine(spark):
     assert got == {(1, 2)}
 
 
+def test_dsir_importance_selects_target_like_docs(spark):
+    """DSIR: docs written in the target domain's vocabulary score ≥ 0 and
+    are kept; distractor-vocabulary docs score < 0; the integer fixed-point
+    mode and the paper's log-ratio mode agree on the clean split."""
+    vocab_a = "aardvark bumblebee cactus dromedary"
+    vocab_b = "zephyr quartz fjord glyph"
+    rows = (
+        [(i, f"{vocab_a} {vocab_a} aardvark", True) for i in range(10)]
+        + [(100 + i, f"{vocab_b} {vocab_b} zephyr", False) for i in range(10)]
+        # an UNLABELED probe per side: target membership comes from the
+        # flag, but the score must follow the vocabulary
+        + [(500, vocab_a, False), (501, vocab_b, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    for mode in ("fixed", "log"):
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in D.dsir_importance(
+                df, target=F.col("is_t"), mode=mode, n_buckets=256
+            ).collect()
+        }
+        assert len(got) == 22
+        for i in range(10):
+            assert got[i] is True and got[100 + i] is False, (mode, i)
+        assert got[500] is True and got[501] is False, mode
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.dsir_importance(df, target=F.col("is_t"), mode="bogus")
+
+
 def test_semantic_dedup_pairs_and_anti_join(spark):
     """SemDeDup: with an explicit 2-centroid codebook the cluster split is
     by construction, so the drop set is exact — each later in-cluster

@@ -1721,20 +1721,90 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND ascii_ratio >= 0.9
         THEN 'en' ELSE 'unknown' END AS predicted
       FROM t
+    ),
+    -- DSIR arms (operators/dedup.py:dsir_importance, mode='fixed'):
+    -- hashed-unigram buckets, fixed-point probability-difference weights
+    -- (pure integer arithmetic — the cross-engine-exact restatement of the
+    -- paper's log-likelihood ratio), target domain = labeled lang='en'
+    db AS (
+      SELECT doc_id, is_t,
+             (CAST(('0x' || substr(md5('dsir|' || tok), 1, 4)) AS INTEGER) % 64)
+               AS bucket
+      FROM (SELECT doc_id, (lang = 'en') AS is_t,
+                   unnest({_TOKS_SQL.format(col='text')}) AS tok
+            FROM documents)
+    ),
+    dist AS (
+      SELECT bucket,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t_cnt,
+             count(*)::BIGINT AS c_cnt
+      FROM db GROUP BY bucket
+    ),
+    tot AS (SELECT sum(t_cnt)::BIGINT AS tt, sum(c_cnt)::BIGINT AS tc FROM dist),
+    w AS (
+      SELECT bucket,
+             ((1000000 * t_cnt) // greatest(tt, 1)
+              - (1000000 * c_cnt) // greatest(tc, 1))::BIGINT AS wgt
+      FROM dist, tot
+    ),
+    ds AS (
+      SELECT doc_id, sum(n * wgt)::BIGINT AS s
+      FROM (SELECT doc_id, bucket, count(*)::BIGINT AS n
+            FROM db GROUP BY doc_id, bucket) dc
+      JOIN w USING (bucket) GROUP BY doc_id
+    ),
+    dsl AS (
+      SELECT ds.doc_id, s,
+             CASE WHEN s >= 0 THEN 'keep' ELSE 'drop' END AS lbl,
+             (d.lang = 'en') AS is_t
+      FROM ds JOIN documents d ON d.doc_id = ds.doc_id
     )
-    SELECT predicted, count(*) AS n,
-           count(*) FILTER (WHERE predicted = lang) AS agree
+    SELECT 'langid' AS variant, predicted, count(*)::BIGINT AS n,
+           (count(*) FILTER (WHERE predicted = lang))::BIGINT AS agree
     FROM p GROUP BY predicted
+    UNION ALL
+    SELECT 'dsir', lbl, count(*)::BIGINT,
+           sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT
+    FROM dsl GROUP BY lbl
+    UNION ALL
+    SELECT 'dsir_doc', lbl, doc_id, s FROM dsl
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic + agreement against the labeled lang column."""
+    """Corpus language/domain-model battery, tagged union
+    (variant, predicted, n, agree):
+
+    - ``langid``: the language-ID heuristic + agreement counts against
+      the labeled lang column (predicted, n docs, n agreeing).
+    - ``dsir``: DSIR importance resampling (Xie et al. 2023) with the
+      labeled ``lang='en'`` rows as the target domain — keep/drop counts
+      (n) and how many target docs landed in each decision (agree).
+    - ``dsir_doc``: the per-document decisions — generic columns carry
+      predicted=keep/drop, n=doc_id, agree=the integer fixed-point score
+      (operators/dedup.py:dsir_importance mode='fixed'; the paper's
+      log-ratio form is pytest-tier because libm isn't bit-portable).
+    """
     d = load(spark, sf_dir, "documents")
     pred = d.select("doc_id", "lang", TX.lang_id("text").alias("predicted"))
-    return pred.groupBy("predicted").agg(
+    langid = pred.groupBy("predicted").agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("predicted") == F.col("lang"), 1)).alias("agree"),
+    ).select(F.lit("langid").alias("variant"), "predicted", "n", "agree")
+    scored = D.dsir_importance(
+        d, target=F.col("lang") == "en", n_buckets=64
+    ).join(d.select("doc_id", (F.col("lang") == "en").alias("_is_t")), "doc_id")
+    lbl = F.when(F.col("keep"), "keep").otherwise("drop")
+    dsir = scored.groupBy(lbl.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("agree"),
+    ).select(F.lit("dsir").alias("variant"), "predicted", "n", "agree")
+    dsir_doc = scored.select(
+        F.lit("dsir_doc").alias("variant"),
+        lbl.alias("predicted"),
+        F.col("doc_id").alias("n"),
+        F.col("score").alias("agree"),
     )
+    return langid.unionByName(dsir).unionByName(dsir_doc)
 
 
 @query(

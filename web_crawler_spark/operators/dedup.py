@@ -20,6 +20,8 @@ literature's blocking construction.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,6 +103,101 @@ def stratified_sample(
     if flags_only:
         return out.withColumn("sample_keep", keep)
     return out.filter(keep)
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+    mode: str = "fixed",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.
+    2023): score each document by how much its hashed-n-gram profile
+    resembles a TARGET domain (the boolean ``target`` column — e.g.
+    labeled in-domain rows) versus the raw corpus, then keep the
+    over-threshold docs.
+
+    Plan (both stages map-side combinable, no O(n²) anywhere):
+      1. explode normalized word unigrams, hash each into one of
+         ``n_buckets`` md5 buckets (the paper's hashed n-gram features —
+         stable under growth/re-partitioning, never ``rand()``);
+      2. ONE pass builds the bucket histogram twice — target counts and
+         corpus counts — as a single 2-aggregate groupBy(bucket); the
+         n_buckets-row table collects to the driver where the per-bucket
+         weights are computed and rebroadcast as data (the codebook
+         pattern: a distribution is index metadata, not corpus);
+      3. per-doc bucket counts (groupBy id,bucket) broadcast-join the
+         weight table and fold to the doc score.
+
+    ``mode='fixed'`` (default, the oracled form) replaces the paper's
+    log-likelihood-ratio with the fixed-point probability difference
+    ``w_b = (scale·t_b) DIV T − (scale·c_b) DIV C`` — pure integer
+    arithmetic end-to-end, so the score is bit-identical in any engine
+    (transcendental libm outputs are NOT portable across Spark/DuckDB/
+    Python, the reason the LLR form is pytest-tier). ``mode='log'`` is
+    the paper's smoothed log-ratio ``ln((t_b+1)/(T+B)) − ln((c_b+1)/
+    (C+B))`` with a DOUBLE score.
+
+    Returns one row per document: (id, score, keep) where keep ⇔
+    score ≥ 0 — resampling then composes as a plain filter (or feed
+    ``score`` to :func:`stratified_sample`-style rate shaping).
+    """
+    if mode not in ("fixed", "log"):
+        raise ValueError(f"unknown mode {mode!r}")
+    tok = F.explode(F.split(TX.normalize_text(text_col), " ")).alias("_tok")
+    base = df.select(F.col(id_col), target.alias("_is_t"), tok).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("_tok"))), 1, 4),
+                16, 10,
+            ).cast("int") % n_buckets
+        ).alias("_bucket"),
+    )
+    dist = (
+        base.groupBy("_bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("t_cnt"),
+            F.count(F.lit(1)).alias("c_cnt"),
+        )
+        .collect()
+    )
+    tot_t = sum(r["t_cnt"] for r in dist)
+    tot_c = sum(r["c_cnt"] for r in dist)
+    if mode == "fixed":
+        weights = [
+            (r["_bucket"], float((scale * r["t_cnt"]) // max(tot_t, 1)
+                                 - (scale * r["c_cnt"]) // max(tot_c, 1)))
+            for r in dist
+        ]
+    else:
+        weights = [
+            (
+                r["_bucket"],
+                math.log((r["t_cnt"] + 1) / (tot_t + n_buckets))
+                - math.log((r["c_cnt"] + 1) / (tot_c + n_buckets)),
+            )
+            for r in dist
+        ]
+    wdf = df.sparkSession.createDataFrame(weights, "_bucket int, _wgt double")
+    scored = (
+        base.groupBy(id_col, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(wdf), "_bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_n") * F.col("_wgt")).alias("_s"))
+    )
+    score = (
+        F.col("_s").cast("long") if mode == "fixed" else F.round(F.col("_s"), 6)
+    )
+    return scored.select(
+        id_col, score.alias("score"), (F.col("_s") >= 0).alias("keep")
+    )
 
 
 def dedup_exact_text(df: DataFrame, text_col: str = "text", order: str | None = None) -> DataFrame:
