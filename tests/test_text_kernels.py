@@ -209,3 +209,28 @@ def test_redact_pii_is_codegen_only(spark):
     plan = df.select(redact_pii("text").alias("p"))._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clean_lines_rules_and_rejoin(spark):
+    """Line cleaning: first-tripped-rule counts, survivors rejoined in
+    order, and the whole thing stays codegen column algebra."""
+    from web_crawler_spark.functions.text import clean_lines
+
+    page = "\n".join([
+        "a perfectly normal first sentence",   # keep
+        "OK",                                  # short (words < 3)
+        "ALL CAPS NAV HEADER",                 # caps
+        "1234 567 89",                         # numeric
+        "We use cookie banners.",              # boiler
+        "BIG SALE cookie",                     # caps wins: first tripped rule
+        "closing normal line here",            # keep
+    ])
+    df = spark.createDataFrame([(page,)], "text string")
+    r = df.select(clean_lines("text").alias("c")).first()["c"]
+    assert (r["n_lines"], r["n_kept"]) == (7, 2)
+    assert (r["n_short"], r["n_caps"], r["n_numeric"], r["n_boiler"]) == (1, 2, 1, 1)
+    assert r["cleaned"] == "a perfectly normal first sentence\nclosing normal line here"
+
+    plan = df.select(clean_lines("text").alias("c"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1544,8 +1544,51 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
                WHEN 3 THEN concat(' Email a', doc_id,
                                   '@x.io or call 020 7946 0958.')
                ELSE ''
-             END) AS px
+             END) AS px,
+             concat_ws(chr(10), text,
+               CASE WHEN doc_id % 4 = 0 THEN 'OK'
+                    ELSE 'three words minimum here' END,
+               CASE WHEN doc_id % 3 = 0 THEN 'ALL CAPS NAV HEADER'
+                    ELSE 'regular mixed case line' END,
+               concat(doc_id % 1000, ' ', doc_id % 97, ' ', doc_id % 13),
+               CASE WHEN doc_id % 5 < 2
+                    THEN 'This site uses cookie consent banners.'
+                    ELSE 'Please review our privacy policy today.' END) AS lx
       FROM documents
+    ),
+    -- line-cleaning mirror (functions/text.py:clean_lines / line_rule):
+    -- first-tripped-rule per line; ratio thresholds are integer
+    -- cross-multiplications so the decisions are engine-exact
+    clr AS (
+      SELECT doc_id, lines,
+             list_transform(lines, l ->
+               CASE WHEN len(regexp_extract_all(l, '\\S+')) < 3 THEN 1
+                    WHEN length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+                         AND 2 * length(regexp_replace(l, '[^A-Z]', '', 'g'))
+                             > length(regexp_replace(l, '[^A-Za-z]', '', 'g')) THEN 2
+                    WHEN length(regexp_replace(l, '\\s', '', 'g')) > 0
+                         AND 2 * length(regexp_replace(l, '[^0-9]', '', 'g'))
+                             > length(regexp_replace(l, '\\s', '', 'g')) THEN 3
+                    WHEN contains(lower(l), 'cookie')
+                         OR contains(lower(l), 'javascript')
+                         OR contains(lower(l), 'lorem ipsum')
+                         OR contains(lower(l), 'terms of use')
+                         OR contains(lower(l), 'privacy policy')
+                         OR contains(lower(l), 'all rights reserved') THEN 4
+                    ELSE 0 END) AS rules
+      FROM (SELECT doc_id, string_split(lx, chr(10)) AS lines FROM t)
+    ),
+    cln AS (
+      SELECT doc_id,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(rules, r -> r = 0))::BIGINT AS n_lines_kept,
+             len(list_filter(rules, r -> r = 1))::BIGINT AS n_line_short,
+             len(list_filter(rules, r -> r = 2))::BIGINT AS n_line_caps,
+             len(list_filter(rules, r -> r = 3))::BIGINT AS n_line_numeric,
+             len(list_filter(rules, r -> r = 4))::BIGINT AS n_line_boiler,
+             md5(array_to_string(
+               list_filter(lines, (l, i) -> rules[i] = 0), chr(10))) AS clean_fp
+      FROM clr
     ),
     -- PII scrub cascade mirror (functions/text.py:redact_pii): counts are
     -- taken on the string each stage sees, fingerprint on the final mask
@@ -1622,9 +1665,11 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
            (cum_before % 512)::BIGINT AS pack_offset,
            n_pii_emails::BIGINT AS n_pii_emails,
            n_pii_ips::BIGINT AS n_pii_ips,
-           n_pii_phones::BIGINT AS n_pii_phones, pii_fp
+           n_pii_phones::BIGINT AS n_pii_phones, pii_fp,
+           n_lines, n_lines_kept, n_line_short, n_line_caps,
+           n_line_numeric, n_line_boiler, clean_fp
     FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
-    JOIN pii USING (doc_id)
+    JOIN pii USING (doc_id) JOIN cln USING (doc_id)
     JOIN (
       SELECT doc_id, pack_bucket,
              coalesce(sum(nt) OVER (PARTITION BY pack_bucket ORDER BY doc_id
@@ -1647,8 +1692,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade over planted-PII text; per-type counts and the md5 fingerprint
     of the redacted string, which the oracle re-derives — exact string
     equality without hauling the full text through the hash compare) —
-    one row per document, a single narrow projection over the documents
-    table."""
+    plus RefinedWeb/Dolma line-level cleaning (functions/text.py:
+    clean_lines over a planted 5-line page: per-rule drop counts and the
+    md5 of the rejoined surviving lines) — one row per document, a single
+    narrow projection over the documents table."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(TX.normalize_text("text"), " ")
     norm_len = F.length(TX.normalize_text("text"))
@@ -1671,6 +1718,26 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     pii = TX.redact_pii(F.concat(F.col("text"), plant))
+    # line-cleaning fixture: the corpus text is single-line, so plant a
+    # deterministic 5-line page around it (body + one line per rule class,
+    # two of them doc_id-conditional so the counts vary) — the PII-planting
+    # idiom applied to the RefinedWeb/Dolma line rules
+    lx = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(doc_id % 4 == 0, F.lit("OK"))
+        .otherwise(F.lit("three words minimum here")),
+        F.when(doc_id % 3 == 0, F.lit("ALL CAPS NAV HEADER"))
+        .otherwise(F.lit("regular mixed case line")),
+        F.concat(
+            (doc_id % 1000).cast("string"), F.lit(" "),
+            (doc_id % 97).cast("string"), F.lit(" "),
+            (doc_id % 13).cast("string"),
+        ),
+        F.when(doc_id % 5 < 2, F.lit("This site uses cookie consent banners."))
+        .otherwise(F.lit("Please review our privacy policy today.")),
+    )
+    cl = TX.clean_lines(lx)
     return d.select(
         "doc_id",
         "n_chars",
@@ -1692,6 +1759,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.hash_split("doc_id").alias("split"),
         TX.pack_bins(F.size(toks), "doc_id").alias("_pk"),
         pii.alias("_pii"),
+        cl.alias("_cl"),
     ).select(
         "*",
         F.col("_pk.bucket").cast("long").alias("pack_bucket"),
@@ -1701,7 +1769,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_pii.n_ips").alias("n_pii_ips"),
         F.col("_pii.n_phones").alias("n_pii_phones"),
         F.md5(F.col("_pii.redacted")).alias("pii_fp"),
-    ).drop("_pk", "_pii")
+        F.col("_cl.n_lines").alias("n_lines"),
+        F.col("_cl.n_kept").alias("n_lines_kept"),
+        F.col("_cl.n_short").alias("n_line_short"),
+        F.col("_cl.n_caps").alias("n_line_caps"),
+        F.col("_cl.n_numeric").alias("n_line_numeric"),
+        F.col("_cl.n_boiler").alias("n_line_boiler"),
+        F.md5(F.col("_cl.cleaned")).alias("clean_fp"),
+    ).drop("_pk", "_pii", "_cl")
 
 
 @query(

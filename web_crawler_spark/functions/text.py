@@ -330,6 +330,71 @@ PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE_RE = r"\+?[0-9][0-9().\- ]{6,}[0-9]"
 
 
+LINE_BOILER = (
+    "cookie", "javascript", "lorem ipsum", "terms of use",
+    "privacy policy", "all rights reserved",
+)
+
+
+def line_rule(line: Column) -> Column:
+    """Classify one line for corpus cleaning (RefinedWeb/Dolma line rules):
+    0 keep, else the FIRST tripped rule — 1 too few words (< 3), 2 mostly
+    uppercase (> half the letters), 3 mostly digits (> half the non-space
+    chars), 4 boilerplate phrase (cookie/javascript/legal notices).
+    Ratio thresholds are integer cross-multiplications (2·upper > letters),
+    so the decision is exact in any engine — no float compare."""
+    words = F.size(F.regexp_extract_all(line, F.lit(r"\S+"), F.lit(0)))
+    letters = F.length(F.regexp_replace(line, "[^A-Za-z]", ""))
+    uppers = F.length(F.regexp_replace(line, "[^A-Z]", ""))
+    digits = F.length(F.regexp_replace(line, "[^0-9]", ""))
+    nonspace = F.length(F.regexp_replace(line, r"\s", ""))
+    low = F.lower(line)
+    boiler = F.lit(False)
+    for p in LINE_BOILER:
+        boiler = boiler | low.contains(p)
+    return (
+        F.when(words < 3, F.lit(1))
+        .when((letters > 0) & (uppers * 2 > letters), F.lit(2))
+        .when((nonspace > 0) & (digits * 2 > nonspace), F.lit(3))
+        .when(boiler, F.lit(4))
+        .otherwise(F.lit(0))
+    )
+
+
+def clean_lines(text: Column | str) -> Column:
+    """Line-level corpus cleaning (the RefinedWeb/Dolma stage between raw
+    extraction and document-level filters): split on newlines, drop lines
+    per :func:`line_rule`, rejoin the survivors. Returns struct(cleaned,
+    n_lines, n_kept, n_short, n_caps, n_numeric, n_boiler) — counts are by
+    first-tripped rule, so they sum with n_kept to n_lines.
+
+    Pure codegen column algebra. The per-line rule vector is let-bound via
+    the 1-element-array transform trick (HOF args get no common-subexpr
+    elimination, so naming it once avoids re-running the five per-line
+    regexes for every count)."""
+    lines = F.split(_c(text), "\n")
+
+    def build(rules: Column) -> Column:
+        def cnt(code: int) -> Column:
+            return F.size(F.filter(rules, lambda r: r == code)).cast("long")
+
+        kept = F.filter(
+            F.zip_with(lines, rules, lambda l, r: F.when(r == 0, l)),
+            lambda l: l.isNotNull(),
+        )
+        return F.struct(
+            F.array_join(kept, "\n").alias("cleaned"),
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            cnt(1).alias("n_short"),
+            cnt(2).alias("n_caps"),
+            cnt(3).alias("n_numeric"),
+            cnt(4).alias("n_boiler"),
+        )
+
+    return F.transform(F.array(F.transform(lines, line_rule)), build)[0]
+
+
 def redact_pii(text: Column | str) -> Column:
     """Mask PII in ``text``: struct(redacted, n_emails, n_ips, n_phones).
 
