@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--n-pairs", type=int, default=200)
     ap.add_argument("--min-quality", type=int, default=70)
     ap.add_argument("--pack-capacity", type=int, default=512)
+    ap.add_argument("--no-line-clean", action="store_true",
+                    help="skip the RefinedWeb/Dolma line-cleaning stage")
+    ap.add_argument("--dsir-target-lang", default=None,
+                    help="enable DSIR selection with this labeled lang "
+                         "as the target domain (e.g. 'en')")
     ap.add_argument("--shard-bytes", type=int, default=4 * 1024 * 1024)
     args = ap.parse_args()
 
@@ -55,10 +60,17 @@ def main() -> None:
     if args.mode == "text":
         docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
         n_in = docs.count()
+        from pyspark.sql import functions as F
+
         out = C.build_text_corpus(
             docs,
             min_quality=args.min_quality,
             pack_capacity=args.pack_capacity,
+            line_clean=not args.no_line_clean,
+            dsir_target=(
+                F.col("lang") == args.dsir_target_lang
+                if args.dsir_target_lang else None
+            ),
         ).persist()
         n_out = out.count()
         out.write.mode("overwrite").parquet(args.out)

@@ -51,6 +51,31 @@ def test_text_corpus_end_to_end(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_text_corpus_line_clean_and_dsir_stages(spark):
+    """The two front/back selection stages: line cleaning rewrites text
+    before the gates (nav/boiler lines never reach dedup), and DSIR keeps
+    only docs scoring >= 0 against the target-domain contrast."""
+    docs = _docs(spark)
+    # bolt a boilerplate line onto every doc: with line_clean it must not
+    # survive into text_redacted; without it, it must
+    noisy = docs.withColumn(
+        "text", F.concat_ws("\n", "text", F.lit("We use cookie consent banners today."))
+    )
+    cleaned = C.build_text_corpus(noisy, line_clean=True)
+    dirty = C.build_text_corpus(noisy, line_clean=False)
+    assert cleaned.filter(F.col("text_redacted").contains("cookie")).count() == 0
+    assert dirty.filter(F.col("text_redacted").contains("cookie")).count() > 0
+
+    # DSIR stage: output is a strict subset of the no-DSIR output
+    base = C.build_text_corpus(docs, allowed_langs=("en", "unknown"))
+    sel = C.build_text_corpus(
+        docs, allowed_langs=("en", "unknown"), dsir_target=F.col("lang") == "en"
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    sel_ids = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    assert sel_ids < base_ids and len(sel_ids) > 0
+
+
 def test_pair_corpus_end_to_end(spark):
     from web_crawler_spark.images import synthesize_images
 

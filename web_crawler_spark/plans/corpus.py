@@ -7,19 +7,22 @@ rows"); a training pipeline then turns that raw corpus into a release.
 Stage order follows the public recipes (C4/Gopher/Dolma for text,
 LAION/DataComp for pairs):
 
-  text:   lang-ID gate → quality gate → Gopher repetition gate →
-          PII scrub → exact dedup → substring/near-dup drop →
-          benchmark decontamination → stratified mixing →
+  text:   line-level cleaning → lang-ID gate → quality gate →
+          Gopher repetition gate → PII scrub → exact dedup →
+          substring/near-dup drop → benchmark decontamination →
+          DSIR target-domain selection → stratified mixing →
           train/val/test split → sequence packing
   pairs:  metadata curation gates → exact caption dedup →
           phash near-dup collapse → CLIP-score-style alignment gate →
           aspect-ratio bucketing → WebDataset shard layout
 
-Shuffle audit (the 100 TB shape): the per-document gates and the scrub
-are narrow (zero shuffles, whole-stage codegen); each dedup/decon stage
-shuffles once on its key; mixing/split are narrow again; packing windows
-per md5 bucket (parallelism = n_buckets). Nothing here collects to the
-driver and no stage is all-pairs.
+Shuffle audit (the 100 TB shape): line cleaning, the per-document gates
+and the scrub are narrow (zero shuffles, whole-stage codegen); each
+dedup/decon stage shuffles once on its key; DSIR adds two map-side-
+combinable bucket aggregations (its distribution table is n_buckets
+rows, rebroadcast as data); mixing/split are narrow again; packing
+windows per md5 bucket (parallelism = n_buckets). Nothing corpus-sized
+collects to the driver and no stage is all-pairs.
 """
 
 from __future__ import annotations
@@ -41,13 +44,29 @@ def build_text_corpus(
     default_mix_rate: float = 1.0,
     pack_capacity: int = 512,
     pack_buckets: int = 8,
+    line_clean: bool = True,
+    dsir_target=None,
 ) -> DataFrame:
     """Raw documents (doc_id, text, lang, …) → release-ready corpus with
     (doc_id, lang, text_redacted, n_tokens, split, pack_bucket/bin/offset).
 
     Every stage is one of this engine's oracled operators; this function
     only sequences them. Returns the kept rows; each drop stage is a
-    filter or anti-join so lineage stays explainable."""
+    filter or anti-join so lineage stays explainable.
+
+    ``line_clean`` runs the RefinedWeb/Dolma line rules first (drop
+    short/caps/numeric/boilerplate lines, rejoin; docs cleaned to empty
+    are dropped). ``dsir_target`` (a boolean Column over the input
+    schema, e.g. ``F.col("lang") == "en"``) enables DSIR importance
+    resampling after decontamination: only docs scoring ≥ 0 against the
+    target-vs-raw hashed-unigram contrast survive to mixing."""
+    if line_clean:
+        docs = (
+            docs.withColumn("_lc", TX.clean_lines("text"))
+            .filter(F.col("_lc.n_kept") > 0)
+            .withColumn("text", F.col("_lc.cleaned"))
+            .drop("_lc")
+        )
     toks = F.split(TX.normalize_text("text"), " ")
     norm_len = F.length(TX.normalize_text("text"))
     r2 = TX.repetition_stats("text", 2)
@@ -84,6 +103,14 @@ def build_text_corpus(
             deduped, ev, "doc_id", "text_redacted", window=4
         ).select("doc_id").distinct()
         deduped = deduped.join(dirty, "doc_id", "left_anti")
+
+    if dsir_target is not None:
+        sel = D.dsir_importance(
+            deduped, target=dsir_target, text_col="text_redacted"
+        )
+        deduped = deduped.join(
+            sel.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
 
     mixed = (
         D.stratified_sample(
