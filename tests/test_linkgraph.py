@@ -1,0 +1,117 @@
+"""Link-graph operators: integer fixed-point host PageRank and the
+bounded anchor-text rollup (operators/frontier.py).
+
+PageRank's correctness contract is engine-exactness: the update is pure
+integer multiply / integer-divide / sum, so a single-threaded Python
+reference must reproduce Spark's result bit-for-bit on any graph and any
+partitioning. The tests pin that, plus the qualitative authority
+semantics (hubs outrank spokes) and mass accounting (leaky dangling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators import frontier as FR
+
+SCALE = 10**12
+
+
+def _py_pagerank(edges, iters=5, scale=SCALE, d=(85, 100)):
+    """Single-threaded reference of host_pagerank's exact integer algebra."""
+    d_num, d_den = d
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (d_den - d_num) * scale // (d_den * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for u, v in edges:
+            nxt[v] += (d_num * r[u]) // (d_den * outdeg[u])
+        r = nxt
+    return r
+
+
+def _edges_df(spark, edges, n_parts=1):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def test_pagerank_matches_integer_reference_exactly(spark):
+    # ring + chords + a dangling sink: exercises in-degree skew, a
+    # dangler (node 99 has no outlinks), and multi-edge-source nodes
+    edges = [(i, (i + 1) % 10) for i in range(10)]
+    edges += [(i, 7) for i in range(0, 10, 2)]
+    edges += [(3, 99), (4, 99)]
+    want = _py_pagerank(edges)
+    got = {
+        r["node"]: r["rank_int"]
+        for r in FR.host_pagerank(_edges_df(spark, edges)).collect()
+    }
+    assert got == want  # bit-exact, including the dangler and hub
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [(i % 23, (i * 13 + 5) % 23) for i in range(300) if i % 23 != (i * 13 + 5) % 23]
+    a = FR.host_pagerank(_edges_df(spark, edges, n_parts=1)).collect()
+    b = FR.host_pagerank(_edges_df(spark, edges, n_parts=16)).collect()
+    assert sorted((r["node"], r["rank_int"]) for r in a) == sorted(
+        (r["node"], r["rank_int"]) for r in b
+    )
+
+
+def test_pagerank_star_hub_wins_and_dangler_leaks_mass(spark):
+    # star: 20 spokes all point at hub 0, which has no outlinks — the
+    # hub is simultaneously the authority and a dangler
+    edges = [(i, 0) for i in range(1, 21)]
+    df = FR.host_pagerank(_edges_df(spark, edges), iters=8)
+    rows = {r["node"]: r["rank_int"] for r in df.collect()}
+    assert max(rows, key=rows.get) == 0  # the hub is the authority
+    assert rows[0] > 10 * max(v for k, v in rows.items() if k != 0)
+    # leaky-dangling accounting: the hub's mass evaporates each
+    # iteration, so total mass strictly shrinks below SCALE
+    assert sum(rows.values()) < SCALE
+
+
+def test_pagerank_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert FR.host_pagerank(empty).count() == 0
+
+
+def test_anchor_text_normalizes_caps_and_counts_raw_links(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a/", "Contact Us"),
+            ("https://a/", " contact us "),  # same after trim+lower
+            ("https://a/", "Visit"),
+            ("https://a/", "About"),
+            ("https://a/", "Our Offices"),
+            ("https://a/", "More Info"),
+            ("https://b/", "Visit"),
+        ],
+        "url string, anchor string",
+    )
+    out = {
+        r["url"]: r
+        for r in FR.aggregate_anchor_text(links, max_anchors=3).collect()
+    }
+    # n_links counts RAW inbound links; anchors are the 3 lexicographically
+    # first of the 5 distinct normalized texts
+    assert out["https://a/"]["n_links"] == 6
+    assert out["https://a/"]["anchors"] == "about|contact us|more info"
+    assert out["https://b/"]["n_links"] == 1
+    assert out["https://b/"]["anchors"] == "visit"
+
+
+def test_anchor_text_cap_bounds_hot_target_state(spark):
+    # a hot target with 1000 distinct anchors never materializes more
+    # than max_anchors of them
+    links = spark.range(1000).select(
+        F.lit("https://hot/").alias("url"),
+        F.format_string("anchor-%04d", F.col("id").cast("int")).alias("anchor"),
+    )
+    row = FR.aggregate_anchor_text(links, max_anchors=16).collect()[0]
+    assert row["n_links"] == 1000
+    assert row["anchors"].split("|") == [f"anchor-{i:04d}" for i in range(16)]

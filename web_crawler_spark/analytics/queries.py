@@ -5665,6 +5665,136 @@ def _doc_route_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link-graph arms: integer-exact PageRank + anchor-text rollup ---------
+# Edge fixture: one host-graph edge per part row. src spreads over 193
+# hosts; every 4th edge points at one of 7 hub hosts (the authority skew
+# PageRank exists to detect), the rest follow an affine spread. Mirrored
+# verbatim in SQL.
+_PAGERANK_N = 193
+_PAGERANK_EDGE_SQL = """
+      SELECT DISTINCT (p_partkey % 193) AS src,
+             CASE WHEN p_partkey % 4 = 0 THEN p_partkey % 7
+                  ELSE (p_partkey * 13 + 5) % 193 END AS dst
+      FROM part
+      WHERE (p_partkey % 193) <>
+            (CASE WHEN p_partkey % 4 = 0 THEN p_partkey % 7
+                  ELSE (p_partkey * 13 + 5) % 193 END)
+"""
+
+
+def _pagerank_oracle(iters: int = 5, scale: int = 10**12,
+                     d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled integer fixed-point PageRank (operators/frontier.py:
+    host_pagerank) — one CTE per iteration; the integer div/sum algebra
+    makes the result independent of summation order, so the hash compare
+    is exact with no float rounding boundary."""
+    ctes = [
+        f"e AS ({_PAGERANK_EDGE_SQL})",
+        "outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // n AS r FROM nodes, nn)",
+    ]
+    base = f"({d_den - d_num} * {scale}) // ({d_den} * (SELECT n FROM nn))"
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT n.node,
+                 {base}
+                 + coalesce(sum(({d_num} * p.r) // ({d_den} * p.od)), 0) AS r
+          FROM nodes n
+          LEFT JOIN (SELECT e.dst, r.r, o.od
+                     FROM e
+                     JOIN r{i - 1} r ON e.src = r.node
+                     JOIN outdeg o ON e.src = o.src) p
+            ON p.dst = n.node
+          GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT node AS k,
+           concat('https://h', node, '.example.com') AS url,
+           r AS priority,
+           row_number() OVER (ORDER BY r DESC, node) AS rank
+    FROM r{iters}""")
+
+
+def _pagerank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_pagerank over the deterministic host-graph fixture; the rank
+    position orders hosts by authority (193 rows — the global window is a
+    report-side sort over the per-host rollup, not a corpus window)."""
+    from web_crawler_spark.operators import frontier as FR
+
+    k = F.col("p_partkey")
+    dst = (
+        F.when(F.pmod(k, F.lit(4)) == 0, F.pmod(k, F.lit(7)))
+        .otherwise(F.pmod(k * 13 + 5, F.lit(_PAGERANK_N)))
+    )
+    edges = (
+        load(spark, sf_dir, "part")
+        .select(F.pmod(k, F.lit(_PAGERANK_N)).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = FR.host_pagerank(edges, iters=5)
+    w = Window.orderBy(F.col("rank_int").desc(), "node")
+    return pr.select(
+        F.col("node").alias("k"),
+        F.concat(F.lit("https://h"), F.col("node").cast("string"),
+                 F.lit(".example.com")).alias("url"),
+        F.col("rank_int").alias("priority"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+_ANCHOR_POOL = ["Contact Us", " contact us ", "Find Us Here", "Our Offices",
+                "locations", "More Info", "Visit", "About"]
+_ANCHOR_POOL_SQL = "['" + "','".join(a.replace("'", "''") for a in _ANCHOR_POOL) + "']"
+# 97 and 8 are coprime, so every target sees (up to) all 8 raw anchors —
+# 7 after trim+lower dedup — and the max_anchors=4 cap genuinely bites.
+_ANCHOR_ORACLE = f"""
+    WITH l AS (
+      SELECT (p_partkey % 97) AS tgt,
+             concat('https://t', p_partkey % 97, '.example.com/') AS target,
+             trim(lower(list_extract({_ANCHOR_POOL_SQL},
+                                     (p_partkey % 8) + 1))) AS anchor
+      FROM part),
+    d AS (SELECT DISTINCT target, anchor FROM l),
+    c AS (SELECT target, anchor,
+                 row_number() OVER (PARTITION BY target ORDER BY anchor) AS rn
+          FROM d),
+    a AS (SELECT target, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+          FROM c WHERE rn <= 4 GROUP BY target),
+    n AS (SELECT tgt, target, count(*) AS n_links FROM l GROUP BY tgt, target)
+    SELECT n.tgt AS k, n.target AS url, n.n_links AS priority,
+           a.anchors AS label
+    FROM n JOIN a ON n.target = a.target
+"""
+
+
+def _anchor_text_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_anchor_text over a deterministic inbound-link fixture:
+    raw anchors with case/whitespace variety (two pool entries normalize
+    to the same 'contact us', proving the distinct is post-normalization)
+    rolled up per target with the cap at 4 of the 7 distinct survivors."""
+    from web_crawler_spark.operators import frontier as FR
+
+    k = F.col("p_partkey")
+    pool = F.array(*[F.lit(a) for a in _ANCHOR_POOL])
+    links = load(spark, sf_dir, "part").select(
+        F.concat(F.lit("https://t"), F.pmod(k, F.lit(97)).cast("string"),
+                 F.lit(".example.com/")).alias("target"),
+        F.element_at(pool, (F.pmod(k, F.lit(8)) + 1).cast("int")).alias("anchor"),
+    )
+    agg = FR.aggregate_anchor_text(
+        links, target_col="target", anchor_col="anchor", max_anchors=4
+    )
+    return agg.select(
+        F.regexp_extract("target", r"^https://t(\d+)\.", 1)
+        .cast("long").alias("k"),
+        F.col("target").alias("url"),
+        F.col("n_links").alias("priority"),
+        F.col("anchors").alias("label"),
+    )
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -5719,6 +5849,18 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _DOC_ROUTE_ORACLE
     + """)
+    UNION ALL
+    SELECT 'pagerank', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
+           priority, rank, NULL, NULL
+    FROM ("""
+    + _pagerank_oracle()
+    + """)
+    UNION ALL
+    SELECT 'anchor_text', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
+           priority, NULL, NULL, label
+    FROM ("""
+    + _ANCHOR_ORACLE
+    + """)
     """
 )
 
@@ -5730,9 +5872,12 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization / exclusion), the robots gate (broadcast per-host
     rules, permissive on failed fetch), the map-URL coordinate cascade,
     discoverLocationPages (high-value path seeding + keyword link gate +
-    stable 6-pattern priority sort + top-10 slice), and the document-type
-    routing predicates (isPdfUrl / isDocumentUrl / isHomepage) — each
-    over its dedicated fixture."""
+    stable 6-pattern priority sort + top-10 slice), the document-type
+    routing predicates (isPdfUrl / isDocumentUrl / isHomepage), the
+    host-graph PageRank authority prior (integer fixed-point, 5
+    iterations — the 10^10-URL scale extension of the static priority
+    tiers), and the per-target anchor-text rollup (bounded distinct-cap
+    formulation) — each over its dedicated fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
@@ -5817,9 +5962,26 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl.alias("priority"), _nl.alias("rank"),
         _ns.alias("provider"), _ns.alias("label"),
     )
+    pr = _pagerank_rows(spark, sf_dir).select(
+        F.lit("pagerank").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        "priority", "rank",
+        _ns.alias("provider"), _ns.alias("label"),
+    )
+    at = _anchor_text_rows(spark, sf_dir).select(
+        F.lit("anchor_text").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        "priority", _nl.alias("rank"),
+        _ns.alias("provider"), "label",
+    )
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
+        .unionByName(pr).unionByName(at)
     )
 
 

@@ -406,3 +406,132 @@ def discover_location_pages(pages: DataFrame, max_pages: int = 10) -> DataFrame:
         .filter(F.col("rank") <= max_pages)
         .select("sourceUrl", "url", "priority", "rank")
     )
+
+
+# ------------------------------------------------- link-graph priority -----
+def host_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Link-graph PageRank over hosts, in integer fixed-point arithmetic.
+
+    Scale extension of the reference's static 3-tier URL priority
+    (site-crawler.service.js:84-124) and the link-explorer's 6-pattern
+    sort (link-explorer.service.js): at 10^10-URL scale a frontier wants
+    a *global* authority signal per host, not just per-URL path keywords.
+    This is the classic crawl-ordering prior (Page et al. 1999; Cho &
+    Garcia-Molina's crawl-ordering study uses exactly this signal).
+
+    Engine-exact by construction: ranks are BIGINT fixed-point at
+    ``scale`` (initial rank = scale // n_nodes) and every update is
+
+        r[v] = base + SUM over in-edges (u,v) of
+               (d_num * r[u]) div (d_den * outdeg(u))
+
+    with ``base = (d_den - d_num) * scale // (d_den * n_nodes)`` — pure
+    integer multiply/divide/sum, so the result is independent of
+    partitioning, summation order, and engine (DuckDB's ``//`` and
+    Spark's ``div`` agree on non-negative operands). Dangling hosts leak
+    their mass (the open-system variant): total rank shrinks slightly
+    per iteration instead of being redistributed, which keeps the update
+    a single aggregation per iteration — the right trade at 10^10 edges,
+    and mirrored exactly in the SQL oracle.
+
+    Plan shape per iteration: the (small) rank table is broadcast onto
+    the edge set — edges NEVER shuffle; the only exchange is the
+    map-side-combinable SUM by ``dst``. Per-iteration ranks are
+    localCheckpointed (one row per host — tiny) so the 5-iteration plan
+    does not nest 5 broadcast lineages. Callers with a persisted edge
+    DataFrame amortize the per-iteration scan; this function does not
+    take ownership of the edges' storage lifecycle.
+
+    Returns (node BIGINT, rank_int BIGINT).
+    """
+    d_num, d_den = damping
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_int", F.lit(0).cast("long"))
+    base = (d_den - d_num) * scale // (d_den * n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.withColumn("rank_int", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contribs = (
+            e.join(F.broadcast(outdeg), "src")
+            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select(
+                "dst",
+                F.expr(f"({d_num} * rank_int) div ({d_den} * od)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("rank_int"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def aggregate_anchor_text(
+    links: DataFrame,
+    target_col: str = "url",
+    anchor_col: str = "anchor",
+    max_anchors: int = 16,
+) -> DataFrame:
+    """Per-target anchor-text rollup: the inbound-link description of a URL.
+
+    Companion to the link-explorer's keyword gate
+    (link-explorer.service.js: anchors whose TEXT matches the location
+    keywords count as evidence about the TARGET) — aggregated corpus-wide
+    it is the standard web-index / training-data signal ("what the web
+    calls this page").
+
+    Bounded-state formulation: anchors are normalized (trim+lower),
+    made DISTINCT per target (map-side-combinable shuffle), capped to the
+    ``max_anchors`` lexicographically-first survivors via a per-target
+    window — so no unbounded collect_set ever materializes a hot target's
+    million-anchor list — then joined back to the raw per-target link
+    count. Two shuffles, both keyed by target, so AQE co-locates them.
+
+    Returns (<target_col>, n_links BIGINT, anchors STRING) where
+    ``anchors`` is the '|'-joined sorted capped distinct set.
+    """
+    t = F.col(target_col)
+    norm = F.trim(F.lower(F.col(anchor_col)))
+    d = links.select(t.alias("_t"), norm.alias("_a")).distinct()
+    w = Window.partitionBy("_t").orderBy("_a")
+    capped = d.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_anchors
+    )
+    agg = capped.groupBy("_t").agg(
+        F.array_join(F.array_sort(F.collect_list("_a")), "|").alias("anchors")
+    )
+    counts = links.groupBy(t.alias("_t")).agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    return (
+        counts.join(agg, "_t")
+        .select(F.col("_t").alias(target_col), "n_links", "anchors")
+    )
