@@ -344,3 +344,62 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark):
     fl = D.stratified_sample(df, "doc_id", "lang", rates, flags_only=True)
     assert fl.count() == 4000
     assert fl.filter("sample_keep").count() == len(ra)
+
+
+def test_paragraph_dedup_boilerplate_drops_every_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCOOKIE BANNER\nunique beta"),
+            (2, "COOKIE BANNER\nunique gamma"),
+            (3, "only original content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(docs, min_df=2, mode="boilerplate").collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_paras"] == 3
+    assert out[2]["clean_text"] == "unique gamma"
+    assert out[3]["clean_text"] == "only original content here"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_paragraph_dedup_keep_first_keeps_global_min_occurrence(spark):
+    # the duplicated paragraph appears at (1, 1), (2, 0), and twice in
+    # doc 2 — only the globally first (doc 1, pos 1) survives
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nDUP\nb"),
+            (2, "DUP\nc\nDUP"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(docs, min_df=2, mode="keep_first").collect()
+    }
+    assert out[1]["clean_text"] == "a\nDUP\nb" and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "c" and out[2]["n_dropped"] == 2
+
+
+def test_paragraph_dedup_fully_boilerplate_doc_becomes_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "SAME"), (2, "SAME"), (3, "SAME")],
+        "doc_id long, text string",
+    )
+    out = D.paragraph_dedup(docs, min_df=2, mode="boilerplate").collect()
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in out)
+    assert len(out) == 3  # every input doc still yields a row
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    rows = [(i, f"shared header\nbody {i % 5}\ntail {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = D.paragraph_dedup(docs, min_df=3, mode="keep_first").collect()
+    b = D.paragraph_dedup(
+        docs.repartition(16), min_df=3, mode="keep_first"
+    ).collect()
+    key = lambda r: (r["doc_id"], r["clean_text"], r["n_paras"], r["n_dropped"])
+    assert sorted(map(key, a)) == sorted(map(key, b))

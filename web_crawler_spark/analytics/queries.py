@@ -569,6 +569,67 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 0.1 END)::DOUBLE AS rate
       FROM documents
     ) WHERE bucket < rate * 10000
+    UNION ALL
+    -- paragraph-granularity dedup (CCNet/Dolma): fixture paragraphs are
+    -- 8-word chunks; boilerplate policy drops every occurrence at corpus
+    -- document-frequency >= 2, keep_first keeps the global (doc,pos)-min
+    -- occurrence. chosen = 60-bit md5 of the reassembled clean text.
+    SELECT 'para_boiler' AS policy, doc_id AS grp,
+           cast(('0x' || substr(md5(clean), 1, 15)) as ubigint)::bigint
+             AS chosen,
+           n_dropped::DOUBLE AS val
+    FROM (
+      SELECT p.doc_id,
+             coalesce(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE df < 2), '') AS clean,
+             count(*) FILTER (WHERE df >= 2) AS n_dropped
+      FROM (SELECT doc_id, g AS pos,
+                   array_to_string(list_slice(string_split(text, ' '),
+                                              g*8+1, g*8+8), ' ') AS para
+            FROM documents, (SELECT unnest(range(0,13)) AS g)
+            WHERE array_to_string(list_slice(string_split(text, ' '),
+                                             g*8+1, g*8+8), ' ') <> '') p
+      JOIN (SELECT md5(para) AS h, count(DISTINCT doc_id) AS df,
+                   min(doc_id * 100 + pos) AS first_key
+            FROM (SELECT doc_id, g AS pos,
+                         array_to_string(list_slice(string_split(text, ' '),
+                                                    g*8+1, g*8+8), ' ') AS para
+                  FROM documents, (SELECT unnest(range(0,13)) AS g)
+                  WHERE array_to_string(list_slice(string_split(text, ' '),
+                                                   g*8+1, g*8+8), ' ') <> '')
+            GROUP BY md5(para)) s
+        ON md5(p.para) = s.h
+      GROUP BY p.doc_id)
+    UNION ALL
+    SELECT 'para_keepfirst', doc_id,
+           cast(('0x' || substr(md5(clean), 1, 15)) as ubigint)::bigint,
+           n_dropped::DOUBLE
+    FROM (
+      SELECT p.doc_id,
+             coalesce(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE df < 2
+                                   OR p.doc_id * 100 + pos = first_key),
+                      '') AS clean,
+             count(*) FILTER (WHERE df >= 2
+                                 AND p.doc_id * 100 + pos <> first_key)
+               AS n_dropped
+      FROM (SELECT doc_id, g AS pos,
+                   array_to_string(list_slice(string_split(text, ' '),
+                                              g*8+1, g*8+8), ' ') AS para
+            FROM documents, (SELECT unnest(range(0,13)) AS g)
+            WHERE array_to_string(list_slice(string_split(text, ' '),
+                                             g*8+1, g*8+8), ' ') <> '') p
+      JOIN (SELECT md5(para) AS h, count(DISTINCT doc_id) AS df,
+                   min(doc_id * 100 + pos) AS first_key
+            FROM (SELECT doc_id, g AS pos,
+                         array_to_string(list_slice(string_split(text, ' '),
+                                                    g*8+1, g*8+8), ' ') AS para
+                  FROM documents, (SELECT unnest(range(0,13)) AS g)
+                  WHERE array_to_string(list_slice(string_split(text, ' '),
+                                                   g*8+1, g*8+8), ' ') <> '')
+            GROUP BY md5(para)) s
+        ON md5(p.para) = s.h
+      GROUP BY p.doc_id)
     """,
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,9 +639,11 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup of the training-data literature: document pairs sharing ≥ 2
     exact 8-token spans, with spans above the df-cap dropped before the
     self-join (operators/dedup.py:substring_dup_pairs) — plus benchmark
-    decontamination and deterministic stratified sampling
+    decontamination, deterministic stratified sampling
     (operators/dedup.py:stratified_sample — per-language hash-Bernoulli
-    corpus mixing). All unioned under a policy tag."""
+    corpus mixing), and paragraph-granularity dedup in both survivor
+    policies (operators/dedup.py:paragraph_dedup — CCNet/Dolma boilerplate
+    drop and keep-first). All unioned under a policy tag."""
     li = load(spark, sf_dir, "lineitem")
     first = D.dedup_first_wins(
         li.withColumn("_ord", F.struct("l_linenumber", "l_partkey", "l_suppkey")),
@@ -639,9 +702,35 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_bucket").alias("chosen"),
         F.col("sample_rate").alias("val"),
     )
+    # paragraph-granularity dedup: the fixture makes paragraphs by cutting
+    # each document into 8-word chunks joined with newlines (documents.text
+    # is a flat word stream), then runs both survivor policies
+    ws = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(12)),
+            lambda g: F.array_join(F.slice(ws, g * 8 + 1, 8), " "),
+        ),
+        lambda p: p != "",
+    )
+    pdocs = d.select("doc_id", F.array_join(chunks, "\n").alias("ptext"))
+    from web_crawler_spark.hashing import hash64_col
+
+    def para_arm(mode: str, tag: str) -> DataFrame:
+        return D.paragraph_dedup(
+            pdocs, "doc_id", "ptext", min_df=2, mode=mode
+        ).select(
+            F.lit(tag).alias("policy"),
+            F.col("doc_id").alias("grp"),
+            hash64_col(F.col("clean_text")).alias("chosen"),
+            F.col("n_dropped").cast("double").alias("val"),
+        )
+
     return (
         first.unionByName(best).unionByName(sub).unionByName(decon)
         .unionByName(samp)
+        .unionByName(para_arm("boilerplate", "para_boiler"))
+        .unionByName(para_arm("keep_first", "para_keepfirst"))
     )
 
 

@@ -274,6 +274,76 @@ def substring_dup_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_df: int = 2,
+    mode: str = "boilerplate",
+) -> DataFrame:
+    """Paragraph-granularity corpus dedup (CCNet §3.2 / Dolma / RefinedWeb):
+    the standard pre-training cleanup that removes paragraphs duplicated
+    ACROSS documents — headers, footers, cookie banners — which
+    document-level dedup can never see.
+
+    Two survivor policies:
+
+    - ``mode='boilerplate'``: drop EVERY occurrence of any paragraph whose
+      corpus document-frequency is ≥ ``min_df`` (the boilerplate reading:
+      a paragraph repeated across documents is template chrome).
+    - ``mode='keep_first'``: keep exactly the globally first occurrence —
+      minimum (id, position) — of each duplicated paragraph and drop the
+      rest (the CCNet reading: the content is fine, the copies are not).
+
+    Engine-exact: paragraphs ride as md5 hashes (fixed-width shuffle key),
+    the first-occurrence winner is an integer MIN, and reassembly sorts
+    survivors by their original position — no float, no partition-order
+    dependence.
+
+    Plan shape: posexplode (narrow) → one groupBy on the paragraph hash
+    (countDistinct docs + MIN first-occurrence, both map-side-combinable)
+    → equi-join back on the hash (both sides arrive partitioned by it)
+    → one groupBy on the doc id to reassemble. A boilerplate paragraph in
+    10^6 documents is 10^6 rows joined against ONE stats row — linear,
+    never a pair explosion.
+
+    Returns (<id_col>, clean_text, n_paras, n_dropped) — one row per input
+    document; ``clean_text`` is '' when every paragraph dropped.
+    """
+    if mode not in ("boilerplate", "keep_first"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_p"),
+        )
+        .filter(F.col("_p") != "")
+        .withColumn("_h", F.md5("_p"))
+    )
+    stats = paras.groupBy("_h").agg(
+        F.countDistinct("_id").alias("_df"),
+        F.min(F.struct("_id", "_pos")).alias("_first"),
+    )
+    keep = F.col("_df") < min_df
+    if mode == "keep_first":
+        keep = keep | (
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_pos") == F.col("_first._pos"))
+        )
+    marked = paras.join(stats, "_h").withColumn("_keep", keep)
+    survivors = F.array_sort(
+        F.collect_list(F.when(F.col("_keep"), F.struct("_pos", "_p")))
+    )
+    return marked.groupBy(F.col("_id").alias(id_col)).agg(
+        F.array_join(
+            F.transform(survivors, lambda s: s["_p"]), delim
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_dropped"),
+    )
+
+
 # -------------------------------------------------------- canonical merge A3
 def canonical_merge(
     df: DataFrame,
