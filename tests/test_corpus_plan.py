@@ -76,6 +76,38 @@ def test_text_corpus_line_clean_and_dsir_stages(spark):
     assert sel_ids < base_ids and len(sel_ids) > 0
 
 
+def test_text_corpus_paragraph_dedup_stage(spark):
+    """para_min_df runs cross-document paragraph dedup before every other
+    gate: a boilerplate paragraph bolted onto every doc never reaches the
+    output, and docs that were ONLY boilerplate drop out entirely."""
+    docs = _docs(spark)
+    noisy = docs.withColumn(
+        "text",
+        F.concat_ws("\n", F.lit("shared boilerplate header paragraph"), "text"),
+    )
+    out = C.build_text_corpus(noisy, para_min_df=2, line_clean=False)
+    assert out.count() > 0
+    assert (
+        out.filter(F.col("text_redacted").contains("shared boilerplate")).count()
+        == 0
+    )
+    # an all-boilerplate doc is dropped at the paragraph stage, and the
+    # metadata columns survive the join-back for everyone else
+    only_boiler = noisy.limit(0).union(
+        docs.limit(1).select(
+            F.lit(999_999_999).alias("doc_id"),
+            F.lit("shared boilerplate header paragraph").alias("text"),
+            F.lit("en").alias("lang"), F.lit("synthetic").alias("source"),
+            F.lit(36).cast("long").alias("n_chars"),
+        )
+    )
+    out2 = C.build_text_corpus(
+        noisy.unionByName(only_boiler), para_min_df=2, line_clean=False
+    )
+    assert out2.filter(F.col("doc_id") == 999_999_999).count() == 0
+    assert out2.filter(F.col("lang").isNull()).count() == 0
+
+
 def test_pair_corpus_end_to_end(spark):
     from web_crawler_spark.images import synthesize_images
 

@@ -7,7 +7,8 @@ rows"); a training pipeline then turns that raw corpus into a release.
 Stage order follows the public recipes (C4/Gopher/Dolma for text,
 LAION/DataComp for pairs):
 
-  text:   line-level cleaning → lang-ID gate → quality gate →
+  text:   cross-doc paragraph dedup (optional, CCNet-first) →
+          line-level cleaning → lang-ID gate → quality gate →
           Gopher repetition gate → PII scrub → exact dedup →
           substring/near-dup drop → benchmark decontamination →
           DSIR target-domain selection → stratified mixing →
@@ -46,6 +47,8 @@ def build_text_corpus(
     pack_buckets: int = 8,
     line_clean: bool = True,
     dsir_target=None,
+    para_min_df: int | None = None,
+    para_mode: str = "boilerplate",
 ) -> DataFrame:
     """Raw documents (doc_id, text, lang, …) → release-ready corpus with
     (doc_id, lang, text_redacted, n_tokens, split, pack_bucket/bin/offset).
@@ -59,7 +62,27 @@ def build_text_corpus(
     are dropped). ``dsir_target`` (a boolean Column over the input
     schema, e.g. ``F.col("lang") == "en"``) enables DSIR importance
     resampling after decontamination: only docs scoring ≥ 0 against the
-    target-vs-raw hashed-unigram contrast survive to mixing."""
+    target-vs-raw hashed-unigram contrast survive to mixing.
+
+    ``para_min_df`` (CCNet ordering: cross-document paragraph dedup runs
+    FIRST, before any per-document gate) rewrites each doc's text through
+    operators/dedup.py:paragraph_dedup at that document-frequency
+    threshold with the ``para_mode`` survivor policy; docs whose every
+    paragraph was boilerplate drop here. The reassembled text joins back
+    on doc_id to recover the metadata columns (one co-keyed join)."""
+    if para_min_df is not None:
+        cleaned = (
+            D.paragraph_dedup(
+                docs, "doc_id", "text", min_df=para_min_df, mode=para_mode
+            )
+            .filter(F.col("clean_text") != "")
+            .select("doc_id", "clean_text")
+        )
+        docs = (
+            docs.drop("text")
+            .join(cleaned, "doc_id")
+            .withColumnRenamed("clean_text", "text")
+        )
     if line_clean:
         docs = (
             docs.withColumn("_lc", TX.clean_lines("text"))
