@@ -294,3 +294,60 @@ def test_lsh_probe_radius_widens_candidate_set(spark):
     r = {ph: len(truth & g) / len(truth) for ph, g in got.items()}
     assert r[1] <= r[2] <= r[6]
     assert got[6] == truth  # full-radius probe degenerates to exact
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75, log_idf=False):
+    """Single-threaded textbook reference of bm25_scores."""
+    import math
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    ls = sum(len(v) for v in toks.values())
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for term in terms:
+            df = sum(1 for v in toks.values() if term in v)
+            idf = (n - df + 0.5) / (df + 0.5)
+            if log_idf:
+                idf = math.log(1.0 + idf)
+            tf = float(tk.count(term))
+            s += idf * ((tf * (k1 + 1.0))
+                        / (tf + (k1 * (1.0 - b))
+                           + ((k1 * b) * ((len(tk) * n) / ls))))
+        out[i] = s
+    return out
+
+
+def test_bm25_matches_python_reference_bitwise(spark):
+    docs = [
+        (1, "spark merge table scan scan"),
+        (2, "table table table join"),
+        (3, "window stream batch merge"),
+        (4, "completely unrelated words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in SIM.bm25_scores(df, ["table", "scan", "merge"]).collect()
+    }
+    want = _py_bm25(docs, ["table", "scan", "merge"])
+    assert got == want  # bit-exact: IEEE +-*/ in identical order
+
+
+def test_bm25_ranking_and_log_variant(spark):
+    docs = [
+        (1, "scan scan scan scan"),
+        (2, "scan merge idle idle"),
+        (3, "idle idle idle idle"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    raw = {r["doc_id"]: r["bm25"]
+           for r in SIM.bm25_scores(df, ["scan"]).collect()}
+    assert raw[1] > raw[2] > raw[3] == 0.0
+    logd = {r["doc_id"]: r["bm25"]
+            for r in SIM.bm25_scores(df, ["scan"], log_idf=True).collect()}
+    want = _py_bm25(docs, ["scan"], log_idf=True)
+    for k in want:  # libm-backed: close, and rank-preserving
+        assert abs(logd[k] - want[k]) < 1e-12
+    assert sorted(raw, key=raw.get) == sorted(logd, key=logd.get)

@@ -978,26 +978,108 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # §2.5 windows
 # --------------------------------------------------------------------------
+# Shared oracle fragments. DuckDB regexp_replace needs 'g'; list slicing is
+# 1-based inclusive (t[i:i+2] = 3 tokens); min over md5-hex == minhash.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len({toks}) - 2, 1)),"
+    " i -> array_to_string(({toks})[i:i+2], ' '))"
+)
+
+_BM25_QUERIES = [["table", "scan", "merge"], ["stream", "window", "batch"]]
+
+
+def _bm25_arm_oracle(qi: int, terms: list[str]) -> str:
+    """BM25 top-20 retrieval arm (operators/similarity.py:bm25_scores,
+    raw-odds idf) — the score is IEEE +,-,*,/ in the operator's exact
+    expression order, so the hash compare is bit-exact."""
+    tf = [f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE" for t in terms]
+    dfc = [
+        f"(SELECT sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        " FROM tk)"
+        for t in terms
+    ]
+    contribs = [
+        f"""(((nn - {dfc[i]}) + 0.5) / ({dfc[i]} + 0.5))
+          * (({tf[i]} * (1.2 + 1.0))
+             / ({tf[i]} + (1.2 * (1.0 - 0.75))
+                + ((1.2 * 0.75) * ((l::DOUBLE * nn) / lss))))"""
+        for i in range(len(terms))
+    ]
+    return f"""
+    SELECT 'bm25:q{qi}' AS arm, {qi}::BIGINT AS grp, doc_id AS key,
+           round(s, 6) AS score, rk
+    FROM (
+      SELECT doc_id, s,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM (
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks,
+                           len({_TOKS_SQL.format(col='text')}) AS l
+                    FROM documents),
+        st AS (SELECT count(*)::BIGINT AS nn, sum(l)::BIGINT AS lss FROM tk)
+        SELECT doc_id, ({' + '.join(contribs)}) AS s
+        FROM tk, st)
+    ) WHERE rk <= 20
+    """
+
+
 @query(
     "topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+    SELECT 'orders' AS arm, o_custkey AS grp, o_orderkey AS key,
+           round(o_totalprice, 2) AS score, rk
     FROM (
       SELECT *, row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
       FROM orders
     ) WHERE rk <= 3
-    """,
+    """
+    + "".join(
+        "UNION ALL" + _bm25_arm_oracle(i, t) for i, t in enumerate(_BM25_QUERIES)
+    ),
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: top-K exploration per group (link-explorer slice(0,K))."""
+    """W3: top-K exploration per group (link-explorer slice(0,K)), plus
+    BM25 top-20 retrieval over the documents corpus for two fixed query
+    term sets (operators/similarity.py:bm25_scores — the raw-odds idf
+    variant whose ranking equals the textbook ln form; one global stats
+    aggregate, then a narrow scoring projection). Tagged union
+    (arm, grp, key, score, rk)."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
+    orders = (
         o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+        .select(
+            F.lit("orders").alias("arm"),
+            F.col("o_custkey").alias("grp"),
+            F.col("o_orderkey").alias("key"),
+            F.round("o_totalprice", 2).alias("score"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
+    d = load(spark, sf_dir, "documents")
+    out = orders
+    for qi, terms in enumerate(_BM25_QUERIES):
+        scored = SIM.bm25_scores(d, terms)
+        wq = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        arm = (
+            scored.withColumn("rk", F.row_number().over(wq).cast("long"))
+            .filter(F.col("rk") <= 20)
+            .select(
+                F.lit(f"bm25:q{qi}").alias("arm"),
+                F.lit(qi).cast("long").alias("grp"),
+                F.col("doc_id").alias("key"),
+                F.round("bm25", 6).alias("score"),
+                "rk",
+            )
+        )
+        out = out.unionByName(arm)
+    return out
 
 
 @query(
@@ -1601,17 +1683,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Training-data corpus operators (documents table)
 # --------------------------------------------------------------------------
-# Shared oracle fragments. DuckDB regexp_replace needs 'g'; list slicing is
-# 1-based inclusive (t[i:i+2] = 3 tokens); min over md5-hex == minhash.
-_NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
-)
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
-_SHINGLES_SQL = (
-    "list_transform(generate_series(1, greatest(len({toks}) - 2, 1)),"
-    " i -> array_to_string(({toks})[i:i+2], ' '))"
-)
+# (the shared _NORM_SQL/_TOKS_SQL/_SHINGLES_SQL oracle fragments are defined
+# above topk_per_group, their first point of use)
 _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
 
 

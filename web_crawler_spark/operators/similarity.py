@@ -28,6 +28,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from web_crawler_spark.functions import text as TX
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array columns (JVM HOFs).
@@ -408,3 +410,64 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------ text relevance -----
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = False,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set
+    (Robertson & Zaragoza 2009) — the retrieval/data-selection scorer a
+    corpus engine serves search and curriculum-mining queries with.
+
+    Two-pass, zero-shuffle shape: pass 1 is ONE map-side-combined global
+    aggregate producing (N, total_len, df per term) — a single row
+    collected to the driver and re-embedded as literals, the codebook
+    pattern; pass 2 is a narrow whole-stage-codegen projection computing
+    per-term tf via array HOFs and the score in fixed expression order.
+    At 100 TB that is two corpus scans and no exchange; callers scoring
+    many query sets amortize pass 1 by passing the same ``docs`` (the
+    stats depend only on the corpus and the term list).
+
+    Engine-exactness: with ``log_idf=False`` (default) the idf is the raw
+    odds ``(N - df + 0.5) / (df + 0.5)`` — monotone in the classic
+    ``ln(1 + odds)``, so rankings are identical — and every operation in
+    the score is IEEE +,-,*,/ on identically-parsed literals in a fixed
+    syntactic order, hence bit-identical across Spark / DuckDB / Python.
+    ``log_idf=True`` applies the textbook ``ln`` (libm — NOT bit-portable
+    across engines; pytest-tier only).
+
+    Returns (<id_col>, bm25 DOUBLE).
+    """
+    toks = F.split(TX.normalize_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_len")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n"), F.sum("_len").alias("_ls")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"_df{i}")
+        )
+    st = base.agg(*aggs).collect()[0]
+    n, ls = st["_n"], st["_ls"]
+    ld = F.col("_len").cast("double")
+    score = None
+    for i, t in enumerate(terms):
+        df_t = st[f"_df{i}"]
+        idf = F.lit(float(n - df_t) + 0.5) / F.lit(float(df_t) + 0.5)
+        if log_idf:
+            idf = F.log(F.lit(1.0) + idf)
+        tf = F.size(F.filter("_toks", lambda x: x == F.lit(t))).cast("double")
+        contrib = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1 * (1.0 - b))
+               + F.lit(k1 * b) * (ld * F.lit(float(n)) / F.lit(float(ls))))
+        )
+        score = contrib if score is None else score + contrib
+    return base.select(F.col(id_col), score.alias("bm25"))
