@@ -115,3 +115,54 @@ def test_anchor_text_cap_bounds_hot_target_state(spark):
     row = FR.aggregate_anchor_text(links, max_anchors=16).collect()[0]
     assert row["n_links"] == 1000
     assert row["anchors"].split("|") == [f"anchor-{i:04d}" for i in range(16)]
+
+
+def test_recrawl_priority_change_rate_and_due(spark):
+    M = 1_000_000  # seconds → micros
+    visits = spark.createDataFrame(
+        [
+            # hot URL: changes on both revisits
+            ("https://hot/", 0 * M, "v1"),
+            ("https://hot/", 100 * M, "v2"),
+            ("https://hot/", 200 * M, "v3"),
+            # warm URL: one change in two revisits
+            ("https://warm/", 0 * M, "a"),
+            ("https://warm/", 100 * M, "b"),
+            ("https://warm/", 200 * M, "b"),
+            # frozen URL: never changes
+            ("https://cold/", 0 * M, "same"),
+            ("https://cold/", 200 * M, "same"),
+            # seen once
+            ("https://new/", 200 * M, "x"),
+        ],
+        "url string, ts long, fp string",
+    )
+    now = 500 * M
+    out = {r["url"]: r for r in FR.recrawl_priority(visits, now=now).collect()}
+
+    hot, warm, cold, new = (out[f"https://{k}/"] for k in ("hot", "warm", "cold", "new"))
+    assert (hot["n_visits"], hot["n_changes"]) == (3, 2)
+    assert hot["next_due"] == 200 * M + (200 * M) // 2  # last + span/changes
+    assert hot["priority"] == (300 * M * 3) // 201      # stale_s*scale*(c+1) // (span_s+1)
+    assert hot["due"]  # 500s >= 300s
+
+    assert (warm["n_visits"], warm["n_changes"]) == (3, 1)
+    assert warm["next_due"] == 400 * M and warm["due"]
+
+    assert cold["n_changes"] == 0
+    assert cold["next_due"] == 400 * M  # changes floor to 1: last + span
+    assert new["n_visits"] == 1 and new["next_due"] == 200 * M and new["due"]
+
+    # the change-rate ordering: more observed changes at equal staleness
+    # means strictly higher priority
+    assert hot["priority"] > warm["priority"] > cold["priority"]
+
+
+def test_recrawl_priority_ignores_visit_row_order(spark):
+    rows = [(f"https://u{i % 7}/", (i * 37 % 50) * 1_000_000, f"f{i % 3}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, ts long, fp string")
+    a = FR.recrawl_priority(df, now=10**8).collect()
+    b = FR.recrawl_priority(df.repartition(16).orderBy(F.rand(7)), now=10**8).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, a)) == sorted(map(key, b))

@@ -5873,7 +5873,7 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12,
     return ("WITH " + ",\n".join(ctes) + f"""
     SELECT node AS k,
            concat('https://h', node, '.example.com') AS url,
-           r AS priority,
+           r::BIGINT AS priority,
            row_number() OVER (ORDER BY r DESC, node) AS rank
     FROM r{iters}""")
 
@@ -5957,6 +5957,60 @@ def _anchor_text_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Re-crawl scheduling fixture: the events log doubles as a visit history —
+# one URL per user, visit instants from ts (wall-clock micros, the NTZ
+# trick both engines agree on), content fingerprint = event_type. The
+# decision instant is pinned just past the corpus horizon.
+_RECRAWL_NOW = 1706659200000000  # 2024-01-31T00:00:00Z in epoch micros
+
+_RECRAWL_ORACLE = f"""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS ts, event_type AS fp
+               FROM events),
+    m AS (SELECT user_id, ts,
+                 CASE WHEN lag(fp) OVER w IS NOT NULL
+                           AND fp <> lag(fp) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    a AS (SELECT user_id, count(*)::BIGINT AS n_visits,
+                 sum(chg)::BIGINT AS n_changes,
+                 min(ts) AS first_ts, max(ts) AS last_ts
+          FROM m GROUP BY user_id)
+    SELECT user_id AS k,
+           concat('https://u', user_id, '.example.com/') AS url,
+           n_visits, n_changes,
+           (last_ts + (last_ts - first_ts) // greatest(n_changes, 1))::BIGINT
+             AS next_due,
+           (((({_RECRAWL_NOW} - last_ts) // 1000000) * 1000000
+             * (n_changes + 1))
+            // (((last_ts - first_ts) // 1000000) + 1))::BIGINT AS priority,
+           {_RECRAWL_NOW}
+             >= last_ts + (last_ts - first_ts) // greatest(n_changes, 1)
+             AS due
+    FROM a
+"""
+
+
+def _recrawl_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recrawl_priority over the events-as-visit-log fixture (one URL per
+    user_id, fingerprint = event_type)."""
+    from web_crawler_spark.operators import frontier as FR
+
+    visits = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("https://u"), F.col("user_id").cast("string"),
+                 F.lit(".example.com/")).alias("url"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " cast(ts as timestamp_ntz))"
+        ).alias("ts"),
+        F.col("event_type").alias("fp"),
+    )
+    out = FR.recrawl_priority(visits, now=_RECRAWL_NOW)
+    return out.select(
+        F.regexp_extract("url", r"^https://u(\d+)\.", 1).cast("long").alias("k"),
+        "url", "n_visits", "n_changes", "next_due", "priority", "due",
+    )
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -6023,6 +6077,13 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _ANCHOR_ORACLE
     + """)
+    UNION ALL
+    SELECT 'recrawl', k, url, NULL, due, NULL, NULL, NULL, NULL,
+           priority, n_changes, CAST(n_visits AS VARCHAR),
+           CAST(next_due AS VARCHAR)
+    FROM ("""
+    + _RECRAWL_ORACLE
+    + """)
     """
 )
 
@@ -6038,8 +6099,10 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing predicates (isPdfUrl / isDocumentUrl / isHomepage), the
     host-graph PageRank authority prior (integer fixed-point, 5
     iterations — the 10^10-URL scale extension of the static priority
-    tiers), and the per-target anchor-text rollup (bounded distinct-cap
-    formulation) — each over its dedicated fixture."""
+    tiers), the per-target anchor-text rollup (bounded distinct-cap
+    formulation), and Cho-style re-crawl scheduling (change-rate estimate
+    from fingerprint transitions → integer freshness priority + due flag)
+    — each over its dedicated fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
@@ -6140,10 +6203,19 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", _nl.alias("rank"),
         _ns.alias("provider"), "label",
     )
+    rc = _recrawl_rows(spark, sf_dir).select(
+        F.lit("recrawl").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        F.col("due").alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        "priority", F.col("n_changes").alias("rank"),
+        F.col("n_visits").cast("string").alias("provider"),
+        F.col("next_due").cast("string").alias("label"),
+    )
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
-        .unionByName(pr).unionByName(at)
+        .unionByName(pr).unionByName(at).unionByName(rc)
     )
 
 
