@@ -377,3 +377,28 @@ def test_api_available_three_probe_reduction(spark):
     got = {r["host"]: r["api_available"]
            for r in AP.api_available(probes).collect()}
     assert got == {"a.com": True, "b.com": False, "c.com": True}
+
+
+def test_sitemap_index_classification_and_routing(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "<sitemapindex><sitemap><loc>https://a.com/sm/0.xml</loc>"
+                "</sitemap><sitemap><loc>https://a.com/login</loc>"
+                "</sitemap></sitemapindex>"),
+            (2, "<urlset><url><loc>https://b.com/office</loc></url>"
+                "<url><loc>https://b.com/login</loc></url></urlset>"),
+        ],
+        "k long, xml string",
+    )
+    out = SM.split_locs(docs).select("k", "doc_kind", "loc_kind", "loc_url").collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r)
+    # index doc: BOTH locs route as child sitemaps — the excludable
+    # /login child is NOT dropped (exclusion never applies to sitemaps)
+    assert {r["loc_kind"] for r in by_k[1]} == {"sitemap"}
+    assert len(by_k[1]) == 2
+    assert all(r["doc_kind"] == "index" for r in by_k[1])
+    # urlset doc: locs are pages and /login IS excluded
+    assert [r["loc_url"] for r in by_k[2]] == ["https://b.com/office"]
+    assert by_k[2][0]["loc_kind"] == "page"

@@ -2914,27 +2914,87 @@ _SM_XML = (
 )
 
 
+_SM_IDX_XML = (
+    "concat('<sitemapindex>',"
+    "'<sitemap><loc>https://h', {k}, '.example.com/sm/0.xml</loc></sitemap>',"
+    "'<sitemap><loc>https://h', {k}, '.example.com/sm/1.xml</loc></sitemap>',"
+    "'</sitemapindex>')"
+)
+# a child sitemap's body, derived from (host key, child index): one good
+# page and one excluded one — proving the F1 filter applies to round-2
+# page locs but never to the round-1 child-sitemap locs
+_SM_CHILD_XML = (
+    "concat('<urlset>',"
+    "'<url><loc>https://h', {k}, '.example.com/c', {c}, '/office</loc></url>',"
+    "'<url><loc>https://h', {k}, '.example.com/c', {c}, '/login</loc></url>',"
+    "'</urlset>')"
+)
+
+
 @query(
     "sitemap_scan",
     oracle="""
-    SELECT p_partkey, 0 AS loc_idx,
+    SELECT p_partkey, 'page' AS kind, 0 AS loc_idx,
            concat('https://h', p_partkey, '.example.com/office') AS loc_url
     FROM part
     UNION ALL
-    SELECT p_partkey, 3 AS loc_idx,
-           concat('https://h', p_partkey, '.example.com/about') AS loc_url
+    SELECT p_partkey, 'page', 3,
+           concat('https://h', p_partkey, '.example.com/about')
     FROM part
+    UNION ALL
+    SELECT p_partkey, 'sitemap', c,
+           concat('https://h', p_partkey, '.example.com/sm/', c, '.xml')
+    FROM part, (VALUES (0), (1)) v(c)
+    UNION ALL
+    SELECT p_partkey, 'index_page', c * 10,
+           concat('https://h', p_partkey, '.example.com/c', c, '/office')
+    FROM part, (VALUES (0), (1)) v(c)
     """,
 )
 def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: `<loc>` mining over synthesized sitemap XML + F1 exclusion
-    (site-crawler.service.js:199-239). The planted .png and /login entries
-    must be excluded; document order (loc_idx) must be preserved."""
+    (site-crawler.service.js:199-239) — the planted .png and /login
+    entries must be excluded, document order (loc_idx) preserved — plus
+    the sitemap-INDEX expansion the reference lacks (sources/sitemap.py:
+    classify_sitemap/split_locs): round 1 routes an index document's locs
+    to child sitemaps (never excluded), round 2 mines the fetched
+    children's urlsets as pages (excluded as usual). Tagged
+    (kind = page | sitemap | index_page)."""
     from web_crawler_spark.sources import sitemap as SM
 
+    part = load(spark, sf_dir, "part")
     xml = F.expr(_SM_XML.format(k="p_partkey"))
-    sitemaps = load(spark, sf_dir, "part").select("p_partkey", xml.alias("xml"))
-    return SM.extract_locs(sitemaps).select("p_partkey", "loc_idx", "loc_url")
+    pages = (
+        SM.extract_locs(part.select("p_partkey", xml.alias("xml")))
+        .select("p_partkey", F.lit("page").alias("kind"), "loc_idx", "loc_url")
+    )
+    idx = part.select(
+        "p_partkey", F.expr(_SM_IDX_XML.format(k="p_partkey")).alias("xml")
+    )
+    children = SM.split_locs(idx).filter(F.col("loc_kind") == "sitemap")
+    child_rows = children.select(
+        "p_partkey",
+        F.lit("sitemap").alias("kind"),
+        F.col("loc_idx"),
+        "loc_url",
+    )
+    # round 2: "fetch" each child (body is a deterministic function of the
+    # child URL, like every synthetic fetch here) and mine its urlset
+    fetched = children.select(
+        "p_partkey",
+        F.regexp_extract("loc_url", r"/sm/(\d+)\.xml$", 1)
+        .cast("int").alias("_c"),
+    ).select(
+        "p_partkey", "_c",
+        F.expr(_SM_CHILD_XML.format(k="p_partkey", c="_c")).alias("xml"),
+    )
+    round2 = SM.split_locs(fetched).select(
+        "p_partkey",
+        F.lit("index_page").alias("kind"),
+        (F.col("_c") * 10 + F.col("loc_idx")).alias("loc_idx"),
+        "loc_url",
+    )
+    return pages.unionByName(child_rows).unionByName(round2)
 
 
 @query(
