@@ -166,3 +166,37 @@ def test_recrawl_priority_ignores_visit_row_order(spark):
     b = FR.recrawl_priority(df.repartition(16).orderBy(F.rand(7)), now=10**8).collect()
     key = lambda r: tuple(r)
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_detect_url_traps_flags_template_explosion(spark):
+    rows = (
+        # trap host: 60 distinct calendar URLs, one template
+        [(f"https://trap.example.com/cal/2024/{i}?sid={i}",) for i in range(60)]
+        # healthy host: 30 URLs over 30 letter-pair templates
+        + [(f"https://ok.example.com/{chr(97 + i % 26)}{chr(97 + i // 26)}",)
+           for i in range(30)]
+        # small host: few URLs, below min_urls even though one template
+        + [(f"https://tiny.example.com/p/{i}",) for i in range(5)]
+    )
+    urls = spark.createDataFrame(rows, "url string")
+    out = {r["host"]: r for r in FR.detect_url_traps(urls, min_urls=20).collect()}
+    trap = out["trap.example.com"]
+    assert trap["is_trap"]
+    assert (trap["n_urls"], trap["n_templates"]) == (60, 1)
+    assert trap["top_template"] == "trap.example.com/cal/N/N?sid=V"
+    assert trap["top_template_urls"] == 60
+    assert not out["ok.example.com"]["is_trap"]
+    assert not out["tiny.example.com"]["is_trap"]  # min_urls gate
+
+
+def test_detect_url_traps_dedups_urls_and_normalizes_queries(spark):
+    # the same URL repeated 100x is ONE distinct URL, and multi-param
+    # query values all collapse to =V
+    rows = [("https://h.example.com/a/1?x=9&y=zz",)] * 100 + [
+        (f"https://h.example.com/a/{i}?x={i}&y=k{i}",) for i in range(2, 30)
+    ]
+    urls = spark.createDataFrame(rows, "url string")
+    row = FR.detect_url_traps(urls, min_urls=20).collect()[0]
+    assert row["n_urls"] == 29 and row["n_templates"] == 1
+    assert row["top_template"] == "h.example.com/a/N?x=V&y=V"
+    assert row["is_trap"]

@@ -6071,6 +6071,80 @@ def _recrawl_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crawl-trap fixture: five hosts; host 0 is a calendar trap (every URL a
+# fresh digit path + session query under ONE template), hosts 1-4 are
+# letter paths where URL variety == template variety.
+_TRAP_URL_SQL = """
+      SELECT concat('https://t', p_partkey % 5, '.example.com',
+                    CASE WHEN p_partkey % 5 = 0
+                         THEN concat('/cal/2024/', p_partkey,
+                                     '?sid=', p_partkey)
+                         ELSE concat('/', chr((97 + p_partkey % 17)::INTEGER))
+                    END)
+        AS url
+      FROM part
+"""
+
+_TRAP_ORACLE = f"""
+    WITH u AS ({_TRAP_URL_SQL}),
+    t AS (
+      SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+             concat(
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+               regexp_replace(
+                 regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                 '[0-9]+', 'N', 'g'),
+               CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) <> ''
+                    THEN concat('?', regexp_replace(
+                           regexp_extract(url, '\\?([^#]*)', 1),
+                           '=[^&#]*', '=V', 'g'))
+                    ELSE '' END) AS template,
+             url
+      FROM u),
+    pt AS (SELECT host, template, count(DISTINCT url)::BIGINT AS n
+           FROM t GROUP BY 1, 2),
+    r AS (SELECT host, template, n,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY n DESC, template) AS rk
+          FROM pt),
+    ro AS (SELECT host, sum(n)::BIGINT AS n_urls,
+                  count(*)::BIGINT AS n_templates
+           FROM pt GROUP BY host)
+    SELECT CAST(regexp_extract(ro.host, 't(\\d+)\\.', 1) AS BIGINT) AS k,
+           ro.host AS url, ro.n_urls, ro.n_templates,
+           r.template AS top_template, r.n AS top_template_urls,
+           ro.n_urls >= 20 AND ro.n_urls > 5 * ro.n_templates AS is_trap
+    FROM ro JOIN r ON ro.host = r.host AND r.rk = 1
+"""
+
+
+def _trap_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_url_traps over the calendar-trap fixture."""
+    from web_crawler_spark.operators import frontier as FR
+
+    k = F.col("p_partkey")
+    path = (
+        F.when(
+            F.pmod(k, F.lit(5)) == 0,
+            F.concat(F.lit("/cal/2024/"), k.cast("string"),
+                     F.lit("?sid="), k.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/"),
+                            F.expr("char(97 + pmod(p_partkey, 17))")))
+    )
+    urls = load(spark, sf_dir, "part").select(
+        F.concat(F.lit("https://t"), F.pmod(k, F.lit(5)).cast("string"),
+                 F.lit(".example.com"), path).alias("url")
+    )
+    out = FR.detect_url_traps(urls, min_urls=20, ratio=(5, 1))
+    return out.select(
+        F.regexp_extract("host", r"t(\d+)\.", 1).cast("long").alias("k"),
+        F.col("host").alias("url"),
+        "n_urls", "n_templates", "top_template", "top_template_urls",
+        "is_trap",
+    )
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -6144,6 +6218,13 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _RECRAWL_ORACLE
     + """)
+    UNION ALL
+    SELECT 'trap', k, url, NULL, is_trap, NULL, NULL, NULL, NULL,
+           n_urls, n_templates, CAST(top_template_urls AS VARCHAR),
+           top_template
+    FROM ("""
+    + _TRAP_ORACLE
+    + """)
     """
 )
 
@@ -6160,8 +6241,9 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     host-graph PageRank authority prior (integer fixed-point, 5
     iterations — the 10^10-URL scale extension of the static priority
     tiers), the per-target anchor-text rollup (bounded distinct-cap
-    formulation), and Cho-style re-crawl scheduling (change-rate estimate
-    from fingerprint transitions → integer freshness priority + due flag)
+    formulation), Cho-style re-crawl scheduling (change-rate estimate
+    from fingerprint transitions → integer freshness priority + due flag),
+    and crawl-trap detection (per-host URL-template explosion test)
     — each over its dedicated fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
@@ -6263,6 +6345,17 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", _nl.alias("rank"),
         _ns.alias("provider"), "label",
     )
+    tr = _trap_rows(spark, sf_dir).select(
+        F.lit("trap").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        F.col("is_trap").alias("flag_a"), _nb.alias("flag_b"),
+        _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        F.col("n_urls").alias("priority"),
+        F.col("n_templates").alias("rank"),
+        F.col("top_template_urls").cast("string").alias("provider"),
+        F.col("top_template").alias("label"),
+    )
     rc = _recrawl_rows(spark, sf_dir).select(
         F.lit("recrawl").alias("kernel"),
         F.col("k").alias("key"), "url", _ns.alias("canonical"),
@@ -6275,7 +6368,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
-        .unionByName(pr).unionByName(at).unionByName(rc)
+        .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
     )
 
 

@@ -607,3 +607,68 @@ def recrawl_priority(
         ).alias("priority"),
         (F.lit(now) >= next_due).alias("due"),
     )
+
+
+def detect_url_traps(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 20,
+    ratio: tuple[int, int] = (5, 1),
+) -> DataFrame:
+    """Crawl-trap detection: flag hosts whose URL space explodes under a
+    handful of path templates (calendar pages, session ids, faceted
+    search) — the classic frontier-hygiene gate (Heydon & Najork's
+    Mercator describes the failure mode) that a 10^10-URL crawl needs
+    and the reference's per-URL exclusion regexes cannot express.
+
+    A URL's template is its host + path + query with every digit run
+    collapsed to 'N' and every query-param value to 'V' — regex-only, so
+    the kernel is whole-stage codegen and engine-portable. A host is a
+    trap candidate when it has at least ``min_urls`` distinct URLs AND
+    distinct URLs exceed ``ratio`` (num/den, integer cross-multiplied —
+    no float) times its distinct templates.
+
+    Plan shape: one exchange on (host, template) for the per-template
+    distinct counts, then a host-keyed rollup + window that both ride the
+    same partitioning. A trap host with 10^8 URLs is 10^8 rows into the
+    FIRST aggregate (map-side combined) and one row after it.
+
+    Returns (host, n_urls, n_templates, top_template, top_template_urls,
+    is_trap).
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^https?://([^/?#]+)", 1))
+    path = F.regexp_extract(u, r"^https?://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    tpl = F.concat(
+        host,
+        F.regexp_replace(path, "[0-9]+", "N"),
+        F.when(
+            query != "",
+            F.concat(F.lit("?"), F.regexp_replace(query, "=[^&#]*", "=V")),
+        ).otherwise(F.lit("")),
+    )
+    per_tpl = (
+        urls.select(host.alias("host"), tpl.alias("template"), u.alias("_u"))
+        .groupBy("host", "template")
+        .agg(F.countDistinct("_u").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), "template")
+    ranked = per_tpl.withColumn("_rk", F.row_number().over(w))
+    rollup = per_tpl.groupBy("host").agg(
+        F.sum("n").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_templates"),
+    )
+    top = ranked.filter(F.col("_rk") == 1).select(
+        "host",
+        F.col("template").alias("top_template"),
+        F.col("n").alias("top_template_urls"),
+    )
+    num, den = ratio
+    return rollup.join(top, "host").select(
+        "host", "n_urls", "n_templates", "top_template", "top_template_urls",
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.col("n_urls") * den > F.col("n_templates") * num)
+        ).alias("is_trap"),
+    )
