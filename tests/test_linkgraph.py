@@ -200,3 +200,45 @@ def test_detect_url_traps_dedups_urls_and_normalizes_queries(spark):
     assert row["n_urls"] == 29 and row["n_templates"] == 1
     assert row["top_template"] == "h.example.com/a/N?x=V&y=V"
     assert row["is_trap"]
+
+
+def _py_hits(edges, iters=3, scale=10**6):
+    """Single-threaded reference of host_hits' exact integer algebra."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {v: scale for v in nodes}
+
+    def half(scores, flip):
+        raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            if flip:
+                raw[u] += scores[v]
+            else:
+                raw[v] += scores[u]
+        t = max(sum(raw.values()), 1)
+        return {v: (raw[v] * scale) // t for v in nodes}
+
+    a = None
+    for _ in range(iters):
+        a = half(h, flip=False)
+        h = half(a, flip=True)
+    return h, a
+
+
+def test_hits_matches_integer_reference_exactly(spark):
+    edges = [(i, (i + 1) % 10) for i in range(10)]
+    edges += [(i, 7) for i in range(0, 10, 2)]
+    edges += [(3, 99), (4, 99)]
+    want_h, want_a = _py_hits(edges)
+    rows = FR.host_hits(_edges_df(spark, edges)).collect()
+    assert {r["node"]: r["hub_int"] for r in rows} == want_h
+    assert {r["node"]: r["auth_int"] for r in rows} == want_a
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    # spokes 1..20 all point at node 0: node 0 is the pure authority,
+    # every spoke a pure hub — the role separation PageRank cannot express
+    edges = [(i, 0) for i in range(1, 21)]
+    rows = {r["node"]: r for r in FR.host_hits(_edges_df(spark, edges)).collect()}
+    assert rows[0]["auth_int"] > 0 and rows[0]["hub_int"] == 0
+    for i in range(1, 21):
+        assert rows[i]["auth_int"] == 0 and rows[i]["hub_int"] > 0

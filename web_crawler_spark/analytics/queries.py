@@ -5966,6 +5966,75 @@ def _pagerank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled integer fixed-point HITS (operators/frontier.py:host_hits)
+    over the same edge fixture as PageRank — two CTEs per half-iteration
+    (raw sum, L1 normalize), all BIGINT."""
+    ctes = [
+        f"e AS ({_PAGERANK_EDGE_SQL})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, {scale}::BIGINT AS s FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ar{i} AS (
+          SELECT n.node, coalesce(sum(p.s), 0)::BIGINT AS raw
+          FROM nodes n
+          LEFT JOIN (SELECT e.dst, x.s FROM e JOIN {prev_h} x ON e.src = x.node) p
+            ON p.dst = n.node
+          GROUP BY n.node)"""
+        )
+        ctes.append(
+            f"a{i} AS (SELECT node, ((raw * {scale})"
+            f" // greatest((SELECT sum(raw)::BIGINT FROM ar{i}), 1))::BIGINT"
+            f" AS s FROM ar{i})"
+        )
+        ctes.append(
+            f"""hr{i} AS (
+          SELECT n.node, coalesce(sum(p.s), 0)::BIGINT AS raw
+          FROM nodes n
+          LEFT JOIN (SELECT e.src, x.s FROM e JOIN a{i} x ON e.dst = x.node) p
+            ON p.src = n.node
+          GROUP BY n.node)"""
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, ((raw * {scale})"
+            f" // greatest((SELECT sum(raw)::BIGINT FROM hr{i}), 1))::BIGINT"
+            f" AS s FROM hr{i})"
+        )
+        prev_h = f"h{i}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT h{iters}.node AS k,
+           concat('https://h', h{iters}.node, '.example.com') AS url,
+           a{iters}.s AS auth_int, h{iters}.s AS hub_int
+    FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node""")
+
+
+def _hits_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_hits over the PageRank edge fixture."""
+    from web_crawler_spark.operators import frontier as FR
+
+    k = F.col("p_partkey")
+    dst = (
+        F.when(F.pmod(k, F.lit(4)) == 0, F.pmod(k, F.lit(7)))
+        .otherwise(F.pmod(k * 13 + 5, F.lit(_PAGERANK_N)))
+    )
+    edges = (
+        load(spark, sf_dir, "part")
+        .select(F.pmod(k, F.lit(_PAGERANK_N)).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = FR.host_hits(edges, iters=3)
+    return out.select(
+        F.col("node").alias("k"),
+        F.concat(F.lit("https://h"), F.col("node").cast("string"),
+                 F.lit(".example.com")).alias("url"),
+        F.col("auth_int"), F.col("hub_int"),
+    )
+
+
 _ANCHOR_POOL = ["Contact Us", " contact us ", "Find Us Here", "Our Offices",
                 "locations", "More Info", "Visit", "About"]
 _ANCHOR_POOL_SQL = "['" + "','".join(a.replace("'", "''") for a in _ANCHOR_POOL) + "']"
@@ -6225,6 +6294,12 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _TRAP_ORACLE
     + """)
+    UNION ALL
+    SELECT 'hits', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
+           auth_int, hub_int, NULL, NULL
+    FROM ("""
+    + _hits_oracle()
+    + """)
     """
 )
 
@@ -6240,7 +6315,8 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing predicates (isPdfUrl / isDocumentUrl / isHomepage), the
     host-graph PageRank authority prior (integer fixed-point, 5
     iterations — the 10^10-URL scale extension of the static priority
-    tiers), the per-target anchor-text rollup (bounded distinct-cap
+    tiers), HITS hubs/authorities over the same edge fixture, the
+    per-target anchor-text rollup (bounded distinct-cap
     formulation), Cho-style re-crawl scheduling (change-rate estimate
     from fingerprint transitions → integer freshness priority + due flag),
     and crawl-trap detection (per-host URL-template explosion test)
@@ -6356,6 +6432,15 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_template_urls").cast("string").alias("provider"),
         F.col("top_template").alias("label"),
     )
+    ht = _hits_rows(spark, sf_dir).select(
+        F.lit("hits").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        F.col("auth_int").alias("priority"),
+        F.col("hub_int").alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     rc = _recrawl_rows(spark, sf_dir).select(
         F.lit("recrawl").alias("kernel"),
         F.col("k").alias("key"), "url", _ns.alias("canonical"),
@@ -6369,6 +6454,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
+        .unionByName(ht)
     )
 
 

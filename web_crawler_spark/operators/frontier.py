@@ -672,3 +672,78 @@ def detect_url_traps(
             & (F.col("n_urls") * den > F.col("n_templates") * num)
         ).alias("is_trap"),
     )
+
+
+def host_hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the host graph, in
+    integer fixed-point arithmetic — the complement to :func:`host_pagerank`
+    for frontier seeding: authorities are the pages worth fetching, hubs
+    are the pages worth re-parsing for links.
+
+    Update per iteration, all BIGINT (mirrored verbatim in the oracle):
+
+        a_raw[v] = SUM over in-edges  (u,v) of h[u]
+        a[v]     = (a_raw[v] * scale) div SUM(a_raw)       (L1 normalize)
+        h_raw[u] = SUM over out-edges (u,v) of a[v]
+        h[u]     = (h_raw[u] * scale) div SUM(h_raw)
+
+    Overflow bound: values stay ≤ scale after each normalize, so the
+    largest intermediate is max_degree * scale^2 — the default scale=10^6
+    is safe up to degree ~9e6 inside BIGINT; drop scale for denser graphs.
+
+    Plan shape: scores are broadcast onto the edges (edges never
+    shuffle); each half-iteration is one map-side-combinable SUM keyed by
+    dst resp. src, plus a 1-row total. Fully lazy like host_pagerank's
+    default.
+
+    Returns (node BIGINT, hub_int BIGINT, auth_int BIGINT).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("s", F.lit(scale).cast("long"))
+    auth = hub
+
+    def _half(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            e.join(
+                F.broadcast(scores.withColumnRenamed("node", key_in)), key_in
+            )
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum("s").alias("_raw"))
+        )
+        total = raw.agg(F.sum("_raw").alias("_t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce((_raw * {scale}) div greatest(_t, 1), 0)"
+                ).cast("long").alias("s"),
+            )
+        )
+
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    return (
+        nodes.join(hub.withColumnRenamed("s", "hub_int"), "node", "left")
+        .join(auth.withColumnRenamed("s", "auth_int"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_int", F.lit(0)).cast("long").alias("hub_int"),
+            F.coalesce("auth_int", F.lit(0)).cast("long").alias("auth_int"),
+        )
+    )
