@@ -242,3 +242,28 @@ def test_aspect_bucket_matches_naive_argmin_on_random_dims(spark):
 
     for iid, w, h in dims:
         assert got[iid] == naive(w, h), (iid, w, h)
+
+
+def test_dhash_separates_reencodes_from_distinct_images(spark):
+    """The two-hash consensus contract: jpeg re-encodes stay dhash-close
+    (<= 8) while distinct synthetic ids stay far (>= 16), so dhash
+    confirmation never breaks a true phash pair and would veto a false
+    one."""
+    import numpy as np
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for i in range(12):
+        px = IM.synth_pixels(f"img{i:05d}", 64 + (i % 5) * 16, 48 + (i % 3) * 16)
+        rec = IM.decode_lossy(IM.encode_lossy(px, 85))
+        assert ham(IM.dhash64(px), IM.dhash64(rec)) <= 8
+        if i:
+            other = IM.synth_pixels(f"img{i - 1:05d}", 64, 48)
+            assert ham(IM.dhash64(px), IM.dhash64(other)) >= 16
+    # dhash IS invariant under an actual resize of the same pixels (the
+    # index-sampling grid sees the same gradients) — note synth_pixels at
+    # a different size is a different image, not a resize
+    px = IM.synth_pixels("img00001", 64, 48)
+    up = np.kron(px, np.ones((3, 3, 1))).astype(np.uint8)  # 192x144 blowup
+    assert ham(IM.dhash64(px), IM.dhash64(up)) <= 8

