@@ -242,3 +242,55 @@ def test_hits_star_separates_hubs_from_authorities(spark):
     assert rows[0]["auth_int"] > 0 and rows[0]["hub_int"] == 0
     for i in range(1, 21):
         assert rows[i]["auth_int"] == 0 and rows[i]["hub_int"] > 0
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects
+# ---------------------------------------------------------------------------
+
+
+def _resolve(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges or [(None, None)], "src long, dst long")
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    out = FR.resolve_redirects(ndf, edf, **kw).collect()
+    return {r["node"]: (r["final"], r["n_hops"], r["is_loop"]) for r in out}
+
+
+def test_resolve_redirects_chain_terminal_and_hops(spark):
+    # 1 → 2 → 3 → 4 (terminal); 9 never redirects
+    got = _resolve(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    assert got[1] == (4, 3, False)
+    assert got[2] == (4, 2, False)
+    assert got[3] == (4, 1, False)
+    assert got[4] == (4, 0, False)
+    assert got[9] == (9, 0, False)
+
+
+def test_resolve_redirects_flags_cycles_and_feeders(spark):
+    # 5 ↔ 6 two-cycle; 7 → 5 feeds it; 8 → 9 resolves normally
+    got = _resolve(spark, [5, 6, 7, 8, 9], [(5, 6), (6, 5), (7, 5), (8, 9)])
+    assert got[5] == (None, None, True)
+    assert got[6] == (None, None, True)
+    assert got[7] == (None, None, True)
+    assert got[8] == (9, 1, False)
+
+
+def test_resolve_redirects_self_loop_and_long_chain_cap(spark):
+    # 0 → 0 self-redirect; a 12-hop chain exceeds max_hops=8 → loop-flagged
+    chain = [(i, i + 1) for i in range(10, 22)]
+    got = _resolve(spark, [0, 10, 15, 22], [(0, 0)] + chain, max_hops=8)
+    assert got[0] == (None, None, True)
+    assert got[10] == (None, None, True)       # 12 hops > max_hops
+    assert got[15] == (22, 7, False)           # within the cap
+    assert got[22] == (22, 0, False)
+    # widening the cap resolves the long chain with the true hop count
+    wide = _resolve(spark, [10], chain, max_hops=16)
+    assert wide[10] == (22, 12, False)
+
+
+def test_resolve_redirects_resolves_target_outside_node_universe(spark):
+    # edge target 99 is not in `nodes`: still a valid terminal
+    got = _resolve(spark, [1], [(1, 99)])
+    assert got[1] == (99, 1, False)

@@ -6229,6 +6229,84 @@ def _trap_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Redirect-chain fixture: 400 URL nodes; the mod-101 overlay plants 2-cycles
+# (20↔21, 121↔122, ...), every other non-multiple-of-5 node chains one step
+# down (n → n-1, terminating at a multiple of 5 unless the walk falls into a
+# cycle), multiples of 5 are terminals. Chains to a terminal are ≤ 4 hops, so
+# the oracle's 8 unrolled steps and the engine's 3 doubling rounds both cover
+# every resolvable chain; anything still pointing at a redirecting node after
+# that is a loop.
+_REDIRECT_N = 400
+
+_REDIRECT_EDGE_SQL = f"""
+      SELECT n AS src,
+             CASE WHEN n % 101 = 20 THEN n + 1
+                  WHEN n % 101 = 21 THEN n - 1
+                  ELSE n - 1 END AS dst
+      FROM (SELECT DISTINCT (p_partkey % {_REDIRECT_N})::BIGINT AS n FROM part)
+      WHERE n % 101 = 20 OR n % 101 = 21 OR n % 5 <> 0
+"""
+
+
+def _redirect_oracle(steps: int = 8) -> str:
+    ctes = [
+        f"e AS ({_REDIRECT_EDGE_SQL})",
+        f"n0 AS (SELECT DISTINCT (p_partkey % {_REDIRECT_N})::BIGINT AS n"
+        " FROM part)",
+        "s0 AS (SELECT n, n AS cur, 0::BIGINT AS hops FROM n0)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"""s{i} AS (
+          SELECT s.n, coalesce(e.dst, s.cur) AS cur,
+                 s.hops + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS hops
+          FROM s{i - 1} s LEFT JOIN e ON e.src = s.cur)"""
+        )
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT n AS k, concat('https://r', n, '.example.com/') AS url,
+           CASE WHEN isloop THEN NULL
+                ELSE concat('https://r', cur, '.example.com/') END AS final_url,
+           CASE WHEN isloop THEN NULL ELSE hops END::BIGINT AS n_hops,
+           isloop AS is_loop
+    FROM (SELECT s{steps}.*,
+                 cur IN (SELECT src FROM e) AS isloop
+          FROM s{steps})""")
+
+
+def _redirect_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve_redirects over the deterministic redirect-map fixture."""
+    from web_crawler_spark.operators import frontier as FR
+
+    n = F.col("n")
+    nodes = (
+        load(spark, sf_dir, "part")
+        .select(F.pmod("p_partkey", F.lit(_REDIRECT_N)).cast("long").alias("n"))
+        .distinct()
+    )
+    edges = nodes.filter(
+        (F.pmod(n, F.lit(101)) == 20) | (F.pmod(n, F.lit(101)) == 21)
+        | (F.pmod(n, F.lit(5)) != 0)
+    ).select(
+        n.alias("src"),
+        F.when(F.pmod(n, F.lit(101)) == 20, n + 1)
+        .when(F.pmod(n, F.lit(101)) == 21, n - 1)
+        .otherwise(n - 1)
+        .alias("dst"),
+    )
+    out = FR.resolve_redirects(nodes, edges, node_col="n", max_hops=8)
+    url = lambda c: F.concat(  # noqa: E731
+        F.lit("https://r"), F.col(c).cast("string"), F.lit(".example.com/")
+    )
+    return out.select(
+        F.col("node").alias("k"),
+        url("node").alias("url"),
+        F.when(F.col("is_loop"), F.lit(None)).otherwise(url("final"))
+        .alias("final_url"),
+        F.col("n_hops").alias("n_hops"),
+        F.col("is_loop"),
+    )
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -6315,6 +6393,12 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _hits_oracle()
     + """)
+    UNION ALL
+    SELECT 'redirect', k, url, final_url, is_loop, NULL, NULL, NULL, NULL,
+           n_hops, NULL, NULL, NULL
+    FROM ("""
+    + _redirect_oracle()
+    + """)
     """
 )
 
@@ -6334,8 +6418,10 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-target anchor-text rollup (bounded distinct-cap
     formulation), Cho-style re-crawl scheduling (change-rate estimate
     from fingerprint transitions → integer freshness priority + due flag),
-    and crawl-trap detection (per-host URL-template explosion test)
-    — each over its dedicated fixture."""
+    crawl-trap detection (per-host URL-template explosion test), and
+    redirect-chain resolution (pointer-doubling to the terminal URL with
+    ERR_TOO_MANY_REDIRECTS loop flagging) — each over its dedicated
+    fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
@@ -6456,6 +6542,16 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hub_int").alias("rank"),
         _ns.alias("provider"), _ns.alias("label"),
     )
+    rd = _redirect_rows(spark, sf_dir).select(
+        F.lit("redirect").alias("kernel"),
+        F.col("k").alias("key"), "url",
+        F.col("final_url").alias("canonical"),
+        F.col("is_loop").alias("flag_a"), _nb.alias("flag_b"),
+        _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        F.col("n_hops").alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     rc = _recrawl_rows(spark, sf_dir).select(
         F.lit("recrawl").alias("kernel"),
         F.col("k").alias("key"), "url", _ns.alias("canonical"),
@@ -6469,7 +6565,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
-        .unionByName(ht)
+        .unionByName(ht).unionByName(rd)
     )
 
 

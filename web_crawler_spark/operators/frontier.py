@@ -747,3 +747,100 @@ def host_hits(
             F.coalesce("auth_int", F.lit(0)).cast("long").alias("auth_int"),
         )
     )
+
+
+def resolve_redirects(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 32,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Redirect-chain resolution: collapse every URL to the terminal
+    destination of its 3xx chain, with loop detection — the fetch-side
+    twin of URL canonicalization. The reference's axios client follows
+    redirects silently inside one fetch (site-crawler.service.js fetch
+    calls), so its frontier can enqueue N aliases of one page; at
+    10^10-URL scale the chain must be resolved AS DATA so the seen-set
+    and dedup operate on terminal URLs.
+
+    ``edges`` is the observed redirect map (one row per 3xx response:
+    source URL/id → Location target); ``nodes`` is the universe to
+    resolve (targets that never redirected simply terminate a chain).
+    A redirect map is functional — at most one outgoing edge per node —
+    which admits pointer DOUBLING instead of hop-at-a-time walking:
+    after round r each pointer spans up to 2^r hops, so
+    ceil(log2(max_hops)) self-joins resolve every chain of length ≤
+    ``max_hops``. Hop counts compose exactly along the way (d = d1+d2),
+    so ``n_hops`` is the true chain length, not a round count.
+
+    A node whose pointer still has an outgoing edge after the final
+    round either sits on/feeds a redirect cycle or exceeds ``max_hops``
+    — both are exactly what an HTTP client reports as
+    ERR_TOO_MANY_REDIRECTS, so both surface as ``is_loop = true`` with
+    NULL final/n_hops (never a silently wrong terminal).
+
+    Plan shape: the pointer table is one row per REDIRECTING url (3xx
+    responses are a sliver of a corpus), each round is one equi-join of
+    the pointer table with itself on the pointed-to key plus a lineage
+    cut; the universe joins in once at the end. No global window, no
+    driver loop over rows. ``checkpoint`` follows
+    :func:`~web_crawler_spark.operators.dedup.connected_min`: 'local'
+    (default) truncates lineage with executor-local blocks; 'reliable'
+    writes rounds to the SparkContext checkpoint dir so an executor
+    loss mid-resolution replays from durable storage.
+
+    Returns (node, final, n_hops BIGINT, is_loop BOOLEAN); final = the
+    node itself with n_hops = 0 for non-redirecting nodes.
+    """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = nodes.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise RuntimeError(
+                "resolve_redirects(checkpoint='reliable') needs a durable "
+                "checkpoint location: call spark.sparkContext."
+                "setCheckpointDir('<hdfs-or-object-store-path>') first"
+            )
+    e = edges.select(F.col(src).alias("_n"), F.col(dst).alias("_nxt"))
+    ptr = e.withColumn("_d", F.lit(1).cast("long"))
+    rounds = max(1, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
+    for _ in range(rounds):
+        b = ptr.select(
+            F.col("_n").alias("_bn"),
+            F.col("_nxt").alias("_bnxt"),
+            F.col("_d").alias("_bd"),
+        )
+        ptr = ptr.join(b, ptr["_nxt"] == b["_bn"], "left").select(
+            "_n",
+            F.coalesce("_bnxt", "_nxt").alias("_nxt"),
+            (F.col("_d") + F.coalesce("_bd", F.lit(0))).alias("_d"),
+        )
+        ptr = (
+            ptr.checkpoint(eager=True)
+            if checkpoint == "reliable"
+            else ptr.localCheckpoint(eager=True)
+        )
+    srcs = e.select(F.col("_n").alias("_s")).distinct()
+    resolved = ptr.join(srcs, ptr["_nxt"] == srcs["_s"], "left").select(
+        F.col("_n").alias("node"),
+        "_nxt",
+        "_d",
+        F.col("_s").isNotNull().alias("_loop"),
+    )
+    loop = F.coalesce("_loop", F.lit(False))
+    return nodes.select(F.col(node_col).alias("node")).join(
+        resolved, "node", "left"
+    ).select(
+        "node",
+        F.when(loop, F.lit(None)).otherwise(
+            F.coalesce("_nxt", F.col("node"))
+        ).alias("final"),
+        F.when(loop, F.lit(None).cast("long")).otherwise(
+            F.coalesce("_d", F.lit(0)).cast("long")
+        ).alias("n_hops"),
+        loop.alias("is_loop"),
+    )
