@@ -403,3 +403,62 @@ def test_paragraph_dedup_partitioning_invariant(spark):
     ).collect()
     key = lambda r: (r["doc_id"], r["clean_text"], r["n_paras"], r["n_dropped"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# ---------------------------------------------------------------------------
+# lm_quality_buckets (CCNet head/middle/tail LM-quality tertiles)
+# ---------------------------------------------------------------------------
+
+
+def _lm_docs(spark):
+    # target docs define the LM vocabulary; "good" docs reuse it, "junk"
+    # docs are token soup the LM has never seen
+    rows = [(i, "the quick brown fox jumps over the lazy dog", True)
+            for i in range(6)]
+    rows += [(10 + i, "the quick brown fox", False) for i in range(3)]
+    rows += [(20 + i, f"zzq{i} xxv{i} qqj{i} vvk{i}", False) for i in range(3)]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+def test_lm_quality_buckets_ranks_target_like_docs_head(spark):
+    from pyspark.sql import functions as F
+
+    docs = _lm_docs(spark)
+    out = {r["doc_id"]: r for r in
+           D.lm_quality_buckets(docs, target=F.col("is_t")).collect()}
+    assert len(out) == 12
+    # every in-vocabulary doc outscores every junk doc
+    lo = max(out[20 + i]["score"] for i in range(3))
+    hi = min(out[10 + i]["score"] for i in range(3))
+    assert hi > lo
+    # junk-token docs land in the tail tertile; 12 docs → exactly 4 per tier
+    assert all(out[20 + i]["tier"] == "tail" for i in range(3))
+    from collections import Counter
+
+    tiers = Counter(r["tier"] for r in out.values())
+    assert tiers == {"head": 4, "middle": 4, "tail": 4}
+
+
+def test_lm_quality_buckets_deterministic_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    docs = _lm_docs(spark)
+    key = lambda r: (r["doc_id"], r["score"], r["n_toks"], r["tier"])
+    a = sorted(map(key, D.lm_quality_buckets(docs, F.col("is_t")).collect()))
+    b = sorted(map(key, D.lm_quality_buckets(
+        docs.repartition(16), F.col("is_t")).collect()))
+    assert a == b
+
+
+def test_lm_quality_buckets_tie_break_by_doc_id(spark):
+    from pyspark.sql import functions as F
+
+    # six identical docs: all tie on score, tiers split purely by doc_id
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", i < 2) for i in range(6)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = {r["doc_id"]: r["tier"] for r in
+           D.lm_quality_buckets(docs, F.col("is_t")).collect()}
+    assert out == {0: "head", 1: "head", 2: "middle",
+                   3: "middle", 4: "tail", 5: "tail"}

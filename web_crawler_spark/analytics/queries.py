@@ -1995,6 +1995,43 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN s >= 0 THEN 'keep' ELSE 'drop' END AS lbl,
              (d.lang = 'en') AS is_t
       FROM ds JOIN documents d ON d.doc_id = ds.doc_id
+    ),
+    -- CCNet arms (operators/dedup.py:lm_quality_buckets): add-one-smoothed
+    -- fixed-point hashed-unigram LM trained on lang='en', head/middle/tail
+    -- score tertiles with (score desc, doc_id) tie-broken global rank
+    lb AS (
+      SELECT doc_id, is_t,
+             (CAST(('0x' || substr(md5('lm|' || tok), 1, 4)) AS INTEGER) % 64)
+               AS bucket
+      FROM (SELECT doc_id, (lang = 'en') AS is_t,
+                   unnest({_TOKS_SQL.format(col='text')}) AS tok
+            FROM documents)
+    ),
+    lt AS (SELECT bucket, count(*)::BIGINT AS t FROM lb WHERE is_t
+           GROUP BY bucket),
+    ltot AS (SELECT coalesce(sum(t), 0)::BIGINT AS tt FROM lt),
+    lp AS (
+      SELECT b.bucket,
+             (((coalesce(lt.t, 0) + 1) * 1000000) // (ltot.tt + 64))::BIGINT
+               AS p
+      FROM (SELECT unnest(range(64)) AS bucket) b
+      LEFT JOIN lt USING (bucket), ltot
+    ),
+    lsc AS (
+      SELECT doc_id, (sum(n * p) // sum(n))::BIGINT AS score
+      FROM (SELECT doc_id, bucket, count(*)::BIGINT AS n
+            FROM lb GROUP BY doc_id, bucket) dc
+      JOIN lp USING (bucket) GROUP BY doc_id
+    ),
+    lcc AS (
+      SELECT doc_id, score,
+             CASE WHEN rn * 3 <= nd THEN 'head'
+                  WHEN rn * 3 <= 2 * nd THEN 'middle'
+                  ELSE 'tail' END AS tier
+      FROM (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+                   (SELECT count(*) FROM lsc) AS nd
+            FROM lsc)
     )
     SELECT 'langid' AS variant, predicted, count(*)::BIGINT AS n,
            (count(*) FILTER (WHERE predicted = lang))::BIGINT AS agree
@@ -2005,6 +2042,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dsl GROUP BY lbl
     UNION ALL
     SELECT 'dsir_doc', lbl, doc_id, s FROM dsl
+    UNION ALL
+    SELECT 'ccnet', tier, count(*)::BIGINT, sum(score)::BIGINT
+    FROM lcc GROUP BY tier
+    UNION ALL
+    SELECT 'ccnet_doc', tier, doc_id, score FROM lcc
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2020,6 +2062,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       predicted=keep/drop, n=doc_id, agree=the integer fixed-point score
       (operators/dedup.py:dsir_importance mode='fixed'; the paper's
       log-ratio form is pytest-tier because libm isn't bit-portable).
+    - ``ccnet`` / ``ccnet_doc``: CCNet head/middle/tail LM-quality
+      tertiles (operators/dedup.py:lm_quality_buckets) — per-tier doc
+      counts + score sums, and the per-doc (tier, doc_id, score) rows.
     """
     d = load(spark, sf_dir, "documents")
     pred = d.select("doc_id", "lang", TX.lang_id("text").alias("predicted"))
@@ -2041,7 +2086,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("n"),
         F.col("score").alias("agree"),
     )
-    return langid.unionByName(dsir).unionByName(dsir_doc)
+    ccb = D.lm_quality_buckets(d, target=F.col("lang") == "en", n_buckets=64)
+    ccnet = ccb.groupBy(F.col("tier").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("score").alias("agree")
+    ).select(F.lit("ccnet").alias("variant"), "predicted", "n", "agree")
+    ccnet_doc = ccb.select(
+        F.lit("ccnet_doc").alias("variant"),
+        F.col("tier").alias("predicted"),
+        F.col("doc_id").alias("n"),
+        F.col("score").alias("agree"),
+    )
+    return (
+        langid.unionByName(dsir).unionByName(dsir_doc)
+        .unionByName(ccnet).unionByName(ccnet_doc)
+    )
 
 
 @query(

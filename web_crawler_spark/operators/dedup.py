@@ -200,6 +200,107 @@ def dsir_importance(
     )
 
 
+def lm_quality_buckets(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+    salt: str = "lm",
+) -> DataFrame:
+    """CCNet-style language-model quality tiers (Wenzek et al. 2020 §4.3):
+    train a unigram LM on the TARGET domain (their Wikipedia; here the
+    boolean ``target`` column), score every document by how likely the LM
+    finds its tokens, and split the corpus into head / middle / tail
+    TERTILES of that score — head feeds training as-is, middle gets a
+    second look, tail is dropped. The companion to
+    :func:`dsir_importance`: DSIR contrasts target vs corpus, CCNet ranks
+    by target likelihood alone and keeps the decision relative (tertiles),
+    so it needs no threshold tuning.
+
+    Engine-exact restatement: tokens hash into ``n_buckets`` md5 buckets
+    (the same feature space as DSIR); the LM is the add-one-smoothed
+    fixed-point bucket probability ``p_b = ((t_b + 1)·scale) DIV
+    (T + n_buckets)`` — pure integer, so scores are bit-identical across
+    Spark/DuckDB/Python (the paper's log-perplexity needs libm, which is
+    not bit-portable; the tertile CUTS land identically either way since
+    avg-probability rank order is monotone in avg log-prob rank order
+    only approximately — this IS a different statistic, documented as
+    such, with the same head/middle/tail contract). Score = the
+    token-weighted mean bucket probability, integer-divided.
+
+    Tier assignment never sorts the corpus globally: the score HISTOGRAM
+    (≤ scale+1 distinct integer values, in practice a few hundred rows)
+    is aggregated, cumulated on the driver-side-sized table, and joined
+    back, so a document's global rank = docs-with-higher-score +
+    row_number within its own score partition (tie-broken by id — fully
+    deterministic). Rank r of n gets head when 3r ≤ n, middle when
+    3r ≤ 2n, else tail.
+
+    Plan shape: one bucket-histogram aggregate over target tokens
+    (map-side combinable) collected as ≤ n_buckets rows and rebroadcast
+    as data; one (id, bucket) aggregate + broadcast join + id rollup for
+    scores; one tiny histogram aggregate + per-score window for tiers.
+    The corpus shuffles on (id, bucket) and score only — never on raw
+    text. Returns (id, score BIGINT, n_toks BIGINT, tier) for every doc
+    with ≥ 1 token.
+    """
+    tok = F.explode(F.split(TX.normalize_text(text_col), " ")).alias("_tok")
+    base = df.select(F.col(id_col), target.alias("_is_t"), tok).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("_tok"))), 1, 4),
+                16, 10,
+            ).cast("int") % n_buckets
+        ).alias("_bucket"),
+    )
+    tcnt = {
+        r["_bucket"]: r["t"]
+        for r in base.filter("_is_t").groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("t")).collect()
+    }
+    total_t = sum(tcnt.values())
+    probs = [
+        (b, ((tcnt.get(b, 0) + 1) * scale) // (total_t + n_buckets))
+        for b in range(n_buckets)
+    ]
+    pdf = df.sparkSession.createDataFrame(probs, "_bucket int, _p long")
+    scored = (
+        base.groupBy(id_col, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(pdf), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.expr("sum(_n * _p) div sum(_n)").cast("long").alias("score"),
+            F.sum("_n").cast("long").alias("n_toks"),
+        )
+    )
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("_c"))
+    hw = Window.orderBy(F.col("score").desc())
+    cum = hist.select(
+        "score",
+        (F.sum("_c").over(hw) - F.col("_c")).alias("_before"),
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("_n_docs"))
+    rn = F.col("_before") + F.row_number().over(
+        Window.partitionBy("score").orderBy(id_col)
+    )
+    return (
+        scored.join(cum, "score")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            id_col, "score", "n_toks",
+            F.when(rn * 3 <= F.col("_n_docs"), F.lit("head"))
+            .when(rn * 3 <= 2 * F.col("_n_docs"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("tier"),
+        )
+    )
+
+
 def dedup_exact_text(df: DataFrame, text_col: str = "text", order: str | None = None) -> DataFrame:
     """Exact corpus dedup: hash-groupBy on the md5 fingerprint of
     normalized text; first-wins on ``order`` (or arbitrary if None)."""
