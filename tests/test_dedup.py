@@ -462,3 +462,53 @@ def test_lm_quality_buckets_tie_break_by_doc_id(spark):
            D.lm_quality_buckets(docs, F.col("is_t")).collect()}
     assert out == {0: "head", 1: "head", 2: "middle",
                    3: "middle", 4: "tail", 5: "tail"}
+
+
+# ---------------------------------------------------------------------------
+# unimax_allocation / unimax_sample (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_allocation_caps_small_strata_and_spills_to_large():
+    sizes = [("en", 218), ("de", 70), ("fr", 64), ("es", 73), ("zh", 75)]
+    # budget 400, 1 epoch: every small lang caps at its size, en soaks up
+    # the remainder
+    got = D.unimax_allocation(sizes, budget=400, max_epochs=1)
+    assert got == {"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 118}
+    assert sum(got.values()) == 400
+    # epoch cap 2 with a huge budget: everything caps at 2 epochs, the
+    # leftover budget goes unspent
+    got2 = D.unimax_allocation(sizes, budget=10_000, max_epochs=2)
+    assert got2 == {k: 2 * v for k, v in dict(sizes).items()}
+
+
+def test_unimax_allocation_deterministic_tie_break_by_name():
+    got = D.unimax_allocation([("b", 50), ("a", 50), ("c", 50)], 100, 1)
+    # equal sizes: processed a, b, c — integer split 33/33/34
+    assert got == {"a": 33, "b": 33, "c": 34}
+
+
+def test_unimax_sample_upsamples_with_copies(spark):
+    rows = [(i, "small") for i in range(10)] + [
+        (100 + i, "big") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = D.unimax_sample(df, budget=80, max_epochs=3, flags_only=True)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # small: alloc = min(3*10, 80//2=40) = 30 → every small doc 3 copies
+    assert all(got[i]["unimax_copies"] == 3 for i in range(10))
+    assert all(got[i]["unimax_alloc"] == 30 for i in range(10))
+    # big: alloc = 50 of 100 → copies ∈ {0,1}, deterministic per doc
+    big = [got[100 + i]["unimax_copies"] for i in range(100)]
+    assert set(big) <= {0, 1}
+    assert all(got[100 + i]["unimax_alloc"] == 50 for i in range(100))
+
+
+def test_unimax_sample_deterministic_under_repartition(spark):
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    key = lambda r: (r["doc_id"], r["unimax_copies"])
+    a = sorted(map(key, D.unimax_sample(df, budget=60, max_epochs=2).collect()))
+    b = sorted(map(key, D.unimax_sample(
+        df.repartition(16), budget=60, max_epochs=2).collect()))
+    assert a == b and len(a) > 0

@@ -474,6 +474,48 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
+    """UniMax allocation (operators/dedup.py:unimax_allocation) unrolled
+    over the documents table's fixed 5-language vocabulary: one CTE per
+    ascending-size step, budget = 80% of the corpus, epoch cap = 1."""
+    ctes = [
+        "z AS (SELECT lang, count(*)::BIGINT AS sz,"
+        " row_number() OVER (ORDER BY count(*), lang) AS rk"
+        " FROM documents GROUP BY lang)",
+        "tot AS (SELECT (sum(sz) * 4 // 5)::BIGINT AS b FROM z)",
+    ]
+    for i in range(1, n_langs + 1):
+        rem = "tot.b" if i == 1 else f"a{i - 1}.rem"
+        src = "z, tot" if i == 1 else f"z, a{i - 1}"
+        take = f"least({epochs} * z.sz, {rem} // {n_langs - i + 1})"
+        ctes.append(
+            f"a{i} AS (SELECT z.lang, z.sz, {take} AS alloc,"
+            f" {rem} - {take} AS rem FROM {src} WHERE z.rk = {i})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT lang, sz, alloc FROM a{i}" for i in range(1, n_langs + 1)
+    )
+    return f"""
+    UNION ALL
+    -- UniMax corpus mixing (Chung et al. 2023): ascending-size epoch-capped
+    -- allocation, realized as per-doc copy counts via the md5 bucket draw
+    SELECT 'sample_unimax', doc_id, copies, alloc::DOUBLE
+    FROM (
+      WITH {",".join(ctes)},
+      al AS ({unions})
+      SELECT d.doc_id,
+             (al.alloc // al.sz
+              + CASE WHEN (CAST(('0x' || substr(md5('unimax|' ||
+                             CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                           % 10000)::BIGINT
+                          < ((al.alloc % al.sz) * 10000) // al.sz
+                     THEN 1 ELSE 0 END)::BIGINT AS copies,
+             al.alloc AS alloc
+      FROM documents d JOIN al ON d.lang = al.lang
+    ) WHERE copies >= 1
+    """
+
+
 @query(
     "dedup_policies",
     oracle="""
@@ -630,7 +672,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY md5(para)) s
         ON md5(p.para) = s.h
       GROUP BY p.doc_id)
-    """,
+    """ + _unimax_oracle_arm(),
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2: the two exact-dedup survivor policies — first-wins via the
@@ -641,9 +683,11 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (operators/dedup.py:substring_dup_pairs) — plus benchmark
     decontamination, deterministic stratified sampling
     (operators/dedup.py:stratified_sample — per-language hash-Bernoulli
-    corpus mixing), and paragraph-granularity dedup in both survivor
-    policies (operators/dedup.py:paragraph_dedup — CCNet/Dolma boilerplate
-    drop and keep-first). All unioned under a policy tag."""
+    corpus mixing), UniMax epoch-capped mixing (operators/dedup.py:
+    unimax_sample — ascending-size allocation realized as per-doc copy
+    counts), and paragraph-granularity dedup in both survivor policies
+    (operators/dedup.py:paragraph_dedup — CCNet/Dolma boilerplate drop
+    and keep-first). All unioned under a policy tag."""
     li = load(spark, sf_dir, "lineitem")
     first = D.dedup_first_wins(
         li.withColumn("_ord", F.struct("l_linenumber", "l_partkey", "l_suppkey")),
@@ -726,9 +770,21 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dropped").cast("double").alias("val"),
         )
 
+    # UniMax mixing (Chung et al. 2023): 80%-of-corpus budget, 1-epoch cap
+    # — small languages cap out, the dominant one absorbs the slack and is
+    # hash-downsampled to the leftover allocation
+    uni = D.unimax_sample(
+        d.select("doc_id", "lang"), stratum="lang", key="doc_id",
+        budget=d.count() * 4 // 5, max_epochs=1,
+    ).select(
+        F.lit("sample_unimax").alias("policy"),
+        F.col("doc_id").alias("grp"),
+        F.col("unimax_copies").alias("chosen"),
+        F.col("unimax_alloc").cast("double").alias("val"),
+    )
     return (
         first.unionByName(best).unionByName(sub).unionByName(decon)
-        .unionByName(samp)
+        .unionByName(samp).unionByName(uni)
         .unionByName(para_arm("boilerplate", "para_boiler"))
         .unionByName(para_arm("keep_first", "para_keepfirst"))
     )

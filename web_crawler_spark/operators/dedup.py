@@ -105,6 +105,95 @@ def stratified_sample(
     return out.filter(keep)
 
 
+def unimax_allocation(
+    sizes: list[tuple[str, int]], budget: int, max_epochs: int
+) -> dict[str, int]:
+    """UniMax budget allocation (Chung et al. 2023): iterate strata
+    ASCENDING by size, give each the remaining budget split evenly over
+    the strata left, capped at ``max_epochs`` passes over the stratum —
+    small languages never repeat past the epoch cap, large ones absorb
+    the slack. Pure integer arithmetic (floor division), tie-broken by
+    stratum name, so the allocation is engine- and platform-exact.
+    Leftover budget (everything capped) simply goes unspent, as in the
+    paper. Returns {stratum: allocated example count}."""
+    order = sorted(sizes, key=lambda kv: (kv[1], kv[0]))
+    n = len(order)
+    remaining = int(budget)
+    allocs: dict[str, int] = {}
+    for i, (name, sz) in enumerate(order):
+        alloc = min(int(max_epochs) * int(sz), remaining // (n - i))
+        allocs[name] = alloc
+        remaining -= alloc
+    return allocs
+
+
+def unimax_sample(
+    df: DataFrame,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    budget: int = 0,
+    max_epochs: int = 1,
+    salt: str = "unimax",
+    flags_only: bool = False,
+) -> DataFrame:
+    """UniMax corpus mixing (Chung et al. 2023) as a deterministic
+    sampling operator: compute the per-stratum allocation with
+    :func:`unimax_allocation`, then realize it per row as a COPY COUNT —
+    ``alloc div size`` full epochs for every row plus one extra copy for
+    the hash-selected fraction ``alloc mod size`` (the same md5-bucket
+    draw as :func:`stratified_sample`, so membership is stable under
+    corpus growth, re-partitioning, and reruns). Downsampling is
+    copies ∈ {0,1}; upsampling epochs emerge naturally as copies ≥ 2.
+
+    Plan shape: one map-side-combinable groupBy(stratum) count collected
+    as #strata rows (languages — metadata, not corpus), the allocation
+    loop runs on the driver, and the decision returns to the plan as a
+    literal CASE — zero joins, pure codegen column algebra over the
+    corpus. Appends ``unimax_bucket`` / ``unimax_alloc`` /
+    ``unimax_copies`` and filters to copies ≥ 1 (or keeps every row when
+    ``flags_only``)."""
+    sizes = [
+        (r["_s"], r["_n"])
+        for r in df.groupBy(F.col(stratum).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    ]
+    allocs = unimax_allocation(sizes, budget, max_epochs)
+    szmap = dict(sizes)
+    s = F.col(stratum)
+    alloc_col: Column = F.lit(0).cast("long")
+    sz_col: Column = F.lit(1).cast("long")
+    for name in sorted(allocs):
+        alloc_col = F.when(s == name, F.lit(allocs[name])).otherwise(alloc_col)
+        sz_col = F.when(s == name, F.lit(szmap[name])).otherwise(sz_col)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % 10000
+    )
+    out = df.select(
+        "*",
+        bucket.cast("long").alias("unimax_bucket"),
+        alloc_col.alias("unimax_alloc"),
+        sz_col.alias("_sz"),
+    )
+    copies = (
+        F.expr("unimax_alloc div _sz")
+        + F.when(
+            F.col("unimax_bucket")
+            < F.expr("((unimax_alloc % _sz) * 10000) div _sz"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    out = out.withColumn("unimax_copies", copies).drop("_sz")
+    if flags_only:
+        return out
+    return out.filter(F.col("unimax_copies") >= 1)
+
+
 def dsir_importance(
     df: DataFrame,
     target: Column,
