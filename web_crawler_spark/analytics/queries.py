@@ -1997,6 +1997,49 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_pk", "_pii", "_cl")
 
 
+def _bpe_oracle_ctes(k: int = 6) -> str:
+    """Unrolled BPE merge learning (operators/bpe.py:bpe_learn): word-freq
+    table → per-round wrapped-pair counts → argmax (count desc, pair
+    bytewise) → literal-replace merge application. chr(31) is the symbol
+    sentinel; a merge's replace target/result are derived from the
+    winning wrapped pair itself."""
+    toks = _TOKS_SQL.format(col="text")
+    ctes = [
+        f"""bw AS (SELECT tok AS w, count(*)::BIGINT AS cnt
+             FROM (SELECT unnest({toks}) AS tok FROM documents)
+             WHERE tok <> '' GROUP BY tok)""",
+        r"be0 AS (SELECT cnt, regexp_replace(w, '(.)',"
+        r" chr(31)||'\1'||chr(31), 'g') AS e FROM bw)",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(f"""bp{r} AS (
+          SELECT pw, sum(cnt)::BIGINT AS c FROM (
+            SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+                   i -> chr(31)||s[i]||chr(31)||chr(31)||s[i+1]||chr(31))) AS pw
+            FROM (SELECT cnt, string_split(substr(e, 2, length(e) - 2),
+                                           chr(31)||chr(31)) AS s
+                  FROM be{r - 1}))
+          GROUP BY pw)""")
+        ctes.append(
+            f"bb{r} AS (SELECT pw, c FROM bp{r} ORDER BY c DESC, pw LIMIT 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"be{r} AS (SELECT cnt, replace(e, (SELECT pw FROM bb{r}),"
+                f" replace((SELECT pw FROM bb{r}), chr(31)||chr(31), ''))"
+                f" AS e FROM be{r - 1})"
+            )
+    return ",\n".join(ctes)
+
+
+def _bpe_oracle_select(k: int = 6) -> str:
+    return "\n    UNION ALL\n".join(
+        f"SELECT 'bpe', replace(substr(pw, 2, length(pw) - 2),"
+        f" chr(31)||chr(31), ' '), {r}::BIGINT, c FROM bb{r}"
+        for r in range(1, k + 1)
+    )
+
+
 @query(
     "lang_id",
     oracle=f"""
@@ -2088,7 +2131,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
                    (SELECT count(*) FROM lsc) AS nd
             FROM lsc)
-    )
+    ),
+    {_bpe_oracle_ctes()}
     SELECT 'langid' AS variant, predicted, count(*)::BIGINT AS n,
            (count(*) FILTER (WHERE predicted = lang))::BIGINT AS agree
     FROM p GROUP BY predicted
@@ -2103,6 +2147,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lcc GROUP BY tier
     UNION ALL
     SELECT 'ccnet_doc', tier, doc_id, score FROM lcc
+    UNION ALL
+    {_bpe_oracle_select()}
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,6 +2167,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``ccnet`` / ``ccnet_doc``: CCNet head/middle/tail LM-quality
       tertiles (operators/dedup.py:lm_quality_buckets) — per-tier doc
       counts + score sums, and the per-doc (tier, doc_id, score) rows.
+    - ``bpe``: the first 6 learned BPE merges over the corpus word-freq
+      table (operators/bpe.py:bpe_learn) — predicted='left right',
+      n=merge rank, agree=pair count.
     """
     d = load(spark, sf_dir, "documents")
     pred = d.select("doc_id", "lang", TX.lang_id("text").alias("predicted"))
@@ -2152,9 +2201,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("n"),
         F.col("score").alias("agree"),
     )
+    from web_crawler_spark.operators import bpe as BPE
+
+    merges = BPE.bpe_learn(d, "text", n_merges=6)
+    bpe = spark.createDataFrame(
+        [("bpe", f"{l} {r}", rank, cnt) for rank, l, r, cnt in merges],
+        "variant string, predicted string, n long, agree long",
+    )
     return (
         langid.unionByName(dsir).unionByName(dsir_doc)
-        .unionByName(ccnet).unionByName(ccnet_doc)
+        .unionByName(ccnet).unionByName(ccnet_doc).unionByName(bpe)
     )
 
 
