@@ -43,6 +43,16 @@ def main() -> None:
     ap.add_argument("--dsir-target-lang", default=None,
                     help="enable DSIR selection with this labeled lang "
                          "as the target domain (e.g. 'en')")
+    ap.add_argument("--lm-target-lang", default=None,
+                    help="enable the CCNet LM-quality stage with this "
+                         "labeled lang as the LM training domain; keeps "
+                         "the head+middle tertiles")
+    ap.add_argument("--unimax-budget", type=int, default=None,
+                    help="switch mixing to UniMax with this doc budget")
+    ap.add_argument("--unimax-epochs", type=int, default=1)
+    ap.add_argument("--learn-bpe", type=int, default=None,
+                    help="train this many BPE merges on the released "
+                         "corpus and append n_bpe_tokens")
     ap.add_argument("--shard-bytes", type=int, default=4 * 1024 * 1024)
     args = ap.parse_args()
 
@@ -71,6 +81,13 @@ def main() -> None:
                 F.col("lang") == args.dsir_target_lang
                 if args.dsir_target_lang else None
             ),
+            lm_target=(
+                F.col("lang") == args.lm_target_lang
+                if args.lm_target_lang else None
+            ),
+            unimax_budget=args.unimax_budget,
+            unimax_epochs=args.unimax_epochs,
+            learn_bpe=args.learn_bpe,
         ).persist()
         n_out = out.count()
         out.write.mode("overwrite").parquet(args.out)

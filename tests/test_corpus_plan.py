@@ -179,3 +179,38 @@ def test_pair_corpus_end_to_end(spark):
                                 align_threshold=0.99)
     # identical embeddings → cosine 1.0 ≥ 0.99 → same survivors
     assert {r["image_id"] for r in gated.collect()} == ids
+
+
+def test_text_corpus_lm_unimax_and_bpe_stages(spark):
+    """Round-4 session-5 stages: CCNet LM tertile gate (tail dropped),
+    UniMax mixing (copy counts ride along), and BPE tokenized lengths."""
+    docs = _docs(spark)
+    base = C.build_text_corpus(docs)
+    out = C.build_text_corpus(
+        docs,
+        lm_target=F.col("lang") == "en",
+        unimax_budget=200, unimax_epochs=2,
+        learn_bpe=4,
+    )
+    rows = out.collect()
+    assert rows, "pipeline kept nothing"
+    assert out.columns == [
+        "doc_id", "lang", "text_redacted", "n_tokens", "split",
+        "pack_bucket", "pack_bin", "pack_offset",
+        "unimax_copies", "n_bpe_tokens",
+    ]
+    # the LM tier gate is a real filter: strictly fewer docs than baseline
+    assert len(rows) < base.count()
+    for r in rows:
+        assert r["unimax_copies"] >= 1
+        # every merge can only shrink a doc's token count, and BPE tokens
+        # are at most the character count
+        assert 0 < r["n_bpe_tokens"] <= len(r["text_redacted"])
+    # deterministic
+    again = C.build_text_corpus(
+        docs,
+        lm_target=F.col("lang") == "en",
+        unimax_budget=200, unimax_epochs=2,
+        learn_bpe=4,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

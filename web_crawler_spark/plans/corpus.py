@@ -11,8 +11,10 @@ LAION/DataComp for pairs):
           line-level cleaning → lang-ID gate → quality gate →
           Gopher repetition gate → PII scrub → exact dedup →
           substring/near-dup drop → benchmark decontamination →
-          DSIR target-domain selection → stratified mixing →
-          train/val/test split → sequence packing
+          DSIR target-domain selection → CCNet LM-quality tiers →
+          stratified or UniMax mixing → train/val/test split →
+          sequence packing → optional BPE vocabulary training +
+          tokenized lengths
   pairs:  metadata curation gates → exact caption dedup →
           phash near-dup collapse → CLIP-score-style alignment gate →
           aspect-ratio bucketing → WebDataset shard layout
@@ -21,9 +23,13 @@ Shuffle audit (the 100 TB shape): line cleaning, the per-document gates
 and the scrub are narrow (zero shuffles, whole-stage codegen); each
 dedup/decon stage shuffles once on its key; DSIR adds two map-side-
 combinable bucket aggregations (its distribution table is n_buckets
-rows, rebroadcast as data); mixing/split are narrow again; packing
-windows per md5 bucket (parallelism = n_buckets). Nothing corpus-sized
-collects to the driver and no stage is all-pairs.
+rows, rebroadcast as data); the CCNet LM stage is the same shape plus a
+histogram-sized cumulation (never a global corpus sort); mixing/split
+are narrow again (UniMax collects only the #languages size table);
+packing windows per md5 bucket (parallelism = n_buckets); BPE training
+folds the corpus to the vocabulary ONCE, then each merge round is
+vocab-sized. Nothing corpus-sized collects to the driver and no stage
+is all-pairs.
 """
 
 from __future__ import annotations
@@ -49,6 +55,11 @@ def build_text_corpus(
     dsir_target=None,
     para_min_df: int | None = None,
     para_mode: str = "boilerplate",
+    lm_target=None,
+    lm_keep_tiers: tuple[str, ...] = ("head", "middle"),
+    unimax_budget: int | None = None,
+    unimax_epochs: int = 1,
+    learn_bpe: int | None = None,
 ) -> DataFrame:
     """Raw documents (doc_id, text, lang, …) → release-ready corpus with
     (doc_id, lang, text_redacted, n_tokens, split, pack_bucket/bin/offset).
@@ -63,6 +74,16 @@ def build_text_corpus(
     schema, e.g. ``F.col("lang") == "en"``) enables DSIR importance
     resampling after decontamination: only docs scoring ≥ 0 against the
     target-vs-raw hashed-unigram contrast survive to mixing.
+
+    ``lm_target`` (a boolean Column, e.g. the labeled in-domain rows)
+    enables the CCNet LM-quality stage: documents are scored by the
+    target-trained fixed-point unigram LM and only the ``lm_keep_tiers``
+    tertiles survive (CCNet keeps head+middle). ``unimax_budget``
+    switches mixing from per-stratum rates to UniMax epoch-capped
+    allocation over ``lang`` (docs with ≥ 1 copy survive; the copy count
+    rides along as ``unimax_copies``). ``learn_bpe`` = n merges: train a
+    BPE vocabulary on the RELEASED text and append ``n_bpe_tokens`` (the
+    post-merge token count a loader would see).
 
     ``para_min_df`` (CCNet ordering: cross-document paragraph dedup runs
     FIRST, before any per-document gate) rewrites each doc's text through
@@ -135,16 +156,29 @@ def build_text_corpus(
             sel.filter("keep").select("doc_id"), "doc_id", "left_semi"
         )
 
-    mixed = (
-        D.stratified_sample(
+    if lm_target is not None:
+        tiers = D.lm_quality_buckets(
+            deduped, target=lm_target, text_col="text_redacted"
+        )
+        deduped = deduped.join(
+            tiers.filter(F.col("tier").isin(*lm_keep_tiers)).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+
+    if unimax_budget is not None:
+        mixed = D.unimax_sample(
+            deduped, stratum="lang", key="doc_id",
+            budget=unimax_budget, max_epochs=unimax_epochs,
+        ).drop("unimax_bucket", "unimax_alloc")
+    elif mix_rates:
+        mixed = D.stratified_sample(
             deduped, "doc_id", "lang", mix_rates, default_rate=default_mix_rate
         )
-        if mix_rates
-        else deduped
-    )
+    else:
+        mixed = deduped
 
     n_tokens = F.size(F.split(TX.normalize_text("text_redacted"), " "))
-    return (
+    out = (
         mixed.withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("split", TX.hash_split("doc_id"))
         .withColumn(
@@ -159,8 +193,18 @@ def build_text_corpus(
             F.col("_pk.bucket").alias("pack_bucket"),
             F.col("_pk.bin").alias("pack_bin"),
             F.col("_pk.offset").alias("pack_offset"),
+            *(["unimax_copies"] if unimax_budget is not None else []),
         )
     )
+    if learn_bpe:
+        from web_crawler_spark.operators import bpe as BPE
+
+        merges = BPE.bpe_learn(out, "text_redacted", n_merges=learn_bpe)
+        out = out.withColumn(
+            "n_bpe_tokens",
+            F.size(BPE.bpe_apply("text_redacted", merges)).cast("long"),
+        )
+    return out
 
 
 def build_pair_corpus(
