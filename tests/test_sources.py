@@ -402,3 +402,62 @@ def test_sitemap_index_classification_and_routing(spark):
     # urlset doc: locs are pages and /login IS excluded
     assert [r["loc_url"] for r in by_k[2]] == ["https://b.com/office"]
     assert by_k[2][0]["loc_kind"] == "page"
+
+
+# ---------------------------------------------------------------------------
+# WET/WARC crawl-archive ingestion (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+def _wet_chunk() -> str:
+    b1 = "hello world this is page one"
+    b2 = "second page text"
+    return (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        "WARC-Date: 2024-01-15T00:00:00Z\r\nContent-Length: 9\r\n\r\n"
+        "wet-stats\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://a.example/\r\n"
+        f"WARC-Date: 2024-01-15T00:00:01Z\r\nContent-Length: {len(b1)}\r\n\r\n"
+        f"{b1}\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://b.example/\r\n"
+        "WARC-Date: 2024-01-15T00:00:02Z\r\nContent-Length: 99\r\n\r\n"
+        f"{b2}\r\n\r\n"
+    )
+
+
+def test_wet_parse_fields_order_and_framing_flag(spark):
+    from web_crawler_spark.sources import warc as W
+
+    df = spark.createDataFrame([(7, _wet_chunk())], "k long, wet string")
+    rows = {r["record_ord"]: r for r in W.parse_wet_records(df).collect()}
+    assert len(rows) == 3
+    assert rows[0]["warc_type"] == "warcinfo"
+    assert rows[0]["target_uri"] is None and rows[0]["len_ok"]
+    assert rows[1]["target_uri"] == "https://a.example/"
+    assert rows[1]["body"] == "hello world this is page one"
+    assert rows[1]["content_length"] == 28 and rows[1]["len_ok"]
+    # the planted Content-Length violation flags, fields don't shift
+    assert rows[2]["body"] == "second page text"
+    assert rows[2]["content_length"] == 99 and rows[2]["len_ok"] is False
+    assert rows[2]["warc_date"] == "2024-01-15T00:00:02Z"
+
+
+def test_wet_read_scale_path_matches_chunk_parse(spark, tmp_path):
+    from web_crawler_spark.sources import warc as W
+
+    p = tmp_path / "shard0.wet"
+    p.write_text(_wet_chunk())
+    got = sorted(
+        (r["record_ord"], r["warc_type"], r["target_uri"], r["body"],
+         r["len_ok"])
+        for r in W.read_wet(spark, str(tmp_path)).collect()
+    )
+    chunk_df = spark.createDataFrame([(1, _wet_chunk())], "k long, wet string")
+    want = sorted(
+        (r["record_ord"], r["warc_type"], r["target_uri"], r["body"],
+         r["len_ok"])
+        for r in W.parse_wet_records(chunk_df).collect()
+    )
+    assert got == want

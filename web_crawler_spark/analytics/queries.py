@@ -6399,6 +6399,123 @@ def _trap_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WET shard fixture: every 10th order renders a 3-record Common-Crawl-style
+# WET chunk — a warcinfo record, a well-framed conversion record (body =
+# o_comment, honest Content-Length), and a conversion record with a PLANTED
+# Content-Length violation (the parser must flag len_ok=false, never shift
+# fields). Mirrored record-for-record in the oracle.
+_WET_CRLF = "\r\n"
+_WET_SQL_CRLF = "chr(13)||chr(10)"
+
+_WET_ORACLE = f"""
+    WITH wsrc AS (
+      SELECT o_orderkey AS k,
+             concat('order ', o_orderkey, ' status ', o_orderstatus,
+                    ' placed ', o_orderdate::VARCHAR) AS page_text
+      FROM orders WHERE o_orderkey % 10 = 0),
+    wf AS (
+      SELECT k,
+             concat(
+               'WARC/1.0', {_WET_SQL_CRLF},
+               'WARC-Type: warcinfo', {_WET_SQL_CRLF},
+               'WARC-Date: 2024-01-15T00:00:00Z', {_WET_SQL_CRLF},
+               'Content-Length: 9', {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               'wet-stats', {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               'WARC/1.0', {_WET_SQL_CRLF},
+               'WARC-Type: conversion', {_WET_SQL_CRLF},
+               'WARC-Target-URI: https://w', k, '.example.com/a',
+               {_WET_SQL_CRLF},
+               'WARC-Date: 2024-01-15T00:00:01Z', {_WET_SQL_CRLF},
+               'Content-Length: ', length(page_text),
+               {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               page_text, {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               'WARC/1.0', {_WET_SQL_CRLF},
+               'WARC-Type: conversion', {_WET_SQL_CRLF},
+               'WARC-Target-URI: https://w', k, '.example.com/b',
+               {_WET_SQL_CRLF},
+               'WARC-Date: 2024-01-15T00:00:02Z', {_WET_SQL_CRLF},
+               'Content-Length: ', length(page_text),
+               {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               'copy: ', page_text, {_WET_SQL_CRLF}, {_WET_SQL_CRLF}
+             ) AS wet
+      FROM wsrc),
+    wx AS (
+      SELECT k, u['ord'] AS record_ord, u['rec'] AS rec
+      FROM (SELECT k,
+                   unnest(list_transform(
+                     generate_series(2, len(parts)),
+                     i -> {{'ord': i - 2, 'rec': parts[i]}})) AS u
+            FROM (SELECT k,
+                         string_split_regex(wet,
+                           'WARC/1\\.0' || {_WET_SQL_CRLF}) AS parts
+                  FROM wf))),
+    wp AS (
+      SELECT k, record_ord,
+             nullif(regexp_extract(hd, 'WARC-Type: ([^' || chr(13) || chr(10)
+               || ']+)', 1), '') AS warc_type,
+             nullif(regexp_extract(hd, 'WARC-Target-URI: ([^' || chr(13)
+               || chr(10) || ']+)', 1), '') AS target_uri,
+             nullif(regexp_extract(hd, 'WARC-Date: ([^' || chr(13) || chr(10)
+               || ']+)', 1), '') AS warc_date,
+             nullif(regexp_extract(hd, 'Content-Length: ([^' || chr(13)
+               || chr(10) || ']+)', 1), '')::BIGINT AS content_length,
+             body
+      FROM (SELECT k, record_ord,
+                   split_part(rec, {_WET_SQL_CRLF} || {_WET_SQL_CRLF}, 1)
+                     AS hd,
+                   regexp_replace(
+                     substr(rec, length(split_part(rec,
+                       {_WET_SQL_CRLF} || {_WET_SQL_CRLF}, 1)) + 5),
+                     '(' || chr(13) || chr(10) || ')+$', '', 'g') AS body
+            FROM wx))
+    SELECT k, record_ord::BIGINT AS record_ord, warc_type, target_uri,
+           warc_date, content_length, md5(body) AS body_md5,
+           length(body) = content_length AS len_ok
+    FROM wp
+"""
+
+
+def _warc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_wet_records over the synthesized 3-record WET shards."""
+    from web_crawler_spark.sources import warc as W
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    k = F.col("o_orderkey")
+    crlf = _WET_CRLF
+
+    def rec(typ: str, path: str | None, date: str, cl, body) -> F.Column:
+        uri = (
+            F.concat(
+                F.lit("WARC-Target-URI: https://w"), k.cast("string"),
+                F.lit(f".example.com/{path}{crlf}"),
+            )
+            if path is not None
+            else F.lit("")
+        )
+        return F.concat(
+            F.lit(f"WARC/1.0{crlf}WARC-Type: {typ}{crlf}"), uri,
+            F.lit(f"WARC-Date: {date}{crlf}Content-Length: "),
+            cl.cast("string"), F.lit(crlf + crlf), body, F.lit(crlf + crlf),
+        )
+
+    page_text = F.concat(
+        F.lit("order "), k.cast("string"),
+        F.lit(" status "), F.col("o_orderstatus"),
+        F.lit(" placed "), F.col("o_orderdate").cast("string"),
+    )
+    o = o.withColumn("_pt", page_text)
+    clen = F.length("_pt")
+    chunk = F.concat(
+        rec("warcinfo", None, "2024-01-15T00:00:00Z", F.lit(9),
+            F.lit("wet-stats")),
+        rec("conversion", "a", "2024-01-15T00:00:01Z", clen, F.col("_pt")),
+        # planted framing violation: body is 6 bytes longer than declared
+        rec("conversion", "b", "2024-01-15T00:00:02Z", clen,
+            F.concat(F.lit("copy: "), F.col("_pt"))),
+    )
+    return W.parse_wet_records(o.select(k.alias("k"), chunk.alias("wet")))
+
+
 # Redirect-chain fixture: 400 URL nodes; the mod-101 overlay plants 2-cycles
 # (20↔21, 121↔122, ...), every other non-multiple-of-5 node chains one step
 # down (n → n-1, terminating at a multiple of 5 unless the walk falls into a
@@ -6569,6 +6686,13 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _redirect_oracle()
     + """)
+    UNION ALL
+    SELECT 'warc', k, target_uri, body_md5, len_ok,
+           warc_type = 'conversion', NULL, NULL, NULL,
+           content_length, record_ord, warc_type, warc_date
+    FROM ("""
+    + _WET_ORACLE
+    + """)
     """
 )
 
@@ -6588,10 +6712,11 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-target anchor-text rollup (bounded distinct-cap
     formulation), Cho-style re-crawl scheduling (change-rate estimate
     from fingerprint transitions → integer freshness priority + due flag),
-    crawl-trap detection (per-host URL-template explosion test), and
+    crawl-trap detection (per-host URL-template explosion test),
     redirect-chain resolution (pointer-doubling to the terminal URL with
-    ERR_TOO_MANY_REDIRECTS loop flagging) — each over its dedicated
-    fixture."""
+    ERR_TOO_MANY_REDIRECTS loop flagging), and WET crawl-archive record
+    parsing (sources/warc.py — Content-Length framing validated as the
+    len_ok flag) — each over its dedicated fixture."""
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
@@ -6712,6 +6837,19 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hub_int").alias("rank"),
         _ns.alias("provider"), _ns.alias("label"),
     )
+    wr = _warc_rows(spark, sf_dir).select(
+        F.lit("warc").alias("kernel"),
+        F.col("k").alias("key"),
+        F.col("target_uri").alias("url"),
+        F.md5("body").alias("canonical"),
+        F.col("len_ok").alias("flag_a"),
+        (F.col("warc_type") == "conversion").alias("flag_b"),
+        _nb.alias("flag_c"), _nd.alias("lat"), _nd.alias("lon"),
+        F.col("content_length").alias("priority"),
+        F.col("record_ord").cast("long").alias("rank"),
+        F.col("warc_type").alias("provider"),
+        F.col("warc_date").alias("label"),
+    )
     rd = _redirect_rows(spark, sf_dir).select(
         F.lit("redirect").alias("kernel"),
         F.col("k").alias("key"), "url",
@@ -6735,7 +6873,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
-        .unionByName(ht).unionByName(rd)
+        .unionByName(ht).unionByName(rd).unionByName(wr)
     )
 
 
