@@ -351,3 +351,71 @@ def test_bm25_ranking_and_log_variant(spark):
     for k in want:  # libm-backed: close, and rank-preserving
         assert abs(logd[k] - want[k]) < 1e-12
     assert sorted(raw, key=raw.get) == sorted(logd, key=logd.get)
+
+
+def test_inverted_index_postings_and_stats(spark):
+    docs = [
+        (1, "spark merge table scan scan"),
+        (2, "table table table join"),
+        (3, "window stream batch merge"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    postings, tstats, cstats = SIM.build_inverted_index(df)
+    p = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in postings.collect()}
+    assert p[("scan", 1)] == (2, 5)
+    assert p[("table", 2)] == (3, 4)
+    assert p[("merge", 3)] == (1, 4)
+    assert ("scan", 2) not in p
+    ts = {r["term"]: r["df"] for r in tstats.collect()}
+    assert ts["table"] == 2 and ts["merge"] == 2 and ts["join"] == 1
+    cs = cstats.collect()[0]
+    assert (cs["n"], cs["total_len"]) == (3, 13)
+
+
+def test_bm25_indexed_bitwise_equals_scan_on_matching_docs(spark):
+    docs = [
+        (1, "spark merge table scan scan"),
+        (2, "table table table join"),
+        (3, "window stream batch merge"),
+        (4, "completely unrelated words here"),
+    ]
+    terms = ["table", "scan", "merge"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    scan = {r["doc_id"]: r["bm25"] for r in SIM.bm25_scores(df, terms).collect()}
+    postings, tstats, cstats = SIM.build_inverted_index(df)
+    cs = cstats.collect()[0]
+    idx = {
+        r["doc_id"]: r["bm25"]
+        for r in SIM.bm25_scores_indexed(
+            postings, tstats, cs["n"], cs["total_len"], terms
+        ).collect()
+    }
+    # candidates = docs containing >= 1 term; doc 4 is index-invisible
+    assert set(idx) == {1, 2, 3}
+    for k in idx:  # bit-exact, not approx: same literals, same op order
+        assert idx[k] == scan[k]
+    # a term absent from the corpus changes nothing (df=0 slot scores 0)
+    idx2 = {
+        r["doc_id"]: r["bm25"]
+        for r in SIM.bm25_scores_indexed(
+            postings, tstats, cs["n"], cs["total_len"], terms + ["zzz"]
+        ).collect()
+    }
+    assert idx2 == idx
+
+
+def test_inverted_index_partition_prune_on_term(spark, tmp_path):
+    """The 100 TB serving shape: postings written partitioned by term,
+    a query's term IN (...) filter becomes a partition prune — the scan
+    reads only the query's posting lists."""
+    docs = [(i, f"alpha w{i % 7} beta") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    postings, _, _ = SIM.build_inverted_index(df)
+    path = str(tmp_path / "postings")
+    postings.write.partitionBy("term").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("term").isin(["alpha", "w3"]))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "term" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
+    assert back.count() == 40 + sum(1 for i in range(40) if i % 7 == 3)

@@ -1083,6 +1083,42 @@ def _bm25_arm_oracle(qi: int, terms: list[str]) -> str:
     """
 
 
+def _bm25x_arm_oracle(qi: int, terms: list[str]) -> str:
+    """Index-served BM25 arm (operators/similarity.py:bm25_scores_indexed):
+    identical score arithmetic, but the candidate set is exactly the docs
+    containing >= 1 query term — what posting lists serve. The scan arm
+    ranks 0-score docs too; this one cannot, by construction."""
+    tf = [f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE" for t in terms]
+    dfc = [
+        f"(SELECT sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        " FROM tk)"
+        for t in terms
+    ]
+    contribs = [
+        f"""(((nn - {dfc[i]}) + 0.5) / ({dfc[i]} + 0.5))
+          * (({tf[i]} * (1.2 + 1.0))
+             / ({tf[i]} + (1.2 * (1.0 - 0.75))
+                + ((1.2 * 0.75) * ((l::DOUBLE * nn) / lss))))"""
+        for i in range(len(terms))
+    ]
+    hit = " OR ".join(f"list_contains(toks, '{t}')" for t in terms)
+    return f"""
+    SELECT 'bm25x:q{qi}' AS arm, {qi}::BIGINT AS grp, doc_id AS key,
+           round(s, 6) AS score, rk
+    FROM (
+      SELECT doc_id, s,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM (
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks,
+                           len({_TOKS_SQL.format(col='text')}) AS l
+                    FROM documents),
+        st AS (SELECT count(*)::BIGINT AS nn, sum(l)::BIGINT AS lss FROM tk)
+        SELECT doc_id, ({' + '.join(contribs)}) AS s
+        FROM tk, st WHERE ({hit}))
+    ) WHERE rk <= 20
+    """
+
+
 @query(
     "topk_per_group",
     oracle="""
@@ -1096,6 +1132,9 @@ def _bm25_arm_oracle(qi: int, terms: list[str]) -> str:
     """
     + "".join(
         "UNION ALL" + _bm25_arm_oracle(i, t) for i, t in enumerate(_BM25_QUERIES)
+    )
+    + "".join(
+        "UNION ALL" + _bm25x_arm_oracle(i, t) for i, t in enumerate(_BM25_QUERIES)
     ),
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1128,6 +1167,28 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 20)
             .select(
                 F.lit(f"bm25:q{qi}").alias("arm"),
+                F.lit(qi).cast("long").alias("grp"),
+                F.col("doc_id").alias("key"),
+                F.round("bm25", 6).alias("score"),
+                "rk",
+            )
+        )
+        out = out.unionByName(arm)
+    # index-served twins: same queries answered from posting lists
+    # (build_inverted_index → bm25_scores_indexed); candidates are the
+    # matching docs only, scores bit-identical to the scan arm's
+    postings, tstats, cstats = SIM.build_inverted_index(d)
+    cs = cstats.collect()[0]
+    for qi, terms in enumerate(_BM25_QUERIES):
+        scored = SIM.bm25_scores_indexed(
+            postings, tstats, int(cs["n"]), int(cs["total_len"]), terms
+        )
+        wq = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        arm = (
+            scored.withColumn("rk", F.row_number().over(wq).cast("long"))
+            .filter(F.col("rk") <= 20)
+            .select(
+                F.lit(f"bm25x:q{qi}").alias("arm"),
                 F.lit(qi).cast("long").alias("grp"),
                 F.col("doc_id").alias("key"),
                 F.round("bm25", 6).alias("score"),

@@ -471,3 +471,106 @@ def bm25_scores(
         )
         score = contrib if score is None else score + contrib
     return base.select(F.col(id_col), score.alias("bm25"))
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the classic inverted index over a text corpus: the
+    build-once / serve-many physical layout that makes retrieval cost
+    proportional to the query's posting lists instead of the corpus.
+
+    Returns three DataFrames:
+
+    - ``postings``: one row per (term, doc) — ``(term, doc_id, tf LONG,
+      dl LONG)``. The doc length rides IN the posting row (the
+      impact-ordered-index trick), so scoring never joins back to the
+      corpus. One exchange on (term, doc_id, dl) with map-side combine —
+      token repeats collapse before the shuffle.
+    - ``term_stats``: ``(term, df LONG)`` — document frequency per term,
+      derived from the postings (no second corpus scan).
+    - ``corpus_stats``: one row ``(n LONG, total_len LONG)``.
+
+    At 100 TB the postings table is written partitioned/bucketed by a
+    term hash so a query's ``term IN (...)`` filter is a partition prune;
+    in-plan, Catalyst pushes the same filter through the build aggregate
+    (term is a grouping key), so even build-and-serve-in-one-plan only
+    shuffles the query terms' postings (verified in
+    tests/test_similarity_grid.py).
+    """
+    toks = F.split(TX.normalize_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    corpus_stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_len")
+    )
+    return postings, term_stats, corpus_stats
+
+
+def bm25_scores_indexed(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n: int,
+    total_len: int,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = False,
+) -> DataFrame:
+    """BM25 served FROM the inverted index: candidates are exactly the
+    docs containing >= 1 query term, fetched by a ``term IN (...)``
+    posting-list prune — the corpus itself is never touched. Scores are
+    bit-identical to :func:`bm25_scores` on the candidate set: per-term
+    tf arrives as a LONG slot sum over disjoint posting rows (adding
+    exact zeros, so fold order cannot change the value), and the score
+    expression is the same literals in the same syntactic order.
+
+    ``term_stats`` rows for the query terms collect to the driver and
+    re-embed as literals (the codebook pattern): df is per-term metadata,
+    never a per-row join. Docs containing none of the terms score 0.0 in
+    the scan variant and are absent here — the index serves "top-k of
+    matching docs", which is what an index CAN serve and what retrieval
+    means at 100 TB.
+
+    Returns (doc_id, bm25 DOUBLE).
+    """
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(list(terms))).collect()
+    }
+    cand = postings.filter(F.col("term").isin(list(terms)))
+    slots = [
+        F.sum(
+            F.when(F.col("term") == F.lit(t), F.col("tf")).otherwise(F.lit(0))
+        ).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    g = cand.groupBy("doc_id", "dl").agg(*slots)
+    ld = F.col("dl").cast("double")
+    score = None
+    for i, t in enumerate(terms):
+        df_t = dfs.get(t, 0)
+        idf = F.lit(float(n - df_t) + 0.5) / F.lit(float(df_t) + 0.5)
+        if log_idf:
+            idf = F.log(F.lit(1.0) + idf)
+        tf = F.col(f"_tf{i}").cast("double")
+        contrib = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1 * (1.0 - b))
+               + F.lit(k1 * b) * (ld * F.lit(float(n)) / F.lit(float(total_len))))
+        )
+        score = contrib if score is None else score + contrib
+    return g.select("doc_id", score.alias("bm25"))
