@@ -419,3 +419,90 @@ def test_inverted_index_partition_prune_on_term(spark, tmp_path):
         "PartitionFilters:"
     )[1][:200]
     assert back.count() == 40 + sum(1 for i in range(40) if i % 7 == 3)
+
+
+def _pq_py_reference(rows, m=4, k=8):
+    """Single-threaded reference of pq_codebooks + pq_encode: per-subspace
+    hash-seeded codebooks, micro-unit L2^2, argmin with low-j ties."""
+    import hashlib
+    import math
+
+    dim = len(next(iter(rows.values())))
+    sub = dim // m
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def dm(a, b):
+        t = 0.0
+        for x, y in zip(a, b):
+            t = t + (x - y) * (x - y)
+        return math.floor(t * 1000000.0 + 0.5)
+
+    books = []
+    for s in range(m):
+        ids = sorted(rows, key=lambda i: (md5(f"pq{s}|{i}"), i))[:k]
+        books.append([rows[i][s * sub:(s + 1) * sub] for i in ids])
+
+    def code(v):
+        return [
+            min((dm(v[s * sub:(s + 1) * sub], c), j)
+                for j, c in enumerate(books[s]))[1]
+            for s in range(m)
+        ]
+
+    def adc(qv, cv_code):
+        return sum(
+            dm(qv[s * sub:(s + 1) * sub], books[s][cv_code[s]])
+            for s in range(m)
+        )
+
+    return books, code, adc
+
+
+def test_pq_encode_matches_python_reference(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = {i: [rnd.uniform(-1, 1) for _ in range(32)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows.items()], "vec_id long, embedding array<double>"
+    )
+    cb = SIM.pq_codebooks(df, m=4, k=8)
+    got = {r["vec_id"]: list(r["pq_code"]) for r in SIM.pq_encode(df, cb).collect()}
+    _, code, _ = _pq_py_reference(rows, m=4, k=8)
+    assert got == {i: code(v) for i, v in rows.items()}
+    assert all(len(c) == 4 and max(c) < 8 and min(c) >= 0 for c in got.values())
+
+
+def test_pq_topk_adc_exact_and_self_retrieval(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = {i: [rnd.uniform(-1, 1) for _ in range(32)] for i in range(80)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows.items()], "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    got = SIM.pq_topk(df, q, k=3, m=4, n_centroids=8).collect()
+    _, code, adc = _pq_py_reference(rows, m=4, k=8)
+    codes = {i: code(v) for i, v in rows.items()}
+    for r in got:  # score must be the exact negated micro-unit ADC sum
+        want = -(adc(rows[r["query_id"]], codes[r["vec_id"]]) / 1000000.0)
+        assert r["score"] == want
+    # ADC(q, q) uses q's own code: q is always in its own cell, so the
+    # self pair carries the minimal quantization distance — rank 1 unless
+    # another vector shares the identical code at lower distance
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    top1 = {qid: min(v)[1] for qid, v in by_q.items()}
+    assert sum(1 for qid in top1 if top1[qid] == qid) >= 4
+
+
+def test_pq_codebooks_reject_indivisible_dim(spark):
+    df = spark.createDataFrame([(1, [0.0] * 30)], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_codebooks(df, m=4, k=2)

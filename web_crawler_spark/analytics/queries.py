@@ -2554,6 +2554,52 @@ _BUCKET_SQL = (
                / ({_NORM2_SQL.format(a='qe')} * {_NORM2_SQL.format(a='a.embedding')}), 6)
                AS cosine
       FROM qprobe JOIN assign a USING (list_id)
+    ),
+    -- PQ-ADC tier (operators/similarity.py:pq_codebooks/pq_encode/pq_topk):
+    -- 4 subspaces x 8 codes, per-subspace hash-spread seeding; distances
+    -- quantized to integer micro-units (floor(d*1e6 + 0.5)) so argmins and
+    -- the ADC sum are integer-exact across engines. Queries are corpus
+    -- rows vec_id < 10, so their LUT rows ARE the cd rows.
+    sub4 AS (SELECT unnest(generate_series(0, 3)) AS s),
+    pseed AS (
+      SELECT sub4.s, e.vec_id, e.embedding,
+             row_number() OVER (PARTITION BY sub4.s
+               ORDER BY md5('pq' || sub4.s::VARCHAR || '|' || e.vec_id::VARCHAR),
+                        e.vec_id) AS rn
+      FROM sub4 CROSS JOIN embeddings e
+    ),
+    pcb AS (
+      SELECT s, rn - 1 AS j,
+             list_transform(generate_series(s*16+1, s*16+16),
+                            i -> embedding[i]::DOUBLE) AS ce
+      FROM pseed WHERE rn <= 8
+    ),
+    csub AS (
+      SELECT e.vec_id, sub4.s,
+             list_transform(generate_series(sub4.s*16+1, sub4.s*16+16),
+                            i -> e.embedding[i]::DOUBLE) AS sv
+      FROM embeddings e CROSS JOIN sub4
+    ),
+    cd AS (
+      SELECT csub.vec_id, csub.s, p.j,
+             CAST(floor(list_sum(list_transform(generate_series(1, 16),
+               i -> (csub.sv[i] - p.ce[i]) * (csub.sv[i] - p.ce[i])))
+               * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM csub JOIN pcb p USING (s)
+    ),
+    pqcode AS (
+      SELECT vec_id, s, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dm, j) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT qd.vec_id AS query_id, pqcode.vec_id,
+             -(sum(qd.dm)::DOUBLE / 1000000.0) AS cosine
+      FROM pqcode JOIN (SELECT * FROM cd WHERE vec_id < 10) qd
+        ON qd.s = pqcode.s AND qd.j = pqcode.j
+      GROUP BY 1, 2
     )
     SELECT 'brute' AS variant, query_id, vec_id, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2585,6 +2631,12 @@ _BUCKET_SQL = (
       JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1) c
         ON c.vec_id = i.vec_id + 1
     ) WHERE cosine >= 0.1
+    UNION ALL
+    SELECT 'pq', query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2660,7 +2712,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pair_id") + 1).alias("vec_id"),
         "cosine", F.lit(1).alias("rank"),
     )
-    return brute.unionByName(lsh).unionByName(ivf).unionByName(gate)
+    # pq: PQ-ADC tier (operators/similarity.py:pq_topk) — 4 subspaces x
+    # 8 codes, per-subspace hash-seeded codebooks; the 'cosine' column
+    # carries the arm's score (negated approx L2^2, exact integer
+    # micro-units under the hood), so rank direction matches the union
+    pq = SIM.pq_topk(
+        e, e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        k=5, m=4, n_centroids=8,
+    ).select(
+        F.lit("pq").alias("variant"), "query_id", "vec_id",
+        F.col("score").alias("cosine"), F.col("rank").cast("int").alias("rank"),
+    )
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(gate).unionByName(pq)
 
 
 @query(

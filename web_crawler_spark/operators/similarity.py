@@ -574,3 +574,189 @@ def bm25_scores_indexed(
         )
         score = contrib if score is None else score + contrib
     return g.select("doc_id", score.alias("bm25"))
+
+
+# ------------------------------------------------- product quantization ----
+def _l2sq_micro(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array slices in integer MICRO-UNITS:
+    floor(dist * 1e6 + 0.5) as LONG. Elements cast to double before the
+    subtract (see _dot); the fold is sequential so Spark, DuckDB list_sum,
+    and Python's left-to-right sum replay the same IEEE op sequence, and
+    the micro-unit quantization makes every downstream comparison and SUM
+    integer-exact — argmins and ADC totals cannot move between engines."""
+    d = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> DataFrame:
+    """Product-quantization codebooks as DATA (Jégou et al. 2011): the
+    vector space splits into ``m`` contiguous subspaces; each gets its own
+    ``k``-entry codebook. Returned as a one-row DataFrame whose ``_pcb``
+    column is array<array<struct<j, ce>>> [m][k] — the same
+    broadcast-codebook pattern as :func:`ivf_codebook`, so plan size is
+    O(1) in m·k and a Lloyd-trained codebook drops in as data.
+
+    Seeding is hash-spread PER SUBSPACE: subspace ``s`` takes the k corpus
+    vectors with the smallest ``md5('pq{s}|' || id)`` and slices out its
+    own dims — deterministic, cross-engine-reproducible, and decorrelated
+    across subspaces (each subspace sees a different k-sample of the
+    corpus, the PQ analogue of independent per-subspace k-means inits).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(
+                F.md5(F.concat(F.lit(f"{salt}{s}|"), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+            .limit(k)
+            .collect()
+        )
+        books.append(
+            [
+                (j, [float(x) for x in r[vec_col]][s * sub:(s + 1) * sub])
+                for j, r in enumerate(rows)
+            ]
+        )
+    return corpus.sparkSession.createDataFrame(
+        [(books,)], "_pcb array<array<struct<j:int, ce:array<double>>>>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its ``m``-byte PQ code: per subspace, the
+    index of the nearest codebook entry (micro-unit L2², ties to the
+    lower index). Shuffle-free — a broadcast one-row join plus nested
+    array HOFs; at cluster scale this is the projection that turns a
+    100 TB float corpus into an m-bytes-per-vector code table (16x-64x
+    smaller), written once and served forever. Returns
+    (id, pq_code array<int>)."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(codebooks))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_pcb"),
+                lambda cbs, s: F.array_min(
+                    F.transform(
+                        cbs,
+                        lambda ent: F.struct(
+                            _l2sq_micro(
+                                F.slice(
+                                    F.col("_v"),
+                                    s * F.size(ent["ce"]) + 1,
+                                    F.size(ent["ce"]),
+                                ),
+                                ent["ce"],
+                            ).alias("d"),
+                            ent["j"].alias("j"),
+                        ),
+                    )
+                )["j"],
+            ).alias("pq_code"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k (asymmetric distance computation): queries stay
+    full-precision, the corpus is its PQ codes, and each pair costs m
+    TABLE LOOKUPS instead of a dim-length dot product. The query side
+    projects its lookup table ONCE (micro-unit L2² from each query
+    subvector to every codebook entry — an [m][k] array column), then the
+    broadcast pair join sums m element_at's in fixed subspace order; the
+    total is an exact integer, so ranking is deterministic across
+    engines.
+
+    score = -(adc_micro / 1e6): higher is better (matches the rank
+    direction of the cosine tiers); the magnitude is the approximate
+    squared L2 distance. At 100 TB this composes with
+    :func:`ivf_assign` into IVFADC — codes partitioned by coarse list,
+    each query probing nprobe lists and paying m lookups per candidate —
+    and the code table is the only thing the hot path reads.
+
+    Returns (query_id, <id_col>, score DOUBLE, rank).
+    """
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, m, n_centroids, id_col, vec_col)
+    )
+    enc = pq_encode(corpus, cb, id_col, vec_col)
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .join(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("_pcb"),
+                lambda cbs, s: F.transform(
+                    cbs,
+                    lambda ent: _l2sq_micro(
+                        F.slice(
+                            F.col("_qv"),
+                            s * F.size(ent["ce"]) + 1,
+                            F.size(ent["ce"]),
+                        ),
+                        ent["ce"],
+                    ),
+                ),
+            ).alias("_lut"),
+        )
+    )
+    adist = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    scored = enc.join(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        (-(adist.cast("double") / F.lit(1000000.0))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
