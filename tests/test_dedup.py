@@ -512,3 +512,40 @@ def test_unimax_sample_deterministic_under_repartition(spark):
     b = sorted(map(key, D.unimax_sample(
         df.repartition(16), budget=60, max_epochs=2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_dedup_against_corpus_equals_exact_anti_join(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"standing doc number {i} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        # 0-49: verbatim re-crawls (drop); 50-79: genuinely new (keep);
+        # 80-81: near-miss revisions (keep — exact dedup only)
+        [(1000 + i, f"standing doc number {i} body") for i in range(50)]
+        + [(2000 + i, f"fresh increment doc {i}") for i in range(30)]
+        + [(3000, "standing doc number 7 body extra"), (3001, "Standing doc number 7 body!")],
+        "doc_id long, text string",
+    )
+    got = D.dedup_against_corpus(inc, corpus)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    # 3001 normalizes to doc 7's text (case/punct) → exact dup, drops
+    assert ids == sorted(list(range(2000, 2030)) + [3000])
+    assert "fingerprint" in got.columns
+
+
+def test_dedup_against_corpus_false_positives_verified_away(spark):
+    # a deliberately tiny sketch (64 bits/bucket) saturates and flags
+    # nearly everything maybe_seen — the exact verify join must still
+    # return precisely the anti-join result
+    corpus = spark.createDataFrame(
+        [(i, f"old {i}") for i in range(500)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, f"new {i}") for i in range(100)]
+        + [(5000 + i, f"old {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    got = D.dedup_against_corpus(inc, corpus, n_buckets=4, m_bits=64, k=2)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == list(range(1000, 1100))

@@ -2280,19 +2280,62 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH f AS (
       SELECT doc_id, md5({_NORM_SQL.format(col='text')}) AS fp FROM documents
+    ),
+    -- incremental ingest fixture: docs % 3 = 0 re-crawled verbatim (must
+    -- drop against the standing corpus), docs % 3 = 1 revised (new fp,
+    -- must survive)
+    inc AS (
+      SELECT doc_id + 10000000 AS doc_id, md5({_NORM_SQL.format(col='text')}) AS fp
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id,
+             md5({_NORM_SQL.format(col="concat(text, ' rev2')")}) AS fp
+      FROM documents WHERE doc_id % 3 = 1
     )
-    SELECT fp AS fingerprint, min(doc_id) AS survivor, count(*) AS n_dups
+    SELECT 'all' AS arm, fp AS fingerprint, min(doc_id) AS survivor,
+           count(*) AS n_dups
     FROM f GROUP BY fp
+    UNION ALL
+    SELECT 'incr' AS arm, fp AS fingerprint, min(doc_id) AS survivor,
+           count(*) AS n_dups
+    FROM inc WHERE fp NOT IN (SELECT fp FROM f)
+    GROUP BY fp
     """,
 )
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus dedup on the md5 fingerprint of normalized text."""
+    """Exact corpus dedup on the md5 fingerprint of normalized text,
+    tagged union (arm, fingerprint, survivor, n_dups):
+
+    - ``all``: whole-corpus dedup — one hash groupBy.
+    - ``incr``: incremental-ingest dedup (operators/dedup.py:
+      dedup_against_corpus) — a synthetic crawl increment (verbatim
+      re-crawls of docs % 3 = 0, revised texts of docs % 3 = 1) lands
+      against the standing corpus via the Bloom-sketch + exact-verify
+      path; re-crawls drop, revisions survive. The oracle states the
+      anti-join the sketch path must equal exactly.
+    """
     d = load(spark, sf_dir, "documents")
-    return (
+    allarm = (
         d.withColumn("fingerprint", TX.fingerprint("text"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("survivor"), F.count(F.lit(1)).alias("n_dups"))
+        .select(F.lit("all").alias("arm"), "fingerprint", "survivor", "n_dups")
     )
+    recrawl = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    revised = d.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+    )
+    increment = recrawl.unionByName(revised)
+    survivors = D.dedup_against_corpus(increment, d, text_col="text")
+    incr = (
+        survivors.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("survivor"), F.count(F.lit(1)).alias("n_dups"))
+        .select(F.lit("incr").alias("arm"), "fingerprint", "survivor", "n_dups")
+    )
+    return allarm.unionByName(incr)
 
 
 def _minhash_oracle(perms: int = 8, band: int = 2, thr: float = 0.7) -> str:

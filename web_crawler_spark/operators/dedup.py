@@ -401,6 +401,50 @@ def dedup_exact_text(df: DataFrame, text_col: str = "text", order: str | None = 
     return out.drop("_fp")
 
 
+def dedup_against_corpus(
+    increment: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+    **sketch_kw,
+) -> DataFrame:
+    """Incremental exact dedup: keep only the increment rows whose
+    normalized-text fingerprint does NOT already exist in the (much
+    larger) standing corpus — the recurring production shape where each
+    new crawl snapshot lands against a 100 TB corpus that must not be
+    re-shuffled per ingest.
+
+    Plan: the corpus folds ONCE into the partitioned Bloom sketch of its
+    fingerprints (operators/seen_filter.py — the URL-seen machinery,
+    reused byte-for-byte since a fingerprint is just a key string);
+    increment rows probe the broadcast sketch per Arrow batch. Rows the
+    sketch has definitely never seen pass WITH NO JOIN AT ALL; the
+    maybe-seen survivors (sketch false positives + true dups) verify
+    with an exact left_anti join against the corpus fingerprints — only
+    the collision set shuffles, so ingest cost tracks the increment and
+    the (tiny) collision volume, never the corpus. False positives can
+    only ADD rows to the verify join, never drop a new document — the
+    result is exactly the anti-join's.
+
+    Returns the increment's surviving rows plus their ``fp_col``
+    (intra-increment duplicates are NOT collapsed here — compose with
+    :func:`dedup_exact_text` / a groupBy on ``fp_col`` for that).
+    ``sketch_kw`` forwards sizing (n_buckets/m_bits/k) to the Bloom
+    build+probe — at a 10^10-fingerprint corpus, size bits/key to the
+    false-positive rate the verify join should pay for.
+    """
+    from web_crawler_spark.operators import seen_filter as SF
+
+    inc = increment.withColumn(fp_col, TX.fingerprint(text_col))
+    old = corpus.select(TX.fingerprint(text_col).alias(fp_col)).distinct()
+    sketch = SF.build_bloom(old, url_col=fp_col, **sketch_kw)
+    probed = SF.prune(inc, sketch, url_col=fp_col, **sketch_kw)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    verified = maybe.join(old, fp_col, "left_anti")
+    return fresh.unionByName(verified)
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
