@@ -1,5 +1,5 @@
-"""Measure ANN tier quality: recall@k of the LSH and IVF tiers against
-the exact brute-force top-k, on the embeddings table.
+"""Measure ANN tier quality: recall@k of the LSH, IVF, and PQ tiers
+against the exact brute-force top-k, on the embeddings table.
 
 The correctness gate proves each tier computes what it CLAIMS (bucket
 assignment mirrored in SQL); this tool measures what that buys — the
@@ -72,6 +72,39 @@ def main() -> None:
         ),
         "recall_nprobe4": recall(
             topk_sets(S.ivf_topk(corpus, queries, k=k, n_centroids=8, nprobe=4))
+        ),
+    }
+    # PQ-ADC: recall is bounded by quantization distortion, not pruning —
+    # m/n_centroids trade code size for fidelity. Note PQ ranks by
+    # approximate L2 while truth is cosine top-k; on ~unit-norm synthetic
+    # embeddings the two orders mostly agree, so recall@k is still the
+    # meaningful quality number for the tier.
+    tiers["pq"] = {
+        "recall_at_k": recall(
+            topk_sets(S.pq_topk(corpus, queries, k=k, m=4, n_centroids=8))
+        ),
+        "recall_m8": recall(
+            topk_sets(S.pq_topk(corpus, queries, k=k, m=8, n_centroids=8))
+        ),
+        "recall_m8_k16": recall(
+            topk_sets(S.pq_topk(corpus, queries, k=k, m=8, n_centroids=16))
+        ),
+    }
+    pcb = S.pq_train_codebooks(corpus, m=8, k=16, iters=3)
+    tiers["pq_trained"] = {
+        "recall_m8_k16": recall(
+            topk_sets(
+                S.pq_topk(corpus, queries, k=k, m=8, n_centroids=16, codebooks=pcb)
+            )
+        ),
+        "distortion_drop_pct": round(
+            100.0
+            * (
+                1.0
+                - S.pq_distortion(corpus, pcb)
+                / S.pq_distortion(corpus, S.pq_codebooks(corpus, m=8, k=16))
+            ),
+            1,
         ),
     }
     cb = S.ivf_train_codebook(corpus, n_centroids=8, iters=3)

@@ -656,31 +656,8 @@ def pq_encode(
     100 TB float corpus into an m-bytes-per-vector code table (16x-64x
     smaller), written once and served forever. Returns
     (id, pq_code array<int>)."""
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
-        .join(F.broadcast(codebooks))
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.col("_pcb"),
-                lambda cbs, s: F.array_min(
-                    F.transform(
-                        cbs,
-                        lambda ent: F.struct(
-                            _l2sq_micro(
-                                F.slice(
-                                    F.col("_v"),
-                                    s * F.size(ent["ce"]) + 1,
-                                    F.size(ent["ce"]),
-                                ),
-                                ent["ce"],
-                            ).alias("d"),
-                            ent["j"].alias("j"),
-                        ),
-                    )
-                )["j"],
-            ).alias("pq_code"),
-        )
+    return _pq_assign(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col), "pq_code"
     )
 
 
@@ -760,3 +737,141 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _pq_assign(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _v, pq_code) — the encode projection keeping the vector,
+    for the training/distortion paths."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(codebooks))
+        .select(
+            F.col(id_col),
+            "_v",
+            F.transform(
+                F.col("_pcb"),
+                lambda cbs, s: F.array_min(
+                    F.transform(
+                        cbs,
+                        lambda ent: F.struct(
+                            _l2sq_micro(
+                                F.slice(
+                                    F.col("_v"),
+                                    s * F.size(ent["ce"]) + 1,
+                                    F.size(ent["ce"]),
+                                ),
+                                ent["ce"],
+                            ).alias("d"),
+                            ent["j"].alias("j"),
+                        ),
+                    )
+                )["j"],
+            ).alias("pq_code"),
+        )
+    )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean total quantization error (micro-unit L2² summed over
+    subspaces) of encoding the corpus with these codebooks — the
+    training objective, measurable per iteration like ivf_distortion."""
+    per_row = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .join(F.broadcast(codebooks))
+        .select(
+            F.aggregate(
+                F.transform(
+                    F.col("_pcb"),
+                    lambda cbs, s: F.array_min(
+                        F.transform(
+                            cbs,
+                            lambda ent: F.struct(
+                                _l2sq_micro(
+                                    F.slice(
+                                        F.col("_v"),
+                                        s * F.size(ent["ce"]) + 1,
+                                        F.size(ent["ce"]),
+                                    ),
+                                    ent["ce"],
+                                ).alias("d"),
+                                ent["j"].alias("j"),
+                            ),
+                        )
+                    )["d"],
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("_tot")
+        )
+    )
+    return float(per_row.agg(F.avg("_tot")).first()[0])
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> DataFrame:
+    """Lloyd refinement of the PQ codebooks — per-subspace k-means run
+    for ALL subspaces in one pass per iteration, entirely as DataFrame
+    ops (the PQ twin of :func:`ivf_train_codebook`).
+
+    Each iteration: (1) encode the corpus against the current codebooks
+    (broadcast join, shuffle-free); (2) recompute every (subspace, code)
+    cell's centroid as the mean of its assigned subvectors via ONE
+    posexplode over the full vector — dim position ``pos`` maps to
+    subspace ``pos div sub`` and cell ``pq_code[s]`` — with a map-side
+    combined groupBy(s, j, ipos), so the shuffle carries at most
+    m·k·sub × n_partitions pre-combined rows, never the corpus; (3)
+    collect the m·k·sub means (the codebook — driver-sized by
+    definition) and rebuild the one-row table. Cells that go empty keep
+    their previous centroid. Deterministic given the seeding; float-mean
+    reduction order is engine-internal, so a trained codebook is INPUT
+    DATA to the oracled query, not itself oracle-mirrored.
+    """
+    cb = pq_codebooks(corpus, m, k, id_col, vec_col, salt)
+    first = cb.first()["_pcb"]
+    books = {
+        (s, e["j"]): [float(x) for x in e["ce"]]
+        for s, cbs in enumerate(first)
+        for e in cbs
+    }
+    sub = len(books[(0, 0)])
+    for _ in range(iters):
+        assigned = _pq_assign(corpus, cb, id_col, vec_col)
+        scol = F.floor(F.col("pos") / sub).cast("int")
+        ex = assigned.select(
+            F.posexplode("_v").alias("pos", "x"), "pq_code"
+        ).select(
+            scol.alias("s"),
+            F.element_at(F.col("pq_code"), scol + 1).alias("j"),
+            F.pmod(F.col("pos"), F.lit(sub)).alias("ipos"),
+            F.col("x").cast("double").alias("x"),
+        )
+        means = ex.groupBy("s", "j", "ipos").agg(F.avg("x").alias("mu"))
+        for r in means.collect():
+            books[(r["s"], r["j"])][r["ipos"]] = float(r["mu"])
+        cb = corpus.sparkSession.createDataFrame(
+            [(
+                [
+                    [(j, books[(s, j)]) for j in range(k)]
+                    for s in range(m)
+                ],
+            )],
+            "_pcb array<array<struct<j:int, ce:array<double>>>>",
+        )
+    return cb
