@@ -535,3 +535,57 @@ def test_pq_train_codebooks_reduces_distortion_and_plugs_in(spark):
     # codebook shape survives training: every code index < k
     codes = SIM.pq_encode(df, trained).collect()
     assert all(len(r["pq_code"]) == 2 and max(r["pq_code"]) < 4 for r in codes)
+
+
+def test_ivfadc_candidates_confined_to_probed_lists(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+
+    cb = SIM.ivf_codebook(df, n_centroids=4)
+    got = SIM.ivfadc_topk(df, q, k=50, n_centroids=4, nprobe=1, m=2, pq_k=4,
+                          codebook=cb).collect()
+    # every returned candidate must live in the query's single probed list
+    assign = {r["vec_id"]: r["list_id"]
+              for r in SIM.ivf_assign(df, cb).collect()}
+    qlist = {r["vec_id"]: assign[r["vec_id"]]
+             for r in df.filter(F.col("vec_id") < 4).collect()}
+    # a query's own nearest list == its assignment list (it is a corpus row)
+    for r in got:
+        assert assign[r["vec_id"]] == qlist[r["query_id"]]
+    # ranks are contiguous from 1 per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivfadc_full_probe_covers_corpus_and_trained_books_plug_in(spark):
+    import random
+
+    rnd = random.Random(12)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(3)]
+    rows = [(i, [c + rnd.uniform(-0.1, 0.1) for c in centers[i % 3]])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+
+    # nprobe == n_centroids → candidate set is the whole corpus
+    got = SIM.ivfadc_topk(df, q, k=60, n_centroids=3, nprobe=3, m=2, pq_k=4)
+    counts = {r["query_id"]: 0 for r in got.collect()}
+    for r in got.collect():
+        counts[r["query_id"]] += 1
+    assert all(c == 60 for c in counts.values())
+
+    # Lloyd-trained coarse + residual PQ books drop in as data
+    cb = SIM.ivf_train_codebook(df, n_centroids=3, iters=2)
+    res = SIM.ivfadc_residuals(df, cb)
+    pcb = SIM.pq_train_codebooks(res, m=2, k=4, iters=2, vec_col="_rv")
+    trained = SIM.ivfadc_topk(df, q, k=5, n_centroids=3, nprobe=2, m=2,
+                              pq_k=4, codebook=cb, codebooks=pcb).collect()
+    assert len(trained) == 10
+    assert all(r["rank"] <= 5 for r in trained)

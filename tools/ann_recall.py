@@ -107,6 +107,24 @@ def main() -> None:
             1,
         ),
     }
+    # IVFADC: coarse pruning bounds recall like IVF-flat; residual PQ adds
+    # quantization error on top. The interesting delta is vs the pq row
+    # (same code budget, residual encoding) and vs ivf (same probe set,
+    # exact vs quantized scoring).
+    tiers["ivfadc"] = {
+        "recall_at_k": recall(
+            topk_sets(
+                S.ivfadc_topk(corpus, queries, k=k, n_centroids=8, nprobe=2,
+                              m=8, pq_k=16)
+            )
+        ),
+        "recall_nprobe4": recall(
+            topk_sets(
+                S.ivfadc_topk(corpus, queries, k=k, n_centroids=8, nprobe=4,
+                              m=8, pq_k=16)
+            )
+        ),
+    }
     cb = S.ivf_train_codebook(corpus, n_centroids=8, iters=3)
     tiers["ivf_trained"] = {
         "recall_at_k": recall(

@@ -2643,6 +2643,76 @@ _BUCKET_SQL = (
       FROM pqcode JOIN (SELECT * FROM cd WHERE vec_id < 10) qd
         ON qd.s = pqcode.s AND qd.j = pqcode.j
       GROUP BY 1, 2
+    ),
+    -- IVFADC tier (operators/similarity.py:ivfadc_topk, Faiss IVFx,PQy):
+    -- coarse assignment reuses the `assign`/`qprobe` CTEs above; PQ
+    -- codebooks are re-seeded ('pqr' salt) ON THE RESIDUALS x - c(list);
+    -- the ADC LUT is per-(query, probed list) because the query's
+    -- residual differs per list. Same integer micro-unit quantization.
+    res AS (
+      SELECT a.vec_id, a.list_id,
+             list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE - cents.ce[i]::DOUBLE) AS rv
+      FROM assign a JOIN cents ON cents.ci = a.list_id
+    ),
+    rseed AS (
+      SELECT sub4.s, r.vec_id, r.rv,
+             row_number() OVER (PARTITION BY sub4.s
+               ORDER BY md5('pqr' || sub4.s::VARCHAR || '|' || r.vec_id::VARCHAR),
+                        r.vec_id) AS rn
+      FROM sub4 CROSS JOIN res r
+    ),
+    rpcb AS (
+      SELECT s, rn - 1 AS j,
+             list_transform(generate_series(s*16+1, s*16+16), i -> rv[i]) AS ce
+      FROM rseed WHERE rn <= 8
+    ),
+    rsub AS (
+      SELECT r.vec_id, r.list_id, sub4.s,
+             list_transform(generate_series(sub4.s*16+1, sub4.s*16+16),
+                            i -> r.rv[i]) AS sv
+      FROM res r CROSS JOIN sub4
+    ),
+    rd AS (
+      SELECT rsub.vec_id, rsub.list_id, rsub.s, p.j,
+             CAST(floor(list_sum(list_transform(generate_series(1, 16),
+               i -> (rsub.sv[i] - p.ce[i]) * (rsub.sv[i] - p.ce[i])))
+               * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM rsub JOIN rpcb p USING (s)
+    ),
+    rcode AS (
+      SELECT vec_id, list_id, s, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dm, j) AS rn
+        FROM rd
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT qp.query_id, qp.list_id,
+             list_transform(generate_series(1, 64),
+               i -> qp.qe[i]::DOUBLE - cents.ce[i]::DOUBLE) AS rv
+      FROM qprobe qp JOIN cents ON cents.ci = qp.list_id
+    ),
+    qsub AS (
+      SELECT q.query_id, q.list_id, sub4.s,
+             list_transform(generate_series(sub4.s*16+1, sub4.s*16+16),
+                            i -> q.rv[i]) AS sv
+      FROM qres q CROSS JOIN sub4
+    ),
+    qrd AS (
+      SELECT qsub.query_id, qsub.list_id, qsub.s, p.j,
+             CAST(floor(list_sum(list_transform(generate_series(1, 16),
+               i -> (qsub.sv[i] - p.ce[i]) * (qsub.sv[i] - p.ce[i])))
+               * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM qsub JOIN rpcb p USING (s)
+    ),
+    ivfadc AS (
+      SELECT qrd.query_id, rcode.vec_id,
+             -(sum(qrd.dm)::DOUBLE / 1000000.0) AS cosine
+      FROM rcode JOIN qrd
+        ON qrd.list_id = rcode.list_id AND qrd.s = rcode.s
+           AND qrd.j = rcode.j
+      GROUP BY 1, 2
     )
     SELECT 'brute' AS variant, query_id, vec_id, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2679,6 +2749,12 @@ _BUCKET_SQL = (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id) AS rank
       FROM adc
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivfadc', query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM ivfadc
     ) WHERE rank <= 5
     """,
 )
@@ -2766,7 +2842,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pq").alias("variant"), "query_id", "vec_id",
         F.col("score").alias("cosine"), F.col("rank").cast("int").alias("rank"),
     )
-    return brute.unionByName(lsh).unionByName(ivf).unionByName(gate).unionByName(pq)
+    # ivfadc: the Faiss IVFx,PQy composition (operators/similarity.py:
+    # ivfadc_topk) — the ivf arm's coarse book prunes to 2 of 8 lists,
+    # then PQ-ADC scores the candidates' RESIDUAL codes (4x8 books
+    # re-seeded on the residual table, per-(query, list) LUT)
+    ivfadc = SIM.ivfadc_topk(
+        e, e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        k=5, n_centroids=8, nprobe=2, m=4, pq_k=8,
+    ).select(
+        F.lit("ivfadc").alias("variant"), "query_id", "vec_id",
+        F.col("score").alias("cosine"), F.col("rank").cast("int").alias("rank"),
+    )
+    return (
+        brute.unionByName(lsh).unionByName(ivf).unionByName(gate)
+        .unionByName(pq).unionByName(ivfadc)
+    )
 
 
 @query(

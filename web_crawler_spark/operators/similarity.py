@@ -744,14 +744,19 @@ def _pq_assign(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, _v, pq_code) — the encode projection keeping the vector,
-    for the training/distortion paths."""
+    """(id, *keep, _v, pq_code) — the encode projection keeping the
+    vector, for the training/distortion/IVFADC paths. ``keep`` columns
+    (e.g. the coarse list_id) ride through untouched."""
     return (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        corpus.select(
+            F.col(id_col), *[F.col(c) for c in keep], F.col(vec_col).alias("_v")
+        )
         .join(F.broadcast(codebooks))
         .select(
             F.col(id_col),
+            *[F.col(c) for c in keep],
             "_v",
             F.transform(
                 F.col("_pcb"),
@@ -875,3 +880,171 @@ def pq_train_codebooks(
             "_pcb array<array<struct<j:int, ce:array<double>>>>",
         )
     return cb
+
+
+# ------------------------------------------------------------- IVFADC ------
+def _list_centroid(list_col: Column) -> Column:
+    """The ``ce`` vector of the codebook entry whose index equals
+    ``list_col`` — an O(n_centroids) array filter on the broadcast
+    ``_cb`` column, no join fan-out."""
+    return F.element_at(
+        F.filter(F.col("_cb"), lambda e: e["i"] == list_col), 1
+    )["ce"]
+
+
+def ivfadc_residuals(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, _rv) — each vector's coarse list and its RESIDUAL
+    against that list's centroid (x − c, element-wise double subtract:
+    one IEEE op per element, so Spark / DuckDB / Python produce
+    bit-identical residuals from the same inputs). Shuffle-free: the
+    coarse assignment is :func:`ivf_assign` column algebra and the
+    centroid lookup is an array filter on the broadcast codebook."""
+    return (
+        ivf_assign(corpus, codebook, id_col, vec_col)
+        .join(F.broadcast(codebook))
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.zip_with(
+                F.col("_cv"),
+                _list_centroid(F.col("list_id")),
+                lambda x, c: x.cast("double") - c,
+            ).alias("_rv"),
+        )
+    )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebook: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the Faiss `IVFx,PQy` index): coarse
+    IVF pruning COMPOSED with PQ-ADC scoring of residuals — the
+    canonical billion-scale ANN shape, here as pure DataFrame algebra.
+
+    Index side (write-once at cluster scale): every corpus vector is
+    assigned to its nearest coarse centroid (:func:`ivf_assign`), its
+    RESIDUAL against that centroid is PQ-encoded (m bytes), and the
+    (list_id, pq_code) table — 16-64x smaller than the floats — is
+    written partitioned by ``list_id``. Query side: each query probes
+    its ``nprobe`` nearest lists; per probed list it builds the ADC
+    lookup table from its OWN residual against that list's centroid
+    (the LUT is per-(query, list), which is exactly why IVFADC beats
+    plain PQ: residuals are small and the codebook spends its k codes
+    on a tighter distribution). Scoring a candidate costs m integer
+    table lookups; candidates outside probed lists are never read —
+    partition pruning does the index's job.
+
+    Determinism: micro-unit integer distances end-to-end (see
+    :func:`_l2sq_micro`), hash-spread seeding for both codebooks, ties
+    to the lower code/centroid index, rank ties to the lower id — the
+    whole pipeline is mirrored row-for-row by the DuckDB oracle. Pass
+    ``codebook``/``codebooks`` to use Lloyd-trained ones
+    (:func:`ivf_train_codebook` / :func:`pq_train_codebooks` on the
+    residual table); trained books are input DATA, same plan.
+
+    Returns (query_id, <id_col>, score DOUBLE = −adc/1e6, rank).
+    """
+    cb = (
+        codebook
+        if codebook is not None
+        else ivf_codebook(corpus, n_centroids, id_col, vec_col)
+    )
+    res = ivfadc_residuals(corpus, cb, id_col, vec_col)
+    pcb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(res, m, pq_k, id_col, "_rv", salt="pqr")
+    )
+    enc = _pq_assign(res, pcb, id_col, "_rv", keep=("list_id",)).select(
+        F.col(id_col), "list_id", "pq_code"
+    )
+    # query side: nprobe nearest lists, then a per-(query, list) residual
+    # LUT — [m][pq_k] micro-unit distances from the query's residual
+    # subvectors to every code entry.
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _l2(F.col(vec_col)).alias("_qn"),
+        )
+        .join(F.broadcast(cb))
+        .select(
+            "query_id",
+            "_qv",
+            "_cb",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(_cb_scored(F.col("_qv"), F.col("_qn"))),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["i"],
+                )
+            ).alias("list_id"),
+        )
+        .select(
+            "query_id",
+            "list_id",
+            F.zip_with(
+                F.col("_qv"),
+                _list_centroid(F.col("list_id")),
+                lambda x, c: x.cast("double") - c,
+            ).alias("_qr"),
+        )
+        .join(F.broadcast(pcb))
+        .select(
+            "query_id",
+            "list_id",
+            F.transform(
+                F.col("_pcb"),
+                lambda cbs, s: F.transform(
+                    cbs,
+                    lambda ent: _l2sq_micro(
+                        F.slice(
+                            F.col("_qr"),
+                            s * F.size(ent["ce"]) + 1,
+                            F.size(ent["ce"]),
+                        ),
+                        ent["ce"],
+                    ),
+                ),
+            ).alias("_lut"),
+        )
+    )
+    adist = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    # a corpus vector lives in exactly one list → the equi-join IS the
+    # candidate pruning, and no per-pair dedup is needed.
+    scored = enc.join(F.broadcast(q), "list_id").select(
+        "query_id",
+        id_col,
+        (-(adist.cast("double") / F.lit(1000000.0))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
