@@ -1,0 +1,96 @@
+"""SnapshotTable incremental scans and the changelog-dedup composition.
+
+The table's append/overwrite/time-travel/lineage surface is exercised
+end-to-end by the crawl identity tests (the frontier IS a SnapshotTable);
+this file covers the Iceberg-incremental-scan semantics directly:
+read_changes returns exactly the appended delta, refuses to cross an
+overwrite, and composes with dedup_against_corpus into the catch-up
+ingest shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.lake import SnapshotTable
+from web_crawler_spark.operators import dedup as D
+
+
+def _tbl(spark, tmp_path, name):
+    return SnapshotTable(str(tmp_path / name))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_read_changes_returns_exactly_the_appended_delta(spark, tmp_path):
+    t = _tbl(spark, tmp_path, "t1")
+    s0 = t.append(_docs(spark, [(1, "alpha"), (2, "beta")]))["snapshot_id"]
+    s1 = t.append(_docs(spark, [(3, "gamma")]))["snapshot_id"]
+    s2 = t.append(_docs(spark, [(4, "delta"), (5, "epsilon")]))["snapshot_id"]
+
+    got = sorted(r["doc_id"] for r in t.read_changes(spark, s0).collect())
+    assert got == [3, 4, 5]
+    got01 = sorted(r["doc_id"] for r in t.read_changes(spark, s0, s1).collect())
+    assert got01 == [3]
+    got12 = sorted(r["doc_id"] for r in t.read_changes(spark, s1, s2).collect())
+    assert got12 == [4, 5]
+    # empty range → empty frame, schema intact
+    empty = t.read_changes(spark, s2)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "text"]
+    # full-table read still sees everything
+    assert t.read(spark).count() == 5
+
+
+def test_read_changes_refuses_overwrite_and_unknown_snapshots(spark, tmp_path):
+    t = _tbl(spark, tmp_path, "t2")
+    s0 = t.append(_docs(spark, [(1, "a")]))["snapshot_id"]
+    t.overwrite(_docs(spark, [(9, "z")]))
+    s2 = t.append(_docs(spark, [(10, "y")]))["snapshot_id"]
+
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_changes(spark, s0)
+    with pytest.raises(ValueError, match="unknown from_snapshot"):
+        t.read_changes(spark, 99)
+    with pytest.raises(ValueError, match="unknown to_snapshot"):
+        t.read_changes(spark, s0, 99)
+    # a window that starts after the overwrite is fine
+    assert [r["doc_id"] for r in t.read_changes(spark, s2 - 1, s2).collect()] == [10]
+
+
+def test_dedup_table_changes_catches_up_against_pinned_corpus(spark, tmp_path):
+    t = _tbl(spark, tmp_path, "t3")
+    # standing corpus: two documents
+    chk = t.append(_docs(spark, [(1, "the quick fox"), (2, "lazy dog")]))[
+        "snapshot_id"
+    ]
+    # producer appends a crawl snapshot: one re-crawl (dup of doc 1, new
+    # id) and two genuinely new docs
+    t.append(
+        _docs(
+            spark,
+            [(3, "the quick fox"), (4, "jumped over"), (5, "the moon")],
+        )
+    )
+    got = D.dedup_table_changes(spark, t, chk, text_col="text")
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == [4, 5]  # the re-crawl is dropped, both new docs survive
+    assert "fingerprint" in got.columns
+    # result equals the exact anti-join over the same windows (the
+    # dedup_against_corpus contract, restated through the table reads)
+    inc = t.read_changes(spark, chk)
+    corpus = t.read(spark, chk).select(F.col("text").alias("t0"))
+    from web_crawler_spark.functions import text as TX
+
+    exact = (
+        inc.withColumn("fingerprint", TX.fingerprint("text"))
+        .join(
+            corpus.select(TX.fingerprint("t0").alias("fingerprint")).distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+    )
+    assert sorted(r["doc_id"] for r in exact.collect()) == ids

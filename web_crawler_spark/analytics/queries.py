@@ -2300,6 +2300,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_dups
     FROM inc WHERE fp NOT IN (SELECT fp FROM f)
     GROUP BY fp
+    UNION ALL
+    -- chlog: identical semantics to incr, but the increment reaches the
+    -- consumer through the snapshot table's incremental append scan
+    -- (lake.SnapshotTable.read_changes) with the corpus pinned at the
+    -- consumer's checkpoint snapshot — so the changelog read itself is
+    -- under the gate, not just the dedup math
+    SELECT 'chlog' AS arm, fp AS fingerprint, min(doc_id) AS survivor,
+           count(*) AS n_dups
+    FROM inc WHERE fp NOT IN (SELECT fp FROM f)
+    GROUP BY fp
     """,
 )
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2313,6 +2323,11 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       against the standing corpus via the Bloom-sketch + exact-verify
       path; re-crawls drop, revisions survive. The oracle states the
       anti-join the sketch path must equal exactly.
+    - ``chlog``: the same increment, but landed as a snapshot-table
+      append and consumed via the Iceberg-style incremental scan
+      (lake.read_changes + operators/dedup.py:dedup_table_changes) with
+      the corpus pinned at the consumer's checkpoint snapshot — same
+      oracle anti-join, so the changelog read is gated too.
     """
     d = load(spark, sf_dir, "documents")
     allarm = (
@@ -2335,7 +2350,26 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("survivor"), F.count(F.lit(1)).alias("n_dups"))
         .select(F.lit("incr").alias("arm"), "fingerprint", "survivor", "n_dups")
     )
-    return allarm.unionByName(incr)
+    # chlog: the same increment landed as a snapshot-table append and
+    # consumed through the Iceberg-style incremental scan — corpus append
+    # = consumer checkpoint, increment append = the delta manifests;
+    # dedup_table_changes scans ONLY the delta and dedups against the
+    # corpus time-traveled to the checkpoint (operators/dedup.py:
+    # dedup_table_changes, lake.py:read_changes)
+    import tempfile
+
+    from web_crawler_spark.lake import SnapshotTable
+
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="wcs_chlog_"))
+    chk = tbl.append(d.select("doc_id", "text"))["snapshot_id"]
+    tbl.append(increment)
+    ch_survivors = D.dedup_table_changes(spark, tbl, chk, text_col="text")
+    chlog = (
+        ch_survivors.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("survivor"), F.count(F.lit(1)).alias("n_dups"))
+        .select(F.lit("chlog").alias("arm"), "fingerprint", "survivor", "n_dups")
+    )
+    return allarm.unionByName(incr).unionByName(chlog)
 
 
 def _minhash_oracle(perms: int = 8, band: int = 2, thr: float = 0.7) -> str:

@@ -143,6 +143,43 @@ class SnapshotTable:
         paths = [os.path.join(self.data_dir, rel) for rel in snap["files"]]
         return spark.read.option("mergeSchema", "false").parquet(*paths)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's ``incremental append scan``): the
+        rows in data files ADDED by snapshots in ``(from_snapshot,
+        to_snapshot]`` — the changelog a downstream consumer processes to
+        catch up from its last checkpoint without rereading the table.
+
+        Only valid across a pure append chain: an ``overwrite`` commit in
+        the range replaces the file set wholesale, so "what changed" is
+        not expressible as added files — this raises, mirroring Iceberg,
+        which refuses incremental scans across replace/overwrite
+        snapshots. An empty range (nothing new) returns an empty
+        DataFrame with the table's current schema."""
+        snaps = self.snapshots()
+        ids = {s["snapshot_id"] for s in snaps}
+        if from_snapshot not in ids:
+            raise ValueError(f"unknown from_snapshot {from_snapshot}")
+        hi = to_snapshot if to_snapshot is not None else snaps[-1]["snapshot_id"]
+        if hi not in ids:
+            raise ValueError(f"unknown to_snapshot {to_snapshot}")
+        window = [s for s in snaps if from_snapshot < s["snapshot_id"] <= hi]
+        bad = [s["snapshot_id"] for s in window if s["operation"] != "append"]
+        if bad:
+            raise ValueError(
+                f"incremental scan crosses non-append snapshots {bad}; "
+                "read() the target snapshot instead"
+            )
+        added = [rel for s in window for rel in s["added_files"]]
+        if not added:
+            return self.read(spark, hi).limit(0)
+        paths = [os.path.join(self.data_dir, rel) for rel in added]
+        return spark.read.option("mergeSchema", "false").parquet(*paths)
+
     def exists(self) -> bool:
         return self.current() is not None
 

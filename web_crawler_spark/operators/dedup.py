@@ -445,6 +445,34 @@ def dedup_against_corpus(
     return fresh.unionByName(verified)
 
 
+def dedup_table_changes(
+    spark,
+    table,
+    since_snapshot: int,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+    to_snapshot: int | None = None,
+    **sketch_kw,
+) -> DataFrame:
+    """Catch-up ingest dedup over a snapshot table's changelog: read only
+    the rows APPENDED after ``since_snapshot`` (lake.SnapshotTable.
+    read_changes — the Iceberg incremental append scan) and dedup them
+    against the corpus AS OF ``since_snapshot`` (time-travel read), via
+    :func:`dedup_against_corpus`.
+
+    This is the consumer half of the standing-corpus ingest contract at
+    100 TB: the producer appends crawl snapshots to the table; a consumer
+    checkpoints the last snapshot id it processed and, on each catch-up,
+    scans exactly the delta manifests — never the table — while the
+    dedup reference is pinned to the checkpointed snapshot, so a crashed
+    catch-up replays the identical deterministic computation instead of
+    racing concurrent appends.
+    """
+    inc = table.read_changes(spark, since_snapshot, to_snapshot)
+    corpus = table.read(spark, since_snapshot)
+    return dedup_against_corpus(inc, corpus, text_col, fp_col, **sketch_kw)
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
