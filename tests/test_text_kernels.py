@@ -234,3 +234,47 @@ def test_clean_lines_rules_and_rejoin(spark):
     plan = df.select(clean_lines("text").alias("c"))._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocklist_hits_words_phrases_and_boundaries(spark):
+    from web_crawler_spark.functions.text import blocklist_hits
+
+    rows = [
+        # case + punctuation absorbed by normalization; distinct words
+        ("Win the JACKPOT, casino casino fun!", 2, 0, "casino", False),
+        # whole-word only: 'casinos' must NOT match 'casino'
+        ("casinos are lovely", 0, 0, None, True),
+        # phrase with collapsible whitespace
+        ("claim your Free   Money today", 0, 1, "free money", False),
+        # phrase boundary: 'freedom money' must not match 'free money'
+        ("freedom money is different", 0, 0, None, True),
+        # word + phrase together; first_hit is the lexicographic min
+        ("xxx and free money", 1, 1, "free money", False),
+        ("a clean document", 0, 0, None, True),
+        (None, 0, 0, None, True),
+    ]
+    df = spark.createDataFrame(
+        [(i, r[0]) for i, r in enumerate(rows)], "i long, text string"
+    )
+    got = {r["i"]: r["b"] for r in
+           df.select("i", blocklist_hits("text").alias("b")).collect()}
+    for i, (_, nw, np_, first, keep) in enumerate(rows):
+        b = got[i]
+        assert (b["n_words"], b["n_phrases"], b["first_hit"], b["keep"]) == (
+            nw, np_, first, keep), rows[i]
+
+
+def test_blocklist_hits_custom_lists_and_codegen(spark):
+    from web_crawler_spark.functions.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [("buy zzyzx now",), ("totally fine",)], "text string"
+    )
+    got = df.select(
+        blocklist_hits("text", words=["zzyzx"], phrases=[]).alias("b")
+    ).collect()
+    assert [r["b"]["keep"] for r in got] == [False, True]
+    # pure column algebra — no BatchEvalPython / ArrowEvalPython in the plan
+    plan = df.select(blocklist_hits("text").alias("b"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "EvalPython" not in plan

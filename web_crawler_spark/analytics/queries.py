@@ -1803,6 +1803,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the shared _NORM_SQL/_TOKS_SQL/_SHINGLES_SQL oracle fragments are defined
 # above topk_per_group, their first point of use)
 _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
+_BL_WORDS_SQL = "['" + "','".join(sorted(TX.BLOCKLIST_WORDS)) + "']"
+_BL_PHRASES_SQL = "['" + "','".join(sorted(TX.BLOCKLIST_PHRASES)) + "']"
+_BNORM_SQL = _NORM_SQL.format(col="bx")
 
 
 @query(
@@ -1832,8 +1835,27 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
                concat(doc_id % 1000, ' ', doc_id % 97, ' ', doc_id % 13),
                CASE WHEN doc_id % 5 < 2
                     THEN 'This site uses cookie consent banners.'
-                    ELSE 'Please review our privacy policy today.' END) AS lx
+                    ELSE 'Please review our privacy policy today.' END) AS lx,
+             concat(text, CASE doc_id % 7
+               WHEN 0 THEN ' Win the JACKPOT today'
+               WHEN 1 THEN ' cheap VIAGRA pills, xxx'
+               WHEN 2 THEN ' claim your Free  Money now'
+               WHEN 3 THEN ' this limited time offer ends'
+               ELSE ''
+             END) AS bx
       FROM documents
+    ),
+    -- blocklist mirror (functions/text.py:blocklist_hits): whole-token
+    -- word matches + space-padded phrase containment over normalized text
+    bl AS (
+      SELECT doc_id,
+             list_sort(list_filter(
+               list_distinct(string_split({_BNORM_SQL}, ' ')),
+               x -> list_contains({_BL_WORDS_SQL}, x))) AS bw,
+             list_sort(list_filter({_BL_PHRASES_SQL},
+               p -> contains(' ' || {_BNORM_SQL} || ' ',
+                             ' ' || p || ' '))) AS bp
+      FROM t
     ),
     -- line-cleaning mirror (functions/text.py:clean_lines / line_rule):
     -- first-tripped-rule per line; ratio thresholds are integer
@@ -1946,9 +1968,13 @@ _STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
            n_pii_ips::BIGINT AS n_pii_ips,
            n_pii_phones::BIGINT AS n_pii_phones, pii_fp,
            n_lines, n_lines_kept, n_line_short, n_line_caps,
-           n_line_numeric, n_line_boiler, clean_fp
+           n_line_numeric, n_line_boiler, clean_fp,
+           len(bw)::BIGINT AS n_blocked_words,
+           len(bp)::BIGINT AS n_blocked_phrases,
+           list_min(list_concat(bw, bp)) AS blocked_first,
+           (len(bw) + len(bp) = 0) AS blocklist_keep
     FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
-    JOIN pii USING (doc_id) JOIN cln USING (doc_id)
+    JOIN pii USING (doc_id) JOIN cln USING (doc_id) JOIN bl USING (doc_id)
     JOIN (
       SELECT doc_id, pack_bucket,
              coalesce(sum(nt) OVER (PARTITION BY pack_bucket ORDER BY doc_id
@@ -1973,8 +1999,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality without hauling the full text through the hash compare) —
     plus RefinedWeb/Dolma line-level cleaning (functions/text.py:
     clean_lines over a planted 5-line page: per-rule drop counts and the
-    md5 of the rejoined surviving lines) — one row per document, a single
-    narrow projection over the documents table."""
+    md5 of the rejoined surviving lines) — plus the C4 §2.2 blocklist gate
+    (functions/text.py:blocklist_hits over planted spam terms: distinct
+    whole-word + boundary-safe phrase hit counts, lexicographic first hit,
+    and the drop/keep decision) — one row per document, a single narrow
+    projection over the documents table."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(TX.normalize_text("text"), " ")
     norm_len = F.length(TX.normalize_text("text"))
@@ -2017,6 +2046,17 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Please review our privacy policy today.")),
     )
     cl = TX.clean_lines(lx)
+    # blocklist fixture: plant blocklist words/phrases (with case and
+    # punctuation noise the normalizer must absorb) on 4 of every 7 docs
+    bx = F.concat(
+        F.col("text"),
+        F.when(doc_id % 7 == 0, F.lit(" Win the JACKPOT today"))
+        .when(doc_id % 7 == 1, F.lit(" cheap VIAGRA pills, xxx"))
+        .when(doc_id % 7 == 2, F.lit(" claim your Free  Money now"))
+        .when(doc_id % 7 == 3, F.lit(" this limited time offer ends"))
+        .otherwise(F.lit("")),
+    )
+    bl = TX.blocklist_hits(bx)
     return d.select(
         "doc_id",
         "n_chars",
@@ -2039,6 +2079,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.pack_bins(F.size(toks), "doc_id").alias("_pk"),
         pii.alias("_pii"),
         cl.alias("_cl"),
+        bl.alias("_bl"),
     ).select(
         "*",
         F.col("_pk.bucket").cast("long").alias("pack_bucket"),
@@ -2055,7 +2096,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_cl.n_numeric").alias("n_line_numeric"),
         F.col("_cl.n_boiler").alias("n_line_boiler"),
         F.md5(F.col("_cl.cleaned")).alias("clean_fp"),
-    ).drop("_pk", "_pii", "_cl")
+        F.col("_bl.n_words").alias("n_blocked_words"),
+        F.col("_bl.n_phrases").alias("n_blocked_phrases"),
+        F.col("_bl.first_hit").alias("blocked_first"),
+        F.col("_bl.keep").alias("blocklist_keep"),
+    ).drop("_pk", "_pii", "_cl", "_bl")
 
 
 def _bpe_oracle_ctes(k: int = 6) -> str:

@@ -415,3 +415,64 @@ def redact_pii(text: Column | str) -> Column:
         n_i.cast("long").alias("n_ips"),
         n_p.cast("long").alias("n_phones"),
     )
+
+
+# C4-style blocklist (Raffel et al. 2020 §2.2: drop any page containing a
+# word from a fixed public blocklist; Dolma's taggers keep the doc and
+# record the hits instead — we expose both readings). The real lists are
+# thousands of entries; the DEFAULTS below are a tiny neutral spam-term
+# stand-in with the same matching semantics (whole normalized words, plus
+# multi-word phrases), fixed so the SQL oracle can inline them verbatim.
+# A production list drops in as the ``words``/``phrases`` parameters.
+BLOCKLIST_WORDS = ["casino", "jackpot", "lottery", "viagra", "xxx"]
+# phrases must already be in normalized form (lowercase, single spaces)
+BLOCKLIST_PHRASES = ["free money", "limited time offer"]
+
+
+def blocklist_hits(
+    text: Column | str,
+    words: list[str] | None = None,
+    phrases: list[str] | None = None,
+) -> Column:
+    """Blocklist gate over normalized text: struct(n_words, n_phrases,
+    first_hit, keep).
+
+    - ``n_words``: DISTINCT blocklist words present as whole tokens of
+      ``normalize_text(text)`` (so "Casino!" matches, "casinos" does not
+      — C4 matches whole words, not substrings).
+    - ``n_phrases``: blocklist phrases present with word boundaries
+      (space-padded containment over the normalized string).
+    - ``first_hit``: lexicographically smallest matched entry (NULL when
+      clean) — deterministic, engine-exact, and enough to audit WHY a doc
+      was dropped without hauling the full match set around.
+    - ``keep``: the C4 reading (no hits at all).
+
+    Pure codegen column algebra: the lists ride as literal arrays (a
+    production-sized list would broadcast-join a terms table instead —
+    the codebook-as-data pattern from operators/similarity.py — but at
+    blocklist sizes the literal array stays well under plan limits).
+    """
+    ws = sorted(BLOCKLIST_WORDS if words is None else words)
+    ps = sorted(BLOCKLIST_PHRASES if phrases is None else phrases)
+    # total function: NULL text reads as clean (counts 0, keep true) —
+    # emptiness gates live elsewhere in the pipeline
+    norm = F.coalesce(normalize_text(text), F.lit(""))
+    toks = F.array_distinct(F.split(norm, " "))
+    whits = F.array_sort(
+        F.array_intersect(toks, F.array([F.lit(w) for w in ws]))
+    )
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    phits = F.array_sort(
+        F.filter(
+            F.array([F.lit(p) for p in ps]),
+            lambda p: padded.contains(F.concat(F.lit(" "), p, F.lit(" "))),
+        )
+    )
+    n_w = F.size(whits)
+    n_p = F.size(phits)
+    return F.struct(
+        n_w.cast("long").alias("n_words"),
+        n_p.cast("long").alias("n_phrases"),
+        F.array_min(F.concat(whits, phits)).alias("first_hit"),
+        ((n_w + n_p) == 0).alias("keep"),
+    )
