@@ -294,3 +294,47 @@ def test_resolve_redirects_resolves_target_outside_node_universe(spark):
     # edge target 99 is not in `nodes`: still a valid terminal
     got = _resolve(spark, [1], [(1, 99)])
     assert got[1] == (99, 1, False)
+
+
+def test_detect_mirror_hosts_pairs_and_jaccard(spark):
+    from web_crawler_spark.operators.frontier import detect_mirror_hosts
+
+    rows = []
+    # A and B serve identical 4-page sets; C serves half of A's pages
+    for f in ["f1", "f2", "f3", "f4"]:
+        rows += [("hostA", f), ("hostB", f)]
+    rows += [("hostC", "f1"), ("hostC", "f2")]
+    # D overlaps A on a single page only -> below min_shared
+    rows += [("hostD", "f1"), ("hostD", "x1"), ("hostD", "x2")]
+    # duplicate (host, fp) observations must not inflate shared counts
+    rows += [("hostA", "f1"), ("hostB", "f2")]
+    df = spark.createDataFrame(rows, "host string, fp string")
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in detect_mirror_hosts(df, min_shared=2).collect()
+    }
+    assert set(got) == {("hostA", "hostB"), ("hostA", "hostC"),
+                        ("hostB", "hostC")}
+    ab = got[("hostA", "hostB")]
+    assert (ab["shared"], ab["jaccard_micro"], ab["is_mirror"]) == (
+        4, 1_000_000, True)
+    ac = got[("hostA", "hostC")]
+    # 2 / (4 + 2 - 2) = 0.5 exactly, at the default decision threshold
+    assert (ac["shared"], ac["jaccard_micro"], ac["is_mirror"]) == (
+        2, 500_000, True)
+
+
+def test_detect_mirror_hosts_caps_boilerplate_fingerprints(spark):
+    from web_crawler_spark.operators.frontier import detect_mirror_hosts
+
+    # 40 hosts all serving the same parking page + one real mirror pair
+    rows = [(f"h{i:02d}", "parking") for i in range(40)]
+    rows += [("h00", "p1"), ("h00", "p2"), ("h01", "p1"), ("h01", "p2")]
+    df = spark.createDataFrame(rows, "host string, fp string")
+    got = detect_mirror_hosts(df, max_fp_hosts=10, min_shared=2).collect()
+    # the parking fp (df=40 > 10) is dropped pre-join: exactly one pair,
+    # whose sizes still count the parking page (3 and 3, shared 2)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["host_a"], r["host_b"], r["shared"]) == ("h00", "h01", 2)
+    assert r["jaccard_micro"] == 2 * 1_000_000 // (3 + 3 - 2)

@@ -6930,6 +6930,76 @@ def _redirect_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mirror_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host fixture: 20 hash-assigned hosts over the documents
+    table, plus a planted exact mirror pair (mirror-a/mirror-b serving the
+    same doc subset), a planted partial mirror (partial-c serving half of
+    it), and a boilerplate parking fingerprint on EVERY host — which the
+    operator's per-fp host cap must drop before the self-join."""
+    d = load(spark, sf_dir, "documents")
+    fp = TX.fingerprint("text")
+    host20 = F.concat(
+        F.lit("h"), F.lpad((F.col("doc_id") % 20).cast("string"), 2, "0")
+    )
+    pages = (
+        d.select(host20.alias("host"), fp.alias("fp"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 10 == 0)
+            .select(F.lit("mirror-a").alias("host"), fp.alias("fp"))
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 10 == 0)
+            .select(F.lit("mirror-b").alias("host"), fp.alias("fp"))
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 20 == 0)
+            .select(F.lit("partial-c").alias("host"), fp.alias("fp"))
+        )
+    )
+    boiler = pages.select("host").distinct().select(
+        "host", F.md5(F.lit("boilerplate 404 page")).alias("fp")
+    )
+    return pages.unionAll(boiler)
+
+
+_MIRROR_NORM = _NORM_SQL.format(col="text")
+_MIRROR_ORACLE = f"""
+    WITH mp AS (
+      SELECT 'h' || lpad((doc_id % 20)::VARCHAR, 2, '0') AS host,
+             md5({_MIRROR_NORM}) AS fp FROM documents
+      UNION ALL
+      SELECT 'mirror-a', md5({_MIRROR_NORM}) FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 'mirror-b', md5({_MIRROR_NORM}) FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 'partial-c', md5({_MIRROR_NORM}) FROM documents WHERE doc_id % 20 = 0
+    ),
+    mpb AS (
+      SELECT host, fp FROM mp
+      UNION ALL
+      SELECT DISTINCT host, md5('boilerplate 404 page') FROM mp
+    ),
+    hf AS (SELECT DISTINCT host, fp FROM mpb),
+    sizes AS (SELECT host, count(*) AS n FROM hf GROUP BY host),
+    kept AS (
+      SELECT host, fp FROM (
+        SELECT host, fp, count(*) OVER (PARTITION BY fp) AS dfh FROM hf
+      ) WHERE dfh <= 10
+    ),
+    prs AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.host < b.host
+      GROUP BY a.host, b.host
+      HAVING count(*) >= 2
+    )
+    SELECT host_a, host_b, shared,
+           (shared * 1000000 // (na.n + nb.n - shared))::BIGINT AS jaccard_micro,
+           (shared * 1000000 // (na.n + nb.n - shared)) >= 500000 AS is_mirror
+    FROM prs JOIN sizes na ON prs.host_a = na.host
+             JOIN sizes nb ON prs.host_b = nb.host
+"""
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -7029,6 +7099,12 @@ _CRAWL_URL_ORACLE = (
     FROM ("""
     + _WET_ORACLE
     + """)
+    UNION ALL
+    SELECT 'mirror', shared, host_a, host_b, is_mirror, NULL, NULL,
+           NULL, NULL, jaccard_micro, NULL, NULL, NULL
+    FROM ("""
+    + _MIRROR_ORACLE
+    + """)
     """
 )
 
@@ -7052,7 +7128,12 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     redirect-chain resolution (pointer-doubling to the terminal URL with
     ERR_TOO_MANY_REDIRECTS loop flagging), and WET crawl-archive record
     parsing (sources/warc.py — Content-Length framing validated as the
-    len_ok flag) — each over its dedicated fixture."""
+    len_ok flag) — plus Bharat–Broder mirror-host detection
+    (operators/frontier.py:detect_mirror_hosts over a planted
+    exact-mirror / partial-mirror / boilerplate-parking-page fixture) —
+    each over its dedicated fixture."""
+    from web_crawler_spark.operators import frontier as FR
+
     _ns = F.lit(None).cast("string")
     _nb = F.lit(None).cast("boolean")
     _nd = F.lit(None).cast("double")
@@ -7205,11 +7286,25 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_visits").cast("string").alias("provider"),
         F.col("next_due").cast("string").alias("label"),
     )
+    mr = FR.detect_mirror_hosts(
+        _mirror_rows(spark, sf_dir), "host", "fp",
+        max_fp_hosts=10, min_shared=2,
+    ).select(
+        F.lit("mirror").alias("kernel"),
+        F.col("shared").alias("key"),
+        F.col("host_a").alias("url"),
+        F.col("host_b").alias("canonical"),
+        F.col("is_mirror").alias("flag_a"),
+        _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        F.col("jaccard_micro").alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
-        .unionByName(ht).unionByName(rd).unionByName(wr)
+        .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(mr)
     )
 
 
