@@ -338,3 +338,71 @@ def test_detect_mirror_hosts_caps_boilerplate_fingerprints(spark):
     r = got[0]
     assert (r["host_a"], r["host_b"], r["shared"]) == ("h00", "h01", 2)
     assert r["jaccard_micro"] == 2 * 1_000_000 // (3 + 3 - 2)
+
+
+def _dust_pages(spark):
+    # session / ref are content-irrelevant on site-a; page is load-bearing.
+    rows = []
+    for i in range(4):
+        base = f"https://site-a.example.com/p{i}"
+        fp = f"fp{i}"
+        rows += [
+            (base, fp),
+            (f"{base}?session=s{i}", fp),
+            (f"{base}?ref=mail&session=s{i}", fp),
+            (f"{base}?ref=mail", fp),
+        ]
+    # page changes the content -> counterexample for (site-a, page)
+    rows += [("https://site-a.example.com/p0?page=2", "fp0-page2")]
+    # a different host must learn its own rules
+    rows += [("https://site-b.example.com/q?session=z", "bq"),
+             ("https://site-b.example.com/q", "bq")]
+    return spark.createDataFrame(rows, "url string, fp string")
+
+
+def test_mine_param_rules_supports_and_counterexamples(spark):
+    from web_crawler_spark.operators.frontier import mine_param_rules
+
+    got = {
+        (r["host"], r["param"]): r
+        for r in mine_param_rules(_dust_pages(spark), min_support=3).collect()
+    }
+    sa = got[("site-a.example.com", "session")]
+    # ?session=si -> base (4 hits) and ?ref&session -> ?ref (4 hits)
+    assert (sa["support"], sa["counterexamples"], sa["is_rule"]) == (8, 0, True)
+    ra = got[("site-a.example.com", "ref")]
+    assert (ra["support"], ra["counterexamples"], ra["is_rule"]) == (8, 0, True)
+    pg = got[("site-a.example.com", "page")]
+    assert (pg["counterexamples"], pg["is_rule"]) == (1, False)
+    sb = got[("site-b.example.com", "session")]
+    # only one alias pair on site-b: below min_support even with 0 counters
+    assert (sb["support"], sb["is_rule"]) == (1, False)
+
+
+def test_apply_param_rules_rewrites_and_preserves(spark):
+    from web_crawler_spark.operators.frontier import (
+        apply_param_rules, mine_param_rules)
+
+    pages = _dust_pages(spark)
+    rules = mine_param_rules(pages, min_support=3)
+    urls = spark.createDataFrame(
+        [("https://site-a.example.com/p9?session=zz",),
+         ("https://site-a.example.com/p9?ref=x&page=3&session=y",),
+         ("https://site-a.example.com/p9?page=3",),
+         ("https://site-a.example.com/p9",),
+         # site-b learned no valid rule: untouched
+         ("https://site-b.example.com/q?session=z",)],
+        "url string")
+    got = {r["url"]: r["canonical_url"]
+           for r in apply_param_rules(urls, rules).collect()}
+    assert got["https://site-a.example.com/p9?session=zz"] == \
+        "https://site-a.example.com/p9"
+    # load-bearing param survives, order preserved, rule params gone
+    assert got["https://site-a.example.com/p9?ref=x&page=3&session=y"] == \
+        "https://site-a.example.com/p9?page=3"
+    assert got["https://site-a.example.com/p9?page=3"] == \
+        "https://site-a.example.com/p9?page=3"
+    assert got["https://site-a.example.com/p9"] == \
+        "https://site-a.example.com/p9"
+    assert got["https://site-b.example.com/q?session=z"] == \
+        "https://site-b.example.com/q?session=z"

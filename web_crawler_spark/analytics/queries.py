@@ -7000,6 +7000,118 @@ _MIRROR_ORACLE = f"""
 """
 
 
+def _dust_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST fixture: a synthetic URL corpus where ``session`` and ``ref``
+    never change the content fingerprint, ``page`` does, and hosts are
+    independent — alias variants are planted per custkey (c % 7 picks the
+    variant; 7 is coprime to the host/path periods so every (host, path)
+    class sees every variant)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    site = (k % 4).cast("string")
+    page = (k % 50).cast("string")
+    base = F.concat(F.lit("https://site"), site,
+                    F.lit(".example.com/p"), page)
+    fp0 = F.md5(F.concat(F.lit("site"), site, F.lit("/p"), page))
+    fpp = F.md5(F.concat(F.lit("site"), site, F.lit("/p"), page,
+                         F.lit("#page2")))
+    v = k % 7
+    url = (
+        F.when(v == 1, F.concat(base, F.lit("?session=s"), k.cast("string")))
+        .when(v == 2,
+              F.concat(base, F.lit("?ref=mail&session=s"), k.cast("string")))
+        .when(v == 3, F.concat(base, F.lit("?ref=mail")))
+        .when(v == 4, F.concat(base, F.lit("?page=2")))
+        .otherwise(base)
+    )
+    return c.select(
+        url.alias("url"), F.when(v == 4, fpp).otherwise(fp0).alias("fp")
+    )
+
+
+_DUST_PAGES_SQL = """
+    dsrc AS (
+      SELECT c_custkey AS k,
+             'https://site' || (c_custkey % 4) || '.example.com/p'
+               || (c_custkey % 50) AS base,
+             md5('site' || (c_custkey % 4) || '/p' || (c_custkey % 50)) AS fp0,
+             md5('site' || (c_custkey % 4) || '/p' || (c_custkey % 50)
+                 || '#page2') AS fpp,
+             c_custkey % 7 AS v
+      FROM customer
+    ),
+    dpages AS (
+      SELECT CASE v WHEN 1 THEN base || '?session=s' || k
+                    WHEN 2 THEN base || '?ref=mail&session=s' || k
+                    WHEN 3 THEN base || '?ref=mail'
+                    WHEN 4 THEN base || '?page=2'
+                    ELSE base END AS url,
+             CASE WHEN v = 4 THEN fpp ELSE fp0 END AS fp
+      FROM dsrc
+    ),
+    dqs AS (
+      SELECT url, fp,
+             lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+             split_part(url, '?', 1) AS base,
+             CASE WHEN contains(url, '?')
+                  THEN string_split(substr(url, position('?' IN url) + 1), '&')
+             END AS ps
+      FROM dpages
+    ),
+    dcand AS (
+      SELECT url, fp, host, c['param'] AS param, c['stripped'] AS stripped
+      FROM (
+        SELECT url, fp, host,
+               unnest(list_transform(generate_series(1, len(ps)), i ->
+                 {'param': split_part(ps[i], '=', 1),
+                  'stripped': base || CASE WHEN len(ps) > 1
+                    THEN '?' || array_to_string(
+                           list_filter(ps, (x, j) -> j != i), '&')
+                    ELSE '' END})) AS c
+        FROM dqs WHERE ps IS NOT NULL AND len(ps) > 0
+      )
+    ),
+    dcorpus AS (SELECT DISTINCT url AS stripped, fp AS cfp FROM dpages),
+    drollup AS (
+      SELECT host, param,
+             sum(CASE WHEN fp = cfp THEN 1 ELSE 0 END)::BIGINT AS support,
+             sum(CASE WHEN fp <> cfp THEN 1 ELSE 0 END)::BIGINT
+               AS counterexamples
+      FROM dcand JOIN dcorpus USING (stripped)
+      GROUP BY host, param
+    )
+"""
+
+_DUST_RULE_ORACLE = f"""
+    WITH {_DUST_PAGES_SQL}
+    SELECT host, param, support, counterexamples,
+           (support >= 3 AND counterexamples = 0) AS is_rule
+    FROM drollup
+"""
+
+_DUST_APPLY_ORACLE = f"""
+    WITH {_DUST_PAGES_SQL},
+    dhostrules AS (
+      SELECT host, list_sort(list(DISTINCT param)) AS dropl
+      FROM drollup WHERE support >= 3 AND counterexamples = 0
+      GROUP BY host
+    )
+    SELECT url,
+           CASE WHEN ps IS NULL OR dropl IS NULL THEN url
+                WHEN len(survivors) > 0
+                  THEN base || '?' || array_to_string(survivors, '&')
+                ELSE base END AS canonical_url
+    FROM (
+      SELECT u.url, u.ps, u.base, r.dropl,
+             list_filter(u.ps, kv -> NOT coalesce(
+               list_contains(r.dropl, split_part(kv, '=', 1)), false))
+               AS survivors
+      FROM (SELECT DISTINCT url, ps, base, host FROM dqs) u
+      LEFT JOIN dhostrules r USING (host)
+    )
+"""
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -7104,6 +7216,18 @@ _CRAWL_URL_ORACLE = (
            NULL, NULL, jaccard_micro, NULL, NULL, NULL
     FROM ("""
     + _MIRROR_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'dust_rule', NULL, host, param, is_rule, NULL, NULL,
+           NULL, NULL, support, counterexamples, NULL, NULL
+    FROM ("""
+    + _DUST_RULE_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'dust_apply', NULL, url, canonical_url, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL
+    FROM ("""
+    + _DUST_APPLY_ORACLE
     + """)
     """
 )
@@ -7300,11 +7424,34 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard_micro").alias("priority"), _nl.alias("rank"),
         _ns.alias("provider"), _ns.alias("label"),
     )
+    dust_pages = _dust_rows(spark, sf_dir)
+    dust_rules = FR.mine_param_rules(dust_pages, "url", "fp", min_support=3)
+    dur = dust_rules.select(
+        F.lit("dust_rule").alias("kernel"), _nl.alias("key"),
+        F.col("host").alias("url"), F.col("param").alias("canonical"),
+        F.col("is_rule").alias("flag_a"),
+        _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        F.col("support").alias("priority"),
+        F.col("counterexamples").alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
+    dua = FR.apply_param_rules(
+        dust_pages.select("url").distinct(), dust_rules
+    ).select(
+        F.lit("dust_apply").alias("kernel"), _nl.alias("key"),
+        "url", F.col("canonical_url").alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        _nl.alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
         .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(mr)
+        .unionByName(dur).unionByName(dua)
     )
 
 

@@ -918,3 +918,134 @@ def detect_mirror_hosts(
         (F.col("jaccard_micro") >= min_jaccard_micro).alias("is_mirror"),
     )
 
+
+
+def mine_param_rules(
+    pages: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    min_support: int = 3,
+) -> DataFrame:
+    """DUST rule mining (Bar-Yossef, Keidar & Schonfeld 2009, "Do not
+    crawl in the DUST: different URLs with similar text"), restricted to
+    the workhorse rule family: query parameters that never change the
+    page content (session ids, tracking refs). A crawler that learns
+    these collapses whole families of aliases BEFORE fetching — at
+    10^10-URL scale the alias families (one per session id ever minted)
+    are often larger than the real URL space.
+
+    Evidence join: for every URL carrying parameters, propose one
+    candidate per parameter (the URL with that single parameter removed,
+    order of the others preserved) and look the candidate up in the
+    observed corpus. A hit with the SAME content fingerprint supports the
+    rule (host, param); a hit with a DIFFERENT fingerprint is a
+    counterexample (the parameter is load-bearing, e.g. ``page``). A rule
+    is valid iff support >= ``min_support`` AND counterexamples == 0 —
+    the paper's "no witness against" condition.
+
+    Plan shape: posexplode of the parameter list (narrow) → ONE equi-join
+    on the candidate URL string against the distinct (url, fp) corpus →
+    one map-side-combinable rollup on (host, param). No similarity join,
+    no pair explosion: alias families meet through the stripped string.
+
+    Returns (host, param, support, counterexamples, is_rule).
+    """
+    u = F.col(url_col)
+    base = F.substring_index(u, "?", 1)
+    qs = F.when(u.contains("?"), F.expr(
+        f"substring({url_col}, instr({url_col}, '?') + 1)"
+    ))
+    cand = (
+        pages.select(
+            u.alias("_url"), F.col(fp_col).alias("_fp"),
+            base.alias("_base"), F.split(qs, "&").alias("_params"),
+        )
+        .filter(F.col("_params").isNotNull() & (F.size("_params") > 0))
+        .select(
+            "_url", "_fp", "_base", "_params",
+            F.posexplode("_params").alias("_i", "_kv"),
+        )
+        .select(
+            "_url", "_fp",
+            U.host_of("_url").alias("host"),
+            F.substring_index("_kv", "=", 1).alias("param"),
+            F.concat(
+                F.col("_base"),
+                F.when(
+                    F.size("_params") > 1,
+                    F.concat(
+                        F.lit("?"),
+                        F.array_join(
+                            F.filter(
+                                "_params",
+                                lambda x, j: j != F.col("_i"),
+                            ),
+                            "&",
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("_stripped"),
+        )
+    )
+    corpus = pages.select(
+        F.col(url_col).alias("_stripped"), F.col(fp_col).alias("_cfp")
+    ).distinct()
+    hits = cand.join(corpus, "_stripped")
+    return (
+        hits.groupBy("host", "param")
+        .agg(
+            F.sum(F.when(F.col("_fp") == F.col("_cfp"), 1).otherwise(0))
+            .cast("long").alias("support"),
+            F.sum(F.when(F.col("_fp") != F.col("_cfp"), 1).otherwise(0))
+            .cast("long").alias("counterexamples"),
+        )
+        .select(
+            "host", "param", "support", "counterexamples",
+            ((F.col("support") >= min_support)
+             & (F.col("counterexamples") == 0)).alias("is_rule"),
+        )
+    )
+
+
+def apply_param_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rewrite URLs under learned DUST parameter rules: strip every query
+    parameter whose (host, param) is a valid rule, preserving the order
+    of surviving parameters; drop the '?' when none survive.
+
+    The rule table is host-level metadata (tiny next to the frontier) —
+    it folds to one array of params per host and broadcast-joins onto the
+    URL stream, so the rewrite is a narrow map over the frontier with no
+    shuffle. Returns the input plus ``canonical_url``.
+    """
+    per_host = (
+        rules.filter(F.col("is_rule"))
+        .groupBy(F.col("host"))
+        .agg(F.array_sort(F.collect_set("param")).alias("_drop"))
+    )
+    u = F.col(url_col)
+    base = F.substring_index(u, "?", 1)
+    qs = F.when(u.contains("?"), F.expr(
+        f"substring({url_col}, instr({url_col}, '?') + 1)"
+    ))
+    out = urls.withColumn("_host", U.host_of(url_col)).join(
+        F.broadcast(per_host.withColumnRenamed("host", "_host")),
+        "_host", "left",
+    )
+    survivors = F.filter(
+        F.split(qs, "&"),
+        lambda kv: ~F.coalesce(
+            F.array_contains(F.col("_drop"), F.substring_index(kv, "=", 1)),
+            F.lit(False),
+        ),
+    )
+    rewritten = F.when(
+        qs.isNull() | F.col("_drop").isNull(), u
+    ).when(
+        F.size(survivors) > 0,
+        F.concat(base, F.lit("?"), F.array_join(survivors, "&")),
+    ).otherwise(base)
+    return out.withColumn("canonical_url", rewritten).drop("_host", "_drop")
