@@ -7082,6 +7082,29 @@ _DUST_PAGES_SQL = """
     )
 """
 
+# Canonical-host election over the mirror graph: transitive closure by
+# recursive CTE (clusters are host-count-scale, tiny next to the page
+# corpus), component = min reachable host — mirrors connected_min's
+# min-label fixpoint exactly (min over strings is lexicographic in both
+# engines).
+_MIRROR_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE mpairs AS ({_MIRROR_ORACLE}),
+    medges AS (
+      SELECT host_a AS a, host_b AS b FROM mpairs WHERE is_mirror
+      UNION ALL
+      SELECT host_b, host_a FROM mpairs WHERE is_mirror
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM medges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN medges e ON r.b = e.a
+    )
+    SELECT a AS host, least(a, min(b)) AS canonical_host,
+           (a = least(a, min(b))) AS is_canonical
+    FROM reach GROUP BY a
+"""
+
+
 _DUST_RULE_ORACLE = f"""
     WITH {_DUST_PAGES_SQL}
     SELECT host, param, support, counterexamples,
@@ -7216,6 +7239,12 @@ _CRAWL_URL_ORACLE = (
            NULL, NULL, jaccard_micro, NULL, NULL, NULL
     FROM ("""
     + _MIRROR_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'mirror_cluster', NULL, host, canonical_host, is_canonical,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM ("""
+    + _MIRROR_CLUSTER_ORACLE
     + """)
     UNION ALL
     SELECT 'dust_rule', NULL, host, param, is_rule, NULL, NULL,
@@ -7410,10 +7439,24 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_visits").cast("string").alias("provider"),
         F.col("next_due").cast("string").alias("label"),
     )
-    mr = FR.detect_mirror_hosts(
+    mirror_pairs = FR.detect_mirror_hosts(
         _mirror_rows(spark, sf_dir), "host", "fp",
         max_fp_hosts=10, min_shared=2,
+    )
+    mcl = D.connected_min(
+        mirror_pairs.filter(F.col("is_mirror")).select(
+            F.col("host_a").alias("a"), F.col("host_b").alias("b"))
     ).select(
+        F.lit("mirror_cluster").alias("kernel"), _nl.alias("key"),
+        F.col("node").alias("url"),
+        F.col("component").alias("canonical"),
+        (F.col("node") == F.col("component")).alias("flag_a"),
+        _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        _nl.alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
+    mr = mirror_pairs.select(
         F.lit("mirror").alias("kernel"),
         F.col("shared").alias("key"),
         F.col("host_a").alias("url"),
@@ -7451,7 +7494,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
         .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(mr)
-        .unionByName(dur).unionByName(dua)
+        .unionByName(mcl).unionByName(dur).unionByName(dua)
     )
 
 
