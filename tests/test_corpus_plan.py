@@ -214,3 +214,44 @@ def test_text_corpus_lm_unimax_and_bpe_stages(spark):
         learn_bpe=4,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_text_corpus_blocklist_stage(spark):
+    """The C4 blocklist gate drops a planted spam doc that passes every
+    statistical gate, and leaves the rest of the pipeline untouched."""
+    docs = _docs(spark)
+    kept_before = {r["doc_id"] for r in
+                   C.build_text_corpus(docs).select("doc_id").collect()}
+    assert kept_before, "baseline corpus kept nothing"
+    # a victim with no dedup relations, so removing it upstream cannot
+    # promote a twin or resurrect a substring-pair partner downstream
+    from web_crawler_spark.functions.text import fingerprint
+    from web_crawler_spark.operators import dedup as D
+
+    pairs = D.substring_dup_pairs(docs, "doc_id", "text",
+                                  window=8, min_shared=2)
+    involved = {r["i"] for r in
+                pairs.select(F.col("a").alias("i")).unionAll(
+                    pairs.select(F.col("b").alias("i"))).collect()}
+    from pyspark.sql import Window
+
+    fp_twins = {
+        r["doc_id"]
+        for r in docs.select("doc_id", fingerprint("text").alias("f"))
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("f")))
+        .filter(F.col("c") > 1).collect()
+    }
+    victim = min(kept_before - involved - fp_twins)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim,
+               # a single appended blocklist word; length/stopword/punct
+               # profiles barely move, so only the blocklist can drop it
+               F.concat(F.col("text"), F.lit(" casino")))
+        .otherwise(F.col("text")),
+    )
+    kept_after = {r["doc_id"] for r in
+                  C.build_text_corpus(planted).select("doc_id").collect()}
+    assert victim not in kept_after
+    # the gate is surgical: nothing else changed
+    assert kept_before.symmetric_difference(kept_after) == {victim}

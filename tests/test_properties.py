@@ -76,3 +76,39 @@ def test_doc_route_kernels_match_python_twins(spark, urls):
     assert by["https://a.ex.com#top"]["home"]           # fragment stripped
     assert by["https://a.ex.com/doc_financials/q"]["pdf"]  # investor quirk
     assert not by["https://a.ex.com/about"]["pdf"]
+
+
+def test_surt_key_examples(spark):
+    from web_crawler_spark.functions.urls import surt_key
+
+    cases = [
+        ("https://www.Example.com/a/b?b=2&a=1", "com,example,www)/a/b?a=1&b=2"),
+        ("https://sub.example.org/p#frag", "org,example,sub)/p"),
+        ("https://example.com/", "com,example)/"),
+        ("https://example.com/x?single=1#f", "com,example)/x?single=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["s"]
+           for r in df.select("url", surt_key("url").alias("s")).collect()}
+    for u, want in cases:
+        assert got[u] == want
+
+
+def test_surt_key_clusters_domains_and_folds_param_order(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.urls import surt_key
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/1",), ("https://b.example.com/2",),
+         ("https://example.net/3",),
+         ("https://example.com/q?x=1&y=2",),
+         ("https://example.com/q?y=2&x=1",)],
+        "url string")
+    keys = [r["s"] for r in
+            df.select(surt_key("url").alias("s")).orderBy("s").collect()]
+    # sorted SURT space puts all of example.com's hosts in one prefix run
+    com = [k for k in keys if k.startswith("com,example")]
+    assert com == keys[:len(com)]
+    # parameter-order aliases collapse to one key
+    assert keys.count("com,example)/q?x=1&y=2") == 2

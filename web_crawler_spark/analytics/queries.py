@@ -133,24 +133,54 @@ _URL_SQL = f"""
 @query(
     "url_canonicalize",
     oracle=f"""
-    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part)
+    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part),
+    u2 AS (
+      SELECT p_partkey, url,
+             split_part(
+               regexp_extract(url, '^(https?://[^?#]+)', 1)
+               || CASE p_partkey % 3
+                    WHEN 0 THEN '?b=2&a=1&session=s'
+                    WHEN 1 THEN '?single=1#frag'
+                    ELSE '' END,
+               '#', 1) AS su
+      FROM u
+    )
     SELECT p_partkey,
            regexp_extract(url, '^(https?://[^?#]+)', 1) AS url_canon,
            lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
            regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
-                          '^www\\.', '') AS host_norm
-    FROM u
+                          '^www\\.', '') AS host_norm,
+           array_to_string(list_reverse(string_split(
+             lower(regexp_extract(su, '^https?://([^/?#]+)', 1)), '.')), ',')
+           || ')'
+           || regexp_extract(su, '^https?://[^/?#]+([^?#]*)', 1)
+           || CASE WHEN contains(su, '?')
+                THEN '?' || array_to_string(list_sort(string_split(
+                       substr(su, position('?' IN su) + 1), '&')), '&')
+                ELSE '' END AS surt
+    FROM u2
     """,
 )
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 canonicalization + host extraction + www-normalization (the
-    URL-seen dedup key, site-crawler.service.js:28-30)."""
+    URL-seen dedup key, site-crawler.service.js:28-30) — plus the SURT
+    sort-friendly frontier key (functions/urls.py:surt_key) over a
+    planted multi-param/fragment variant so host reversal, query-param
+    sorting, and fragment dropping are all under the gate."""
     part = _with_url(load(spark, sf_dir, "part"))
+    k = F.col("p_partkey")
+    u2 = F.concat(
+        U.canonicalize("url"),
+        F.when(k % 3 == 0, F.lit("?b=2&a=1&session=s"))
+        .when(k % 3 == 1, F.lit("?single=1#frag"))
+        .otherwise(F.lit("")),
+    )
     return part.select(
         "p_partkey",
         U.canonicalize("url").alias("url_canon"),
         U.host_of("url").alias("host"),
         U.normalize_host(U.host_of("url")).alias("host_norm"),
+        U.surt_key(u2).alias("surt"),
     )
 
 
@@ -867,8 +897,8 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       shown for 'unknown' exactly as the component omits it.
     - 'funnel' rows: the corpus-release drop table
       (_corpus_funnel_rows) — documents in, cumulative survivors of the
-      lang / quality / Gopher gates and exact dedup, and the
-      train/val/test distribution of the surviving set.
+      lang / C4-blocklist / quality / Gopher gates and exact dedup, and
+      the train/val/test distribution of the surviving set.
     """
     w = Window.partitionBy()  # ≤6 rows post-agg — a global window is free
     src = load(spark, sf_dir, "orders").select(
@@ -937,8 +967,9 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'funnel' rows for quality_report: the per-gate survivor table a
     corpus release publishes — documents in, then cumulative survivors of
-    the lang gate, the quality gate, the Gopher top-2-gram gate, exact
-    fingerprint dedup, and finally the train/val/test split distribution
+    the lang gate, the C4 blocklist gate, the quality gate, the Gopher
+    top-2-gram gate, exact fingerprint dedup, and finally the
+    train/val/test split distribution
     of the surviving set (all counts; pct = share of input, 4 dp). Every
     gate reuses the oracled operator it reports on (functions/text.py);
     the only shuffles are one aggregate and one fingerprint window."""
@@ -946,18 +977,20 @@ def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_len = F.length(TX.normalize_text("text"))
     r2 = TX.repetition_stats("text", 2)
     s1 = TX.lang_id("text") == "en"
-    s2 = s1 & (TX.quality_score_text("text") >= 70)
+    s1b = s1 & TX.blocklist_hits("text").getField("keep")
+    s2 = s1b & (TX.quality_score_text("text") >= 70)
     top2 = (r2.getField("top_n") * r2.getField("top_len")).cast("double") / F.greatest(
         norm_len, F.lit(1)
     )
     s3 = s2 & (top2 <= 0.2)
     staged = d.select(
-        "doc_id", s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
-        TX.fingerprint("text").alias("fp"),
+        "doc_id", s1.alias("s1"), s1b.alias("s1b"), s2.alias("s2"),
+        s3.alias("s3"), TX.fingerprint("text").alias("fp"),
     )
     base = staged.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n_lang"),
+        F.sum(F.when(F.col("s1b"), 1).otherwise(0)).cast("long").alias("n_blocklist"),
         F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n_quality"),
         F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n_gopher"),
     )
@@ -976,6 +1009,8 @@ def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 row("input", F.col("n_input"), F.lit(100.0)),
                 row("lang", F.col("n_lang"), pct_of(F.col("n_lang"))),
+                row("blocklist", F.col("n_blocklist"),
+                    pct_of(F.col("n_blocklist"))),
                 row("quality", F.col("n_quality"), pct_of(F.col("n_quality"))),
                 row("gopher", F.col("n_gopher"), pct_of(F.col("n_gopher"))),
             )
@@ -7876,6 +7911,15 @@ _ORACLES["image_features"] = (
 # quality_report's 'funnel' arm is appended here because its SQL reuses the
 # corpus fragments (_NORM_SQL/_TOKS_SQL/_STOPS_SQL) defined mid-module,
 # after the @query decoration ran (same assembly pattern as image_features).
+_BL_COND_SQL = (
+    f"len(list_filter(list_distinct(toks), x -> "
+    f"list_contains({_BL_WORDS_SQL}, x))) = 0"
+    + "".join(
+        f" AND NOT contains(' ' || nrm || ' ', ' {p} ')"
+        for p in sorted(TX.BLOCKLIST_PHRASES)
+    )
+)
+
 _ORACLES["quality_report"] = (
     _ORACLES["quality_report"]
     + f"""
@@ -7883,6 +7927,7 @@ _ORACLES["quality_report"] = (
     SELECT * FROM (
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks,
+             {_NORM_SQL.format(col='text')} AS nrm,
              length({_NORM_SQL.format(col='text')}) AS nl,
              length(text) AS n,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
@@ -7897,6 +7942,7 @@ _ORACLES["quality_report"] = (
                len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
              ELSE 0.0 END AS sw_ratio,
              CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS p_ratio,
+             ({_BL_COND_SQL}) AS bl_keep,
              toks
       FROM t
     ),
@@ -7918,10 +7964,12 @@ _ORACLES["quality_report"] = (
       SELECT m.doc_id, m.fp,
              (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9) AS s1,
              (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9
+              AND m.bl_keep) AS s1b,
+             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9 AND m.bl_keep
               AND (CASE WHEN m.n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
                    + CASE WHEN m.sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
                    + CASE WHEN m.p_ratio < 0.2 THEN 30 ELSE 0 END) >= 70) AS s2,
-             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9
+             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9 AND m.bl_keep
               AND (CASE WHEN m.n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
                    + CASE WHEN m.sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
                    + CASE WHEN m.p_ratio < 0.2 THEN 30 ELSE 0 END) >= 70
@@ -7931,6 +7979,7 @@ _ORACLES["quality_report"] = (
     tot AS (
       SELECT count(*) AS n_input,
              count(*) FILTER (WHERE s1) AS n_lang,
+             count(*) FILTER (WHERE s1b) AS n_blocklist,
              count(*) FILTER (WHERE s2) AS n_quality,
              count(*) FILTER (WHERE s3) AS n_gopher
       FROM f
@@ -7950,6 +7999,9 @@ _ORACLES["quality_report"] = (
     SELECT 'funnel' AS report, 'input' AS band, n_input AS n, 100.0 AS pct FROM tot
     UNION ALL
     SELECT 'funnel', 'lang', n_lang, round(100.0 * n_lang / n_input, 4) FROM tot
+    UNION ALL
+    SELECT 'funnel', 'blocklist', n_blocklist,
+           round(100.0 * n_blocklist / n_input, 4) FROM tot
     UNION ALL
     SELECT 'funnel', 'quality', n_quality, round(100.0 * n_quality / n_input, 4) FROM tot
     UNION ALL

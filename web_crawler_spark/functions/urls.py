@@ -219,3 +219,36 @@ def py_is_document_url(url: str) -> bool:
 def py_is_homepage(url: str) -> bool:
     base = re.sub(r"[?#].*$", "", url)
     return bool(re.match(r"^https?://[^/?#]+/?$", base))
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key — the
+    Heritrix / OpenWayback frontier key form: fragment dropped, host
+    components reversed and comma-joined, query parameters sorted.
+
+    ``https://www.example.com/a/b?b=2&a=1`` →
+    ``com,example,www)/a/b?a=1&b=2``
+
+    Why this form at 10^10 URLs: a frontier (or seen-set) sorted on the
+    SURT key clusters every URL of a registrable domain into one
+    contiguous key range, so per-site scans, range-partitioned politeness
+    shards, and prefix-scoped crawl rules are sequential reads instead of
+    scattered lookups — and sorted query params fold parameter-order
+    aliases (?a=1&b=2 vs ?b=2&a=1) into one key for free. Pure column
+    algebra, engine-exact (binary string sort both sides)."""
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.substring_index(c, "#", 1)
+    host = host_of(u)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, r"^https?://[^/?#]+([^?#]*)", 1)
+    qpos = F.locate("?", u)
+    sorted_q = F.when(
+        qpos > 0,
+        F.concat(
+            F.lit("?"),
+            F.array_join(
+                F.array_sort(F.split(F.substr(u, qpos + 1), "&")), "&"
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(rev, F.lit(")"), path, sorted_q)

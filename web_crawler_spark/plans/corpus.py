@@ -118,6 +118,9 @@ def build_text_corpus(
     gated = (
         docs.withColumn("_pred_lang", TX.lang_id("text"))
         .filter(F.col("_pred_lang").isin(*allowed_langs))
+        # C4 §2.2 position: blocklist right after language ID, before the
+        # statistical quality gates (functions/text.py:blocklist_hits)
+        .filter(TX.blocklist_hits("text").getField("keep"))
         .withColumn("_q", TX.quality_score_text("text"))
         .filter(F.col("_q") >= min_quality)
         .withColumn(
