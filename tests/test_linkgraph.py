@@ -406,3 +406,52 @@ def test_apply_param_rules_rewrites_and_preserves(spark):
         "https://site-a.example.com/p9"
     assert got["https://site-b.example.com/q?session=z"] == \
         "https://site-b.example.com/q?session=z"
+
+
+def _py_trustrank(edges, seeds, iters=5, scale=SCALE, d=(85, 100)):
+    """Single-threaded reference of host_pagerank(trusted=...)."""
+    d_num, d_den = d
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    seeds = sorted(set(seeds) & set(nodes))
+    n = len(seeds)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (d_den - d_num) * scale // (d_den * n)
+    r = {v: (scale // n if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        nxt = {v: (base if v in seeds else 0) for v in nodes}
+        for u, v in edges:
+            nxt[v] += (d_num * r[u]) // (d_den * outdeg[u])
+        r = nxt
+    return r
+
+
+def test_trustrank_matches_reference_and_zeroes_unreachable(spark):
+    # trusted chain 0->1->2 plus an island 10<->11 the seeds never reach
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10), (2, 3)]
+    seeds = [0]
+    want = _py_trustrank(edges, seeds)
+    trusted = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["rank_int"]
+        for r in FR.host_pagerank(_edges_df(spark, edges),
+                                  trusted=trusted).collect()
+    }
+    assert got == want
+    # spam island: no teleport mass, no trusted in-links -> exactly zero
+    assert got[10] == 0 and got[11] == 0
+    # trust flows along the chain
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0 and got[3] > 0
+
+
+def test_trustrank_uniform_seed_set_equals_pagerank(spark):
+    edges = [(i % 9, (i * 7 + 2) % 9) for i in range(40)
+             if i % 9 != (i * 7 + 2) % 9]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    trusted = spark.createDataFrame([(v,) for v in nodes], "node long")
+    pr = FR.host_pagerank(_edges_df(spark, edges)).collect()
+    tr = FR.host_pagerank(_edges_df(spark, edges), trusted=trusted).collect()
+    assert sorted((r["node"], r["rank_int"]) for r in pr) == sorted(
+        (r["node"], r["rank_int"]) for r in tr
+    )

@@ -6494,6 +6494,45 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12,
     FROM r{iters}""")
 
 
+def _trustrank_oracle(iters: int = 5, scale: int = 10**12,
+                      d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled integer fixed-point TrustRank (host_pagerank with
+    ``trusted=``): same edge fixture as PageRank, teleport confined to
+    the ``node % 13 = 0`` seed hosts — one CTE per iteration."""
+    ctes = [
+        f"e AS ({_PAGERANK_EDGE_SQL})",
+        "outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "ns AS (SELECT count(*) AS n FROM nodes WHERE node % 13 = 0)",
+        f"""r0 AS (SELECT node,
+              CASE WHEN node % 13 = 0 THEN {scale} // n ELSE 0 END AS r
+            FROM nodes, ns)""",
+    ]
+    base = (
+        f"CASE WHEN n.node % 13 = 0 THEN "
+        f"({d_den - d_num} * {scale}) // ({d_den} * (SELECT n FROM ns)) "
+        f"ELSE 0 END"
+    )
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT n.node,
+                 {base}
+                 + coalesce(sum(({d_num} * p.r) // ({d_den} * p.od)), 0) AS r
+          FROM nodes n
+          LEFT JOIN (SELECT e.dst, r.r, o.od
+                     FROM e
+                     JOIN r{i - 1} r ON e.src = r.node
+                     JOIN outdeg o ON e.src = o.src) p
+            ON p.dst = n.node
+          GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT node AS k,
+           concat('https://h', node, '.example.com') AS url,
+           r::BIGINT AS priority,
+           row_number() OVER (ORDER BY r DESC, node) AS rank
+    FROM r{iters}""")
+
+
 def _pagerank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """host_pagerank over the deterministic host-graph fixture; the rank
     position orders hosts by authority (193 rows — the global window is a
@@ -6514,6 +6553,35 @@ def _pagerank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = FR.host_pagerank(edges, iters=5)
     w = Window.orderBy(F.col("rank_int").desc(), "node")
     return pr.select(
+        F.col("node").alias("k"),
+        F.concat(F.lit("https://h"), F.col("node").cast("string"),
+                 F.lit(".example.com")).alias("url"),
+        F.col("rank_int").alias("priority"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def _trustrank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_pagerank(trusted=…) over the PageRank edge fixture with the
+    ``node % 13 == 0`` hosts as the trusted seed set (operators/
+    frontier.py:host_pagerank — TrustRank, Gyöngyi et al. 2004)."""
+    from web_crawler_spark.operators import frontier as FR
+
+    k = F.col("p_partkey")
+    dst = (
+        F.when(F.pmod(k, F.lit(4)) == 0, F.pmod(k, F.lit(7)))
+        .otherwise(F.pmod(k * 13 + 5, F.lit(_PAGERANK_N)))
+    )
+    edges = (
+        load(spark, sf_dir, "part")
+        .select(F.pmod(k, F.lit(_PAGERANK_N)).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    trusted = spark.range(0, _PAGERANK_N, 13).select(F.col("id").alias("node"))
+    tr = FR.host_pagerank(edges, iters=5, trusted=trusted)
+    w = Window.orderBy(F.col("rank_int").desc(), "node")
+    return tr.select(
         F.col("node").alias("k"),
         F.concat(F.lit("https://h"), F.col("node").cast("string"),
                  F.lit(".example.com")).alias("url"),
@@ -7231,6 +7299,12 @@ _CRAWL_URL_ORACLE = (
     + _pagerank_oracle()
     + """)
     UNION ALL
+    SELECT 'trustrank', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
+           priority, rank, NULL, NULL
+    FROM ("""
+    + _trustrank_oracle()
+    + """)
+    UNION ALL
     SELECT 'anchor_text', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
            priority, NULL, NULL, label
     FROM ("""
@@ -7474,6 +7548,14 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_visits").cast("string").alias("provider"),
         F.col("next_due").cast("string").alias("label"),
     )
+    tk = _trustrank_rows(spark, sf_dir).select(
+        F.lit("trustrank").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        "priority", "rank",
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     mirror_pairs = FR.detect_mirror_hosts(
         _mirror_rows(spark, sf_dir), "host", "fp",
         max_fp_hosts=10, min_shared=2,
@@ -7528,8 +7610,8 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
-        .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(mr)
-        .unionByName(mcl).unionByName(dur).unionByName(dua)
+        .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(tk)
+        .unionByName(mr).unionByName(mcl).unionByName(dur).unionByName(dua)
     )
 
 

@@ -417,6 +417,7 @@ def host_pagerank(
     scale: int = 10**12,
     damping: tuple[int, int] = (85, 100),
     checkpoint: bool = False,
+    trusted: DataFrame | None = None,
 ) -> DataFrame:
     """Link-graph PageRank over hosts, in integer fixed-point arithmetic.
 
@@ -454,6 +455,17 @@ def host_pagerank(
     amortize the per-iteration scan; this function does not take
     ownership of the edges' storage lifecycle.
 
+    ``trusted`` (optional, a DataFrame whose first column is the seed
+    node id) switches the uniform teleport to **TrustRank** (Gyöngyi,
+    Garcia-Molina & Pedersen 2004, "Combating web spam with TrustRank"):
+    initial rank and the per-iteration teleport base flow ONLY to the
+    trusted seed set, so hosts reachable from the seeds accumulate trust
+    while spam farms unreachable from any trusted host decay toward zero
+    — the standard anti-spam crawl-budget prior, and the complement of
+    detect_url_traps (traps flag bad structure; trust scores good
+    provenance). Same integer fixed-point algebra and plan shape: the
+    seed flag rides the node table, everything else is unchanged.
+
     Returns (node BIGINT, rank_int BIGINT).
     """
     d_num, d_den = damping
@@ -467,12 +479,32 @@ def host_pagerank(
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
+    if trusted is not None:
+        seeds = nodes.join(
+            trusted.select(F.col(trusted.columns[0]).cast("long").alias("node")),
+            "node", "left_semi",
+        )
+        nodes = nodes.join(
+            seeds.withColumn("_seed", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        n = nodes.filter("_seed").count()
+        if n == 0:
+            raise ValueError("trusted seed set shares no node with the graph")
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(True))
+        n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank_int", F.lit(0).cast("long"))
+        return nodes.select("node").withColumn(
+            "rank_int", F.lit(0).cast("long")
+        )
     base = (d_den - d_num) * scale // (d_den * n)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ranks = nodes.withColumn("rank_int", F.lit(scale // n).cast("long"))
+    seed_base = F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(scale // n))
+        .otherwise(F.lit(0)).cast("long").alias("rank_int"),
+    )
     for _ in range(iters):
         contribs = (
             e.join(F.broadcast(outdeg), "src")
@@ -488,7 +520,7 @@ def host_pagerank(
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                (seed_base + F.coalesce(F.col("in_mass"), F.lit(0)))
                 .cast("long")
                 .alias("rank_int"),
             )
