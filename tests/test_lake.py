@@ -94,3 +94,35 @@ def test_dedup_table_changes_catches_up_against_pinned_corpus(spark, tmp_path):
         )
     )
     assert sorted(r["doc_id"] for r in exact.collect()) == ids
+
+
+def test_compact_rewrites_layout_preserves_content_and_changelog(spark, tmp_path):
+    import glob
+
+    t = _tbl(spark, tmp_path, "t4")
+    chk = t.append(_docs(spark, [(1, "a"), (2, "b")]))["snapshot_id"]
+    t.append(_docs(spark, [(3, "c")]))
+    t.append(_docs(spark, [(4, "d")]))
+    before = sorted(r["doc_id"] for r in t.read(spark).collect())
+    n_files_before = len(glob.glob(str(tmp_path / "t4" / "data" / "*" / "*.parquet")))
+
+    snap = t.compact(spark)
+    assert snap["operation"] == "compact"
+    # logical content identical, physical file set folded to one dir
+    assert sorted(r["doc_id"] for r in t.read(spark).collect()) == before
+    assert len(snap["files"]) == 1
+    # incremental scan SKIPS the compaction: catching up from the
+    # checkpoint still yields exactly the appended delta, not the rewrite
+    got = sorted(r["doc_id"] for r in t.read_changes(spark, chk).collect())
+    assert got == [3, 4]
+    # a compact-only window is an empty (schema-stable) delta
+    post = t.append(_docs(spark, [(5, "e")]))["snapshot_id"]
+    only_new = t.read_changes(spark, snap["snapshot_id"], post)
+    assert [r["doc_id"] for r in only_new.collect()] == [5]
+    # pinned time-travel read at the checkpoint still works post-compact
+    assert sorted(r["doc_id"] for r in t.read(spark, chk).collect()) == [1, 2]
+    # overwrite still refuses
+    t.overwrite(_docs(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_changes(spark, chk)
+    assert n_files_before >= 3

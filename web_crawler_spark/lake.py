@@ -132,6 +132,36 @@ class SnapshotTable:
             lineage = self._lineage(df, lineage_key, rel)
         return self._commit("overwrite", [rel], summary or {}, lineage)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        summary: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Small-files compaction (Iceberg's ``rewriteDataFiles``
+        maintenance action): rewrite the table's current content into
+        ``target_files`` files and commit it as a ``compact`` snapshot.
+
+        A long-lived append-only table (a crawl frontier fed one delta
+        per wave, a corpus fed one snapshot per crawl) accretes one file
+        set per append; at 10^10 rows the scan cost becomes
+        open-file-count-bound, not byte-bound. Compaction rewrites the
+        PHYSICAL layout while the LOGICAL content is unchanged — which is
+        exactly why :meth:`read_changes` SKIPS compact snapshots (their
+        logical delta is empty) instead of refusing the range the way it
+        refuses overwrites: a consumer checkpointed before a compaction
+        catches up across it losslessly, and its pinned time-travel reads
+        keep working until :meth:`expire_snapshots` reclaims the old
+        files."""
+        cur = self.current()
+        if cur is None or not cur["files"]:
+            raise ValueError(f"table {self.path} has no snapshot/data")
+        df = self.read(spark).repartition(target_files)
+        rel = self._write_files(df, partition_by)
+        lineage = self._lineage(df, None, rel)
+        return self._commit("compact", [rel], summary or {}, lineage)
+
     # ------------------------------------------------------------ read ----
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is None:
@@ -154,12 +184,15 @@ class SnapshotTable:
         to_snapshot]`` — the changelog a downstream consumer processes to
         catch up from its last checkpoint without rereading the table.
 
-        Only valid across a pure append chain: an ``overwrite`` commit in
-        the range replaces the file set wholesale, so "what changed" is
-        not expressible as added files — this raises, mirroring Iceberg,
-        which refuses incremental scans across replace/overwrite
-        snapshots. An empty range (nothing new) returns an empty
-        DataFrame with the table's current schema."""
+        Valid across appends and compactions: an ``append`` contributes
+        its added files; a ``compact`` (physical rewrite, identical
+        logical content) contributes NOTHING and is skipped — exactly how
+        Iceberg's incremental append scan treats replace snapshots
+        produced by rewriteDataFiles. An ``overwrite`` replaces content
+        wholesale, so "what changed" is not expressible as added files —
+        this raises, mirroring Iceberg's refusal. An empty range (nothing
+        new) returns an empty DataFrame with the table's current
+        schema."""
         snaps = self.snapshots()
         ids = {s["snapshot_id"] for s in snaps}
         if from_snapshot not in ids:
@@ -168,13 +201,15 @@ class SnapshotTable:
         if hi not in ids:
             raise ValueError(f"unknown to_snapshot {to_snapshot}")
         window = [s for s in snaps if from_snapshot < s["snapshot_id"] <= hi]
-        bad = [s["snapshot_id"] for s in window if s["operation"] != "append"]
+        bad = [s["snapshot_id"] for s in window
+               if s["operation"] not in ("append", "compact")]
         if bad:
             raise ValueError(
                 f"incremental scan crosses non-append snapshots {bad}; "
                 "read() the target snapshot instead"
             )
-        added = [rel for s in window for rel in s["added_files"]]
+        added = [rel for s in window if s["operation"] == "append"
+                 for rel in s["added_files"]]
         if not added:
             return self.read(spark, hi).limit(0)
         paths = [os.path.join(self.data_dir, rel) for rel in added]
