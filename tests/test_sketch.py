@@ -1,0 +1,132 @@
+"""HLL / count-min sketch operators (operators/sketch.py).
+
+Covers the properties that matter at frontier scale: estimate accuracy in
+both HLL regimes, mergeability (union-of-sketches == sketch-of-union, the
+incremental-crawl invariant), CMS one-sided error, and hot-key salting
+actually flattening a skewed host distribution.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.hashing import hash64_col
+from web_crawler_spark.operators import sketch as SK
+
+
+def _ids(spark, lo, hi, prefix="u"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("k")
+    )
+
+
+def _estimate(spark, df, col="k"):
+    row = SK.hll_estimate(SK.hll_registers(df, col)).collect()[0]
+    if row.est <= 2.5 * row.m and row.zero_registers > 0:
+        return row, row.m * math.log(row.m / row.zero_registers)
+    return row, row.est
+
+
+def test_hll_accuracy_large_range(spark):
+    # 50k distinct >> m=4096 registers: the raw estimator regime.
+    # Standard error ~ 1.04/sqrt(m) = 1.6%; assert within 5%.
+    row, est = _estimate(spark, _ids(spark, 0, 50_000))
+    assert abs(est - 50_000) / 50_000 < 0.05
+    assert row.zero_registers == 0
+
+
+def test_hll_accuracy_small_range_linear_counting(spark):
+    # 300 distinct << m: raw estimate is biased, linear counting isn't.
+    row, est = _estimate(spark, _ids(spark, 0, 300))
+    assert abs(est - 300) / 300 < 0.10
+    assert row.occupied <= 300
+
+
+def test_hll_duplicates_do_not_move_the_sketch(spark):
+    one = SK.hll_registers(_ids(spark, 0, 1000), "k")
+    dup = SK.hll_registers(
+        _ids(spark, 0, 1000).unionByName(_ids(spark, 0, 1000)), "k"
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, dup.collect()))
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    # The incremental-crawl property: yesterday's register table + today's
+    # delta sketch == the sketch of the full history. Overlap included.
+    a = SK.hll_registers(_ids(spark, 0, 2000), "k")
+    b = SK.hll_registers(_ids(spark, 1500, 4000), "k")
+    merged = SK.hll_merge(a, b)
+    direct = SK.hll_registers(_ids(spark, 0, 4000), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_never_undercounts_and_is_tight_here(spark):
+    # Zipf-ish key frequencies: key u{i} appears (i % 37) + 1 times.
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("u"), F.col("id") % 200).alias("k")
+    )
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    cms = SK.cms_build(df, "k")
+    keys = df.select("k").distinct()
+    est = {r.k: r.cms_est for r in SK.cms_lookup(cms, keys, "k").collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # 200 keys into 4x512 cells: the min-counter should be exact for >=95%.
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 0.95 * len(exact)
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    df = _ids(spark, 0, 20_000)
+    cms = SK.cms_build(df, "k")
+    assert cms.count() <= SK.CMS_D * SK.CMS_W
+
+
+def test_cms_merge_by_sum(spark):
+    a, b = _ids(spark, 0, 500), _ids(spark, 200, 900)
+    merged = (
+        SK.cms_build(a, "k")
+        .unionByName(SK.cms_build(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = SK.cms_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hot_key_salts_flatten_skew(spark):
+    # One hot host (6000 urls) among 50 cold hosts (20 urls each): without
+    # salting the host-keyed fetch partitioning puts 6000 rows in one
+    # shard; with CMS-driven salts no shard exceeds the budget + CMS slack.
+    hot = spark.range(0, 6000).select(
+        F.lit("hot.example").alias("host"),
+        F.concat(F.lit("https://hot.example/p"), F.col("id")).alias("url"),
+    )
+    cold = spark.range(0, 1000).select(
+        F.concat(F.lit("cold"), F.col("id") % 50, F.lit(".example")).alias("host"),
+        F.concat(F.lit("https://cold/p"), F.col("id")).alias("url"),
+    )
+    urls = hot.unionByName(cold)
+    cms = SK.cms_build(urls, "host")
+    salts = SK.hot_key_salts(cms, urls.select("host").distinct(), "host",
+                             per_salt_budget=500)
+    srow = {r.host: r.n_salt for r in salts.collect()}
+    assert srow["hot.example"] >= 12  # ceil(6000/500) = 12, CMS may round up
+    assert all(v == 1 for h, v in srow.items() if h != "hot.example")
+
+    sharded = urls.join(F.broadcast(salts), "host").select(
+        "host", (F.pmod(hash64_col("url"), F.col("n_salt"))).alias("shard")
+    )
+    sizes = [
+        r.n
+        for r in sharded.groupBy("host", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 550  # budget 500 + 10% hash-split imbalance slack

@@ -34,6 +34,7 @@ from web_crawler_spark.functions import text as TX
 from web_crawler_spark.functions import urls as U
 from web_crawler_spark.operators import dedup as D
 from web_crawler_spark.operators import similarity as SIM
+from web_crawler_spark.operators import sketch as SK
 
 # --------------------------------------------------------------------------
 # registry plumbing
@@ -1047,23 +1048,104 @@ def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gates.unionByName(exact).unionByName(tail)
 
 
-@query(
-    "crawl_stats",
-    oracle="""
-    SELECT event_type AS method, count(*) AS n,
-           count(*) FILTER (WHERE value < 0.1) AS failures,
-           round(sum(value), 2) AS total_value
-    FROM events GROUP BY event_type
-    """,
-)
-def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/A8: per-method request/failure histogram."""
-    e = load(spark, sf_dir, "events")
-    return e.groupBy(F.col("event_type").alias("method")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("value") < 0.1, 1)).alias("failures"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+def _crawl_stats_oracle() -> str:
+    """Mirror of q_crawl_stats: method histogram + HLL cardinality (raw +
+    small-range-corrected) + CMS hot-key/salt arm. The sketch fragments come
+    from operators/sketch.py so Spark and DuckDB share one derivation."""
+    hll = SK.hll_estimate_sql("events", "user_id")
+    cms = SK.cms_estimate_sql("events", "user_id")
+    corr = (
+        "CASE WHEN est <= 2.5 * m AND zero_registers > 0"
+        " THEN m::DOUBLE * ln(m::DOUBLE / zero_registers::DOUBLE)"
+        " ELSE est END"
     )
+    return f"""
+    WITH hll AS ({hll}),
+    tot AS (SELECT count(*)::BIGINT AS total FROM events),
+    exact AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS n
+              FROM events GROUP BY 1)
+    SELECT 'method' AS arm, event_type AS key, count(*)::BIGINT AS n1,
+           (count(*) FILTER (WHERE value < 0.1))::BIGINT AS n2, 0::BIGINT AS n3,
+           round(sum(value), 2) AS v
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'hll_raw', 'user_id', m, occupied, sum_scaled, round(est, 4)
+    FROM hll
+    UNION ALL
+    SELECT 'hll', 'user_id', occupied, zero_registers, 0::BIGINT,
+           round({corr}, 4)
+    FROM hll
+    UNION ALL
+    SELECT 'cms_hot', c.key, exact.n, c.cms_est,
+           least(greatest(ceil(c.cms_est::DOUBLE / 50.0), 1), 64)::BIGINT,
+           round(c.cms_est::DOUBLE / exact.n::DOUBLE, 4)
+    FROM {cms} c JOIN exact USING (key), hll, tot
+    WHERE c.cms_est::DOUBLE >= 1.15 * tot.total::DOUBLE / ({corr})
+    """
+
+
+@query("crawl_stats", oracle=_crawl_stats_oracle())
+def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8 per-method request/failure histogram, plus the sketches that
+    replace the reference's exact in-memory crawl state at frontier scale
+    (site-crawler.service.js:134-136 visited Set, crawler.service.js:207
+    seen Map): HLL distinct-user cardinality (operators/sketch.py) and a
+    count-min hot-key arm whose salt counts mirror hot_key_salts — the
+    politeness-skew control for the salted fetch in plans/crawl.py."""
+    e = load(spark, sf_dir, "events")
+    method = e.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count(F.when(F.col("value") < 0.1, 1)).alias("n2"),
+        F.lit(0).cast("long").alias("n3"),
+        F.round(F.sum("value"), 2).alias("v"),
+    ).select(F.lit("method").alias("arm"), "key", "n1", "n2", "n3", "v")
+
+    est = SK.hll_estimate(SK.hll_registers(e, "user_id"))
+    corr = F.when(
+        (F.col("est") <= 2.5 * SK.HLL_M) & (F.col("zero_registers") > 0),
+        F.lit(float(SK.HLL_M))
+        * F.log(F.lit(float(SK.HLL_M)) / F.col("zero_registers").cast("double")),
+    ).otherwise(F.col("est"))
+    hll_raw = est.select(
+        F.lit("hll_raw").alias("arm"), F.lit("user_id").alias("key"),
+        F.col("m").alias("n1"), F.col("occupied").alias("n2"),
+        F.col("sum_scaled").alias("n3"), F.round("est", 4).alias("v"),
+    )
+    hll_corr = est.select(
+        F.lit("hll").alias("arm"), F.lit("user_id").alias("key"),
+        F.col("occupied").alias("n1"), F.col("zero_registers").alias("n2"),
+        F.lit(0).cast("long").alias("n3"), F.round(corr, 4).alias("v"),
+    )
+
+    cms = SK.cms_build(e, "user_id")
+    exact = e.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    scalars = F.broadcast(
+        est.select(corr.alias("hll_corr")).crossJoin(
+            e.agg(F.count(F.lit(1)).cast("long").alias("total"))
+        )
+    )
+    hot = (
+        SK.cms_lookup(cms, exact, "key")
+        .crossJoin(scalars)
+        .filter(
+            F.col("cms_est").cast("double")
+            >= 1.15 * F.col("total").cast("double") / F.col("hll_corr")
+        )
+        .select(
+            F.lit("cms_hot").alias("arm"), F.col("key"),
+            F.col("exact_n").alias("n1"), F.col("cms_est").alias("n2"),
+            F.least(
+                F.greatest(F.ceil(F.col("cms_est").cast("double") / 50.0), F.lit(1)),
+                F.lit(64),
+            ).cast("long").alias("n3"),
+            F.round(
+                F.col("cms_est").cast("double") / F.col("exact_n").cast("double"), 4
+            ).alias("v"),
+        )
+    )
+    return method.unionByName(hll_raw).unionByName(hll_corr).unionByName(hot)
 
 
 # --------------------------------------------------------------------------
