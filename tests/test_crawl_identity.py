@@ -251,3 +251,18 @@ def test_requeue_recrawls_only_the_expired(spark, tmp_path):
         assert after[u][1] == before[u][1]
     unchanged = {u: v for u, v in after.items() if u not in expired}
     assert unchanged == {u: v for u, v in before.items() if u not in expired}
+
+
+def test_fresh_rerun_on_dirty_workdir_matches_clean_run(spark, tmp_path):
+    """run(resume=False) on a workdir holding a finished crawl must drop the
+    stale delta/pages/bloom tables — otherwise the old run's visited counts
+    shrink the new per-seed budgets and the stale bloom drops live URLs."""
+    cfg = CrawlConfig(max_pages=12, max_depth=3, use_bloom=True)
+    wd = str(tmp_path / "dirty")
+    d1 = CrawlDriver(spark, WEB, wd, cfg)
+    d1.run(max_waves=60)
+    clean = _spark_results(d1)
+
+    d2 = CrawlDriver(spark, WEB, wd, cfg)  # same dir, fresh start
+    d2.run(max_waves=60)
+    assert _spark_results(d2) == clean

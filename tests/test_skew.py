@@ -74,6 +74,64 @@ def test_salted_fetch_spreads_hot_host(spark):
     assert max(parts.values()) <= 2 * mean, parts  # no straggler partition
 
 
+def test_host_salted_fetch_splits_hot_host_keeps_cold_whole(spark):
+    """CMS-driven host salting (north_rule 'salted repartition-by-host'):
+    the hot host must split across shards; cold hosts must each stay in
+    exactly one shard (host locality for a real fetcher's politeness /
+    connection reuse)."""
+    from web_crawler_spark.operators import sketch as SK
+
+    rows = [
+        (HOT_WEB.url(h, p), HOT_WEB.host(h), 1, h * 1000 + p, 1, h * 1000 + p)
+        for h in range(HOT_WEB.n_hosts)
+        for p in range(HOT_WEB.n_pages(h))
+    ]
+    take = spark.createDataFrame(
+        rows,
+        "url string, seed_host string, depth int, enqueue_seq long, "
+        "wave int, visit_seq long",
+    )
+    salts = SK.hot_key_salts(
+        SK.cms_build(take, "seed_host"),
+        take.select("seed_host").distinct(),
+        "seed_host",
+        per_salt_budget=40,
+    )
+    fetched = fetch_pages(take, HOT_WEB, salt_partitions=16, host_salts=salts)
+    per = (
+        fetched.select("seed_host", F.spark_partition_id().alias("pid"))
+        .groupBy("seed_host")
+        .agg(F.countDistinct("pid").alias("shards"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_host = {r.seed_host: (r.shards, r.n) for r in per}
+    hot_shards, hot_n = by_host[HOT_WEB.host(0)]
+    assert hot_n == HOT_WEB.n_pages(0)
+    assert hot_shards >= 3  # 200 rows / 40-budget => ~5 salts (AQE may fold)
+    for h in range(1, HOT_WEB.n_hosts):
+        assert by_host[HOT_WEB.host(h)][0] == 1  # cold host: one shard
+    # same result set as the unsalted fetch
+    plain = fetch_pages(take, HOT_WEB)
+    assert sorted(r.url for r in fetched.select("url").collect()) == sorted(
+        r.url for r in plain.select("url").collect()
+    )
+
+
+def test_host_salting_preserves_bit_identity(spark, tmp_path):
+    base = CrawlDriver(
+        spark, HOT_WEB, str(tmp_path / "plain2"),
+        CrawlConfig(max_pages=60, max_depth=2, use_bloom=False),
+    )
+    base.run(max_waves=20)
+    salted = CrawlDriver(
+        spark, HOT_WEB, str(tmp_path / "hostsalt"),
+        CrawlConfig(max_pages=60, max_depth=2, use_bloom=False,
+                    salt_partitions=8, host_salt_budget=10),
+    )
+    salted.run(max_waves=20)
+    assert _results(base) == _results(salted)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup blocking defaults under adversarial skew: corpora built so the
 # OLD defaults (first normalized token / signs of the first 8 dims) would

@@ -236,3 +236,13 @@ class SnapshotTable:
                 if rel not in live:
                     shutil.rmtree(os.path.join(self.data_dir, rel), ignore_errors=True)
         return dropped
+
+    def drop(self) -> None:
+        """Remove all snapshots and data files (Iceberg DROP TABLE PURGE).
+
+        Used by fresh (non-resume) crawl starts so tables from a previous
+        run in the same workdir can't leak stale state into the new run.
+        """
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)

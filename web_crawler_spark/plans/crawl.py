@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 
 from web_crawler_spark.lake import SnapshotTable
 from web_crawler_spark.operators import frontier as FR
+from web_crawler_spark.operators import sketch as SK
 from web_crawler_spark.sources.fetch import fetch_pages
 from web_crawler_spark.synthetic.web import SyntheticWeb
 
@@ -93,6 +94,12 @@ class CrawlConfig:
     check_robots: bool = False   # reference checks robots in extract phase
     use_bloom: bool = True
     salt_partitions: int | None = None
+    # host-aware skew control: estimated per-host wave rows per fetch shard.
+    # When set, a count-min sketch of the wave's hosts (operators/sketch.py)
+    # drives hot_key_salts, and the fetch repartitions by (host, shard) —
+    # the north_rule's "salted repartition-by-host" with host locality kept
+    # for cold hosts. CMS never undercounts, so no host is under-salted.
+    host_salt_budget: int | None = None
     keep_snapshots: int = 3
     ordering: str = "strict"     # strict = bit-identical; fast = hash order
     compact_every: int = 8       # fold delta into base every k waves
@@ -331,6 +338,12 @@ class CrawlDriver:
                 return self.frontier()
         else:
             wave = 0
+            # Fresh start on a dirty workdir: frontier is overwritten below,
+            # but delta / pages / bloom tables from a previous run would
+            # otherwise survive and poison the new run (stale visited counts
+            # shrink per-seed budgets; a stale bloom drops live URLs).
+            for tbl in (self.delta_tbl, self.pages_tbl, self.bloom_tbl):
+                tbl.drop()
             seeds = self._seed_frontier()
             self.frontier_tbl.overwrite(
                 seeds,
@@ -438,7 +451,17 @@ class CrawlDriver:
             blocked = None
         n_blocked = 0
 
-        fetched = fetch_pages(take, self.web, cfg.salt_partitions).persist()
+        host_salts = None
+        if cfg.host_salt_budget:
+            host_salts = SK.hot_key_salts(
+                SK.cms_build(take, "seed_host"),
+                take.select("seed_host").distinct(),
+                "seed_host",
+                per_salt_budget=cfg.host_salt_budget,
+            )
+        fetched = fetch_pages(
+            take, self.web, cfg.salt_partitions, host_salts=host_salts
+        ).persist()
 
         # ---- W5 in-wave cutoff (professional-crawler.service.js:79-82) ----
         # the reference checks locationsFound before visiting EACH url, so

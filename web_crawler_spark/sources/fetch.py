@@ -63,16 +63,41 @@ def make_fetch_udf(web: SyntheticWeb):
     return fetch_batches
 
 
-def fetch_pages(take: DataFrame, web: SyntheticWeb, salt_partitions: int | None = None) -> DataFrame:
+def fetch_pages(
+    take: DataFrame,
+    web: SyntheticWeb,
+    salt_partitions: int | None = None,
+    host_salts: DataFrame | None = None,
+) -> DataFrame:
     """Fetch the budgeted wave slice.
 
-    Salted repartition: ``repartition(hash(url) % N)`` spreads a hot host's
-    rows across executors (north_rule skew handling) — politeness was
-    already enforced by the budget rank, so fetch order within the wave is
-    free to parallelize.
+    Two skew modes (politeness is already enforced upstream by the budget
+    rank, so fetch order within a wave is free to parallelize):
+
+    - ``salt_partitions``: ``repartition(hash(url) % N)`` — uniform spread,
+      maximal parallelism, no host locality.
+    - ``host_salts`` (seed_host, n_salt — from sketch.hot_key_salts): the
+      north_rule's salted repartition-by-host. Cold hosts stay whole in one
+      shard (connection/ratelimit locality for a real fetcher); a hot host
+      splits into n_salt shards so it cannot skew a partition. The salts
+      table is one row per distinct host in the wave — broadcast.
     """
     cols = ["url", "seed_host", "depth", "enqueue_seq", "wave", "visit_seq"]
     sliced = take.select(*cols)
-    if salt_partitions:
+    if host_salts is not None:
+        salts = host_salts.toDF("seed_host", "n_salt")
+        sliced = (
+            sliced.join(F.broadcast(salts), "seed_host", "left")
+            .withColumn(
+                "_shard",
+                F.pmod(F.xxhash64("url"), F.coalesce(F.col("n_salt"), F.lit(1))),
+            )
+        )
+        sliced = (
+            sliced.repartition(salt_partitions, "seed_host", "_shard")
+            if salt_partitions
+            else sliced.repartition("seed_host", "_shard")
+        ).select(*cols)
+    elif salt_partitions:
         sliced = sliced.repartition(salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions)))
     return sliced.mapInPandas(make_fetch_udf(web), schema=FETCH_RESULT_FIELDS)
