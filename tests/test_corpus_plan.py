@@ -255,3 +255,32 @@ def test_text_corpus_blocklist_stage(spark):
     assert victim not in kept_after
     # the gate is surgical: nothing else changed
     assert kept_before.symmetric_difference(kept_after) == {victim}
+
+
+def test_text_corpus_gopher_stage(spark):
+    """gopher_min_words turns on the full A1.1 battery: the survivor set
+    is exactly the baseline survivors that pass the gate (the stage
+    composes as a pure filter — with no dedup/decontamination stages
+    enabled downstream, it cannot resurrect or promote anything)."""
+    from web_crawler_spark.functions.text import gopher_quality
+
+    docs = _docs(spark)
+    base = C.build_text_corpus(docs)
+    # min_stop=1: the synthetic vocabulary contains exactly one of the
+    # paper's 8 stop words ("the") — the documented domain-adaptation knob
+    with_g = C.build_text_corpus(docs, gopher_min_words=40, gopher_min_stop=1)
+    kept_base = {r["doc_id"] for r in base.select("doc_id").collect()}
+    kept_g = {r["doc_id"] for r in with_g.select("doc_id").collect()}
+    passes = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            gopher_quality("text", min_words=40, min_stop=1)["keep"].alias("k"),
+        ).filter("k").collect()
+    }
+    assert kept_g, "gopher gate dropped everything"
+    assert kept_g < kept_base, "gate dropped nothing at min_words=40"
+    # every gopher survivor is a baseline survivor that passes the battery;
+    # dedup survivor election among passers can only shrink further, so
+    # containment (not equality) is the composable invariant
+    assert kept_g <= (kept_base & passes)

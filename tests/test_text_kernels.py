@@ -278,3 +278,62 @@ def test_blocklist_hits_custom_lists_and_codegen(spark):
     plan = df.select(blocklist_hits("text").alias("b"))._jdf.queryExecution(
     ).executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_gopher_quality_rule_battery(spark):
+    """Each A1.1 rule trips independently on a doc built to violate only
+    it (functions/text.py:gopher_quality; Rae et al. 2021 Appendix A1.1)."""
+    from web_crawler_spark.functions.text import gopher_quality
+
+    good = "the quick brown fox jumps over that lazy dog with style " * 6
+    rows = [
+        # (text, violated_flag or None)
+        (good.strip(), None),
+        ("the cat sat with that", "ok_words"),            # 5 words < 50
+        ((good + "# # # # # # # # # # ").strip(), "ok_symbol"),  # 10#, 76 wds
+        (good.strip() + "\n• bullet line", "ok_bullet"),   # 1/2 lines bullet
+        (good.strip() + "\ntrails...\nmore...", "ok_ellipsis"),
+        (" ".join(["12"] * 20) + " " + good.strip(), "ok_alpha"),
+        (("zebra quagga lion tiger " * 15).strip(), "ok_stop"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(rows)], "i long, text string"
+    )
+    got = {r["i"]: r["g"] for r in
+           df.select("i", gopher_quality("text", min_words=40).alias("g")).collect()}
+    flags = ["ok_words", "ok_wordlen", "ok_symbol", "ok_bullet",
+             "ok_ellipsis", "ok_alpha", "ok_stop"]
+    for i, (text, bad) in enumerate(rows):
+        g = got[i]
+        for fl in flags:
+            want = fl != bad
+            assert g[fl] == want, (i, fl, dict(g.asDict()))
+        assert g["keep"] == (bad is None), (i, dict(g.asDict()))
+    # symbol rule also counts non-overlapping '...' runs
+    r = df.limit(0)
+    ell = spark.createDataFrame(
+        [(("word " * 30).strip() + " .... and more...",)], "text string"
+    ).select(gopher_quality("text", min_words=5).alias("g")).collect()[0]["g"]
+    assert ell["ok_symbol"]  # 2 runs, 33 words: 20 <= 33
+    del r
+
+
+def test_gopher_quality_thresholds_and_codegen(spark):
+    from web_crawler_spark.functions.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [("the cat sat with that mat be here",), ("",)], "text string"
+    )
+    got = df.select(gopher_quality("text", min_words=3).alias("g")).collect()
+    assert got[0]["g"]["keep"]          # window override admits short docs
+    assert not got[1]["g"]["keep"]      # blank text is never kept
+    assert not got[1]["g"]["ok_wordlen"]
+    # mean-word-length boundaries are integer cross-multiplications:
+    # 10 two-char words -> mean 2 < 3 fails; 10 three-char words passes
+    b = spark.createDataFrame(
+        [("aa " * 10,), ("aaa " * 10,)], "text string"
+    ).select(gopher_quality("text", min_words=3).alias("g")).collect()
+    assert not b[0]["g"]["ok_wordlen"] and b[1]["g"]["ok_wordlen"]
+    plan = df.select(gopher_quality("text").alias("g"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "EvalPython" not in plan

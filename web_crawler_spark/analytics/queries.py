@@ -984,9 +984,15 @@ def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_len, F.lit(1)
     )
     s3 = s2 & (top2 <= 0.2)
+    # full Gopher A1.1 rule battery (functions/text.py:gopher_quality) as
+    # the next cumulative gate — on the single-line corpus docs the word-
+    # count / word-length / symbol / alpha / stop rules do the filtering;
+    # min_stop=1 because the synthetic vocabulary carries exactly one of
+    # the paper's 8 English stop words (the documented domain knob)
+    s4 = s3 & TX.gopher_quality("text", min_stop=1).getField("keep")
     staged = d.select(
         "doc_id", s1.alias("s1"), s1b.alias("s1b"), s2.alias("s2"),
-        s3.alias("s3"), TX.fingerprint("text").alias("fp"),
+        s3.alias("s3"), s4.alias("s4"), TX.fingerprint("text").alias("fp"),
     )
     base = staged.agg(
         F.count(F.lit(1)).alias("n_input"),
@@ -994,6 +1000,8 @@ def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s1b"), 1).otherwise(0)).cast("long").alias("n_blocklist"),
         F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n_quality"),
         F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n_gopher"),
+        F.sum(F.when(F.col("s4"), 1).otherwise(0)).cast("long")
+        .alias("n_gopher_rules"),
     )
 
     def row(band: str, n, pct):
@@ -1014,13 +1022,15 @@ def _corpus_funnel_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pct_of(F.col("n_blocklist"))),
                 row("quality", F.col("n_quality"), pct_of(F.col("n_quality"))),
                 row("gopher", F.col("n_gopher"), pct_of(F.col("n_gopher"))),
+                row("gopher_rules", F.col("n_gopher_rules"),
+                    pct_of(F.col("n_gopher_rules"))),
             )
         ).alias("r")
     ).select("r.report", "r.band", "r.n", "r.pct")
 
     wfp = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
-        staged.filter("s3")
+        staged.filter("s4")
         .withColumn("_rn", F.row_number().over(wfp))
         .filter(F.col("_rn") == 1)
         .select("doc_id")
@@ -1959,8 +1969,39 @@ _BNORM_SQL = _NORM_SQL.format(col="bx")
                WHEN 2 THEN ' claim your Free  Money now'
                WHEN 3 THEN ' this limited time offer ends'
                ELSE ''
-             END) AS bx
+             END) AS bx,
+             concat_ws(chr(10), text,
+               CASE WHEN doc_id % 3 = 0 THEN '• bullet item'
+                    ELSE 'a plain continuation line' END,
+               CASE WHEN doc_id % 4 = 0 THEN 'this sentence trails off...'
+                    ELSE 'this sentence ends cleanly' END,
+               CASE WHEN doc_id % 5 = 0 THEN '#### ### ## # ...'
+                    ELSE 'mostly alphabetic words right here' END,
+               CASE WHEN doc_id % 7 = 0 THEN '10 20 30 40 50 60 70 80 90 100'
+                    ELSE 'that we have with them all' END,
+               CASE WHEN doc_id % 4 = 0 THEN 'and it also trails away...'
+                    ELSE 'and it also ends fine' END) AS gx
       FROM documents
+    ),
+    -- Gopher A1.1 mirror (functions/text.py:gopher_quality): integer
+    -- cross-multiplied thresholds so every flag is engine-exact
+    gq AS (
+      SELECT doc_id,
+             len(gtoks)::BIGINT AS gn,
+             length(regexp_replace(gx, '\\s', '', 'g')) AS gsum,
+             length(gx) - length(replace(gx, '#', '')) AS ghash,
+             len(regexp_extract_all(gx, '\\.\\.\\.')) AS gell,
+             len(glines) AS gnl,
+             len(list_filter(glines, l ->
+                 starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '- ')
+                 OR starts_with(ltrim(l), '* '))) AS gbul,
+             len(list_filter(glines, l -> ends_with(rtrim(l), '...'))) AS gelll,
+             len(list_filter(gtoks, w -> regexp_matches(w, '[A-Za-z]'))) AS galpha,
+             len(list_intersect(
+               list_distinct(list_transform(gtoks, w -> lower(w))),
+               ['the','be','to','of','and','that','have','with'])) AS gstop
+      FROM (SELECT doc_id, gx, regexp_extract_all(gx, '\\S+') AS gtoks,
+                   string_split(gx, chr(10)) AS glines FROM t)
     ),
     -- blocklist mirror (functions/text.py:blocklist_hits): whole-token
     -- word matches + space-padded phrase containment over normalized text
@@ -2089,9 +2130,25 @@ _BNORM_SQL = _NORM_SQL.format(col="bx")
            len(bw)::BIGINT AS n_blocked_words,
            len(bp)::BIGINT AS n_blocked_phrases,
            list_min(list_concat(bw, bp)) AS blocked_first,
-           (len(bw) + len(bp) = 0) AS blocklist_keep
+           (len(bw) + len(bp) = 0) AS blocklist_keep,
+           gn AS g_n_words,
+           (gn >= 50 AND gn <= 100000) AS g_ok_words,
+           (3 * gn <= gsum AND gsum <= 10 * gn) AS g_ok_wordlen,
+           (10 * (ghash + gell) <= gn) AS g_ok_symbol,
+           (10 * gbul <= gnl) AS g_ok_bullet,
+           (10 * gelll <= 3 * gnl) AS g_ok_ellipsis,
+           (5 * galpha >= 4 * gn) AS g_ok_alpha,
+           (gstop >= 2) AS g_ok_stop,
+           ((gn >= 50 AND gn <= 100000)
+            AND (3 * gn <= gsum AND gsum <= 10 * gn)
+            AND (10 * (ghash + gell) <= gn)
+            AND (10 * gbul <= gnl)
+            AND (10 * gelll <= 3 * gnl)
+            AND (5 * galpha >= 4 * gn)
+            AND (gstop >= 2)) AS gopher_keep
     FROM m JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
     JOIN pii USING (doc_id) JOIN cln USING (doc_id) JOIN bl USING (doc_id)
+    JOIN gq USING (doc_id)
     JOIN (
       SELECT doc_id, pack_bucket,
              coalesce(sum(nt) OVER (PARTITION BY pack_bucket ORDER BY doc_id
@@ -2174,6 +2231,24 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     bl = TX.blocklist_hits(bx)
+    # Gopher fixture: plant a deterministic 6-line page around the body so
+    # every A1.1 rule sees both outcomes across doc_ids (the PII-planting
+    # idiom); the corpus word counts straddle the 50-word floor on their own
+    gx = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(doc_id % 3 == 0, F.lit("• bullet item"))
+        .otherwise(F.lit("a plain continuation line")),
+        F.when(doc_id % 4 == 0, F.lit("this sentence trails off..."))
+        .otherwise(F.lit("this sentence ends cleanly")),
+        F.when(doc_id % 5 == 0, F.lit("#### ### ## # ..."))
+        .otherwise(F.lit("mostly alphabetic words right here")),
+        F.when(doc_id % 7 == 0, F.lit("10 20 30 40 50 60 70 80 90 100"))
+        .otherwise(F.lit("that we have with them all")),
+        F.when(doc_id % 4 == 0, F.lit("and it also trails away..."))
+        .otherwise(F.lit("and it also ends fine")),
+    )
+    gq = TX.gopher_quality(gx)
     return d.select(
         "doc_id",
         "n_chars",
@@ -2197,6 +2272,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii.alias("_pii"),
         cl.alias("_cl"),
         bl.alias("_bl"),
+        gq.alias("_gq"),
     ).select(
         "*",
         F.col("_pk.bucket").cast("long").alias("pack_bucket"),
@@ -2217,7 +2293,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_bl.n_phrases").alias("n_blocked_phrases"),
         F.col("_bl.first_hit").alias("blocked_first"),
         F.col("_bl.keep").alias("blocklist_keep"),
-    ).drop("_pk", "_pii", "_cl", "_bl")
+        F.col("_gq.n_words").alias("g_n_words"),
+        F.col("_gq.ok_words").alias("g_ok_words"),
+        F.col("_gq.ok_wordlen").alias("g_ok_wordlen"),
+        F.col("_gq.ok_symbol").alias("g_ok_symbol"),
+        F.col("_gq.ok_bullet").alias("g_ok_bullet"),
+        F.col("_gq.ok_ellipsis").alias("g_ok_ellipsis"),
+        F.col("_gq.ok_alpha").alias("g_ok_alpha"),
+        F.col("_gq.ok_stop").alias("g_ok_stop"),
+        F.col("_gq.keep").alias("gopher_keep"),
+    ).drop("_pk", "_pii", "_cl", "_bl", "_gq")
 
 
 def _bpe_oracle_ctes(k: int = 6) -> str:
@@ -8121,11 +8206,30 @@ _ORACLES["quality_report"] = (
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE
                / greatest(length(text), 1) AS ascii_ratio,
-             md5({_NORM_SQL.format(col='text')}) AS fp
+             md5({_NORM_SQL.format(col='text')}) AS fp,
+             regexp_extract_all(text, '\\S+') AS gtoks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS gsum,
+             length(text) - length(replace(text, '#', '')) AS ghash,
+             len(regexp_extract_all(text, '\\.\\.\\.')) AS gell,
+             string_split(text, chr(10)) AS glines
       FROM documents
     ),
     m AS (
       SELECT doc_id, nl, fp, n, ascii_ratio,
+             (len(gtoks) >= 50 AND len(gtoks) <= 100000
+              AND 3 * len(gtoks) <= gsum AND gsum <= 10 * len(gtoks)
+              AND 10 * (ghash + gell) <= len(gtoks)
+              AND 10 * len(list_filter(glines, l ->
+                    starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '- ')
+                    OR starts_with(ltrim(l), '* '))) <= len(glines)
+              AND 10 * len(list_filter(glines, l ->
+                    ends_with(rtrim(l), '...'))) <= 3 * len(glines)
+              AND 5 * len(list_filter(gtoks, w ->
+                    regexp_matches(w, '[A-Za-z]'))) >= 4 * len(gtoks)
+              AND len(list_intersect(
+                    list_distinct(list_transform(gtoks, w -> lower(w))),
+                    ['the','be','to','of','and','that','have','with'])) >= 1)
+               AS gq_keep,
              CASE WHEN len(toks) > 0 THEN
                len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(toks)
              ELSE 0.0 END AS sw_ratio,
@@ -8161,7 +8265,13 @@ _ORACLES["quality_report"] = (
               AND (CASE WHEN m.n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
                    + CASE WHEN m.sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
                    + CASE WHEN m.p_ratio < 0.2 THEN 30 ELSE 0 END) >= 70
-              AND r2.top_chars::DOUBLE / greatest(m.nl, 1) <= 0.2) AS s3
+              AND r2.top_chars::DOUBLE / greatest(m.nl, 1) <= 0.2) AS s3,
+             (m.sw_ratio >= 0.05 AND m.ascii_ratio >= 0.9 AND m.bl_keep
+              AND (CASE WHEN m.n BETWEEN 200 AND 5000 THEN 40 ELSE 0 END
+                   + CASE WHEN m.sw_ratio BETWEEN 0.05 AND 0.6 THEN 30 ELSE 0 END
+                   + CASE WHEN m.p_ratio < 0.2 THEN 30 ELSE 0 END) >= 70
+              AND r2.top_chars::DOUBLE / greatest(m.nl, 1) <= 0.2
+              AND m.gq_keep) AS s4
       FROM m JOIN r2 USING (doc_id)
     ),
     tot AS (
@@ -8169,13 +8279,14 @@ _ORACLES["quality_report"] = (
              count(*) FILTER (WHERE s1) AS n_lang,
              count(*) FILTER (WHERE s1b) AS n_blocklist,
              count(*) FILTER (WHERE s2) AS n_quality,
-             count(*) FILTER (WHERE s3) AS n_gopher
+             count(*) FILTER (WHERE s3) AS n_gopher,
+             count(*) FILTER (WHERE s4) AS n_gopher_rules
       FROM f
     ),
     surv AS (
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM f WHERE s3
+        FROM f WHERE s4
       ) WHERE rn = 1
     ),
     spl AS (
@@ -8194,6 +8305,9 @@ _ORACLES["quality_report"] = (
     SELECT 'funnel', 'quality', n_quality, round(100.0 * n_quality / n_input, 4) FROM tot
     UNION ALL
     SELECT 'funnel', 'gopher', n_gopher, round(100.0 * n_gopher / n_input, 4) FROM tot
+    UNION ALL
+    SELECT 'funnel', 'gopher_rules', n_gopher_rules,
+           round(100.0 * n_gopher_rules / n_input, 4) FROM tot
     UNION ALL
     SELECT 'funnel', 'exact_dedup', count(*),
            round(100.0 * count(*) / (SELECT n_input FROM tot), 4) FROM surv

@@ -55,6 +55,8 @@ def build_text_corpus(
     dsir_target=None,
     para_min_df: int | None = None,
     para_mode: str = "boilerplate",
+    gopher_min_words: int | None = None,
+    gopher_min_stop: int = 2,
     lm_target=None,
     lm_keep_tiers: tuple[str, ...] = ("head", "middle"),
     unimax_budget: int | None = None,
@@ -130,6 +132,18 @@ def build_text_corpus(
         )
         .filter(F.col("_top2") <= max_top2_frac)
     )
+
+    if gopher_min_words is not None:
+        # full Gopher A1.1 document-rule battery (functions/text.py:
+        # gopher_quality) — MassiveText position: after language ID, with
+        # the other statistical quality gates; min_words / min_stop are
+        # knobs because the paper's 50-word floor and 8-word English stop
+        # list assume page-length English prose
+        gated = gated.filter(
+            TX.gopher_quality(
+                "text", min_words=gopher_min_words, min_stop=gopher_min_stop
+            ).getField("keep")
+        )
 
     scrubbed = gated.withColumn("_pii", TX.redact_pii("text")).withColumn(
         "text_redacted", F.col("_pii.redacted")
