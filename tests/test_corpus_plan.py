@@ -284,3 +284,44 @@ def test_text_corpus_gopher_stage(spark):
     # dedup survivor election among passers can only shrink further, so
     # containment (not equality) is the composable invariant
     assert kept_g <= (kept_base & passes)
+
+
+def test_text_corpus_c4_span_stage(spark):
+    """c4_span_window rewrites docs before the gates: a 3-sentence
+    passage planted across many docs survives only in the globally first
+    doc's text; every other carrier is rewritten without it (and still
+    subject to the downstream gates)."""
+    docs = _docs(spark)
+    P = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(P + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    base = C.build_text_corpus(planted, c4_span_window=None)
+    spanned = C.build_text_corpus(planted, c4_span_window=3)
+    first_carrier = min(
+        r["doc_id"]
+        for r in planted.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id").collect()
+    )
+    kept = {
+        r["doc_id"]: r["text_redacted"]
+        for r in spanned.select("doc_id", "text_redacted").collect()
+    }
+    assert kept, "span stage dropped everything"
+    carriers = [i for i in kept if i % 5 == 0]
+    assert carriers, "no planted carrier survived the downstream gates"
+    for i in carriers:
+        if i == first_carrier:
+            assert "alpha beta gamma" in kept[i]
+        else:
+            assert "alpha beta gamma" not in kept[i]
+    # without the stage the passage rides through on every carrier
+    base_kept = {
+        r["doc_id"]: r["text_redacted"]
+        for r in base.select("doc_id", "text_redacted").collect()
+    }
+    assert all("alpha beta gamma" in base_kept[i]
+               for i in base_kept if i % 5 == 0)

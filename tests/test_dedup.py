@@ -549,3 +549,109 @@ def test_dedup_against_corpus_false_positives_verified_away(spark):
     got = D.dedup_against_corpus(inc, corpus, n_buckets=4, m_bits=64, k=2)
     ids = sorted(r["doc_id"] for r in got.collect())
     assert ids == list(range(1000, 1100))
+
+
+def test_c4_span_dedup_keeps_first_occurrence_deletes_rest(spark):
+    """C4 §2.2 (operators/dedup.py:c4_span_dedup): a duplicated
+    three-sentence span survives only at its globally first (doc, pos);
+    every other copy's sentences are deleted — including a second copy
+    inside the doc that owns the first occurrence."""
+    P = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    docs = spark.createDataFrame(
+        [
+            (0, P + " body zero one two. more words here."),
+            (1, P + " entirely different body sentence."),
+            (2, "unique doc with no duplicated spans at all. tail."),
+            (3, P + " middle filler text. " + P),
+            (4, "short."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.c4_span_dedup(docs, window=3).collect()}
+    assert len(out) == 6  # one row per input doc, empties included
+    # first occurrence (doc 0, wpos 0) keeps the span verbatim
+    assert out[0]["clean_text"].startswith("alpha beta gamma. delta")
+    assert out[0]["n_dropped_sents"] == 0 and out[0]["n_sents"] == 5
+    # later doc loses exactly the three planted sentences
+    assert out[1]["clean_text"] == "entirely different body sentence."
+    assert out[1]["n_dropped_sents"] == 3
+    # doc 3 carries the span twice — BOTH copies drop (first is doc 0's)
+    assert out[3]["clean_text"] == "middle filler text."
+    assert out[3]["n_dropped_sents"] == 6 and out[3]["n_sents"] == 7
+    # unique / sub-window / empty docs pass through untouched
+    assert out[2]["n_dropped_sents"] == 0
+    assert out[4]["clean_text"] == "short." and out[4]["n_sents"] == 1
+    assert out[5]["clean_text"] == "" and out[5]["n_sents"] == 0
+
+
+def test_c4_span_dedup_window_knob_and_overlap_union(spark):
+    # window=2: doc 1 repeats (a. b.) at positions 0 and 2 → the second
+    # copy drops; overlapping duplicated windows union their deletions,
+    # never double-count
+    docs = spark.createDataFrame(
+        [(1, "a. b. a. b. c."), (2, "x. a. b. y.")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.c4_span_dedup(docs, window=2).collect()}
+    # doc 1: windows (a,b)@0 dup-first keeps; (b,a)@1 unique... (a,b)@2
+    # drops sentences 2-3; (b,c)@3 unique but sentence 3 already deleted
+    assert out[1]["clean_text"] == "a. b. c."
+    assert out[1]["n_dropped_sents"] == 2
+    # doc 2's (a,b) copy drops too
+    assert out[2]["clean_text"] == "x. y."
+    assert out[2]["n_dropped_sents"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.c4_span_dedup(docs, window=0)
+
+
+def test_c4_span_dedup_matches_python_reference(spark):
+    """Bit-exact vs a straight single-threaded reference over a corpus
+    with organic (unplanted) sentence repeats, independent of
+    partitioning."""
+    import hashlib
+    import re
+
+    rows = []
+    for i in range(60):
+        body = f"doc {i} opening line. " + (
+            "shared chorus one. shared chorus two. shared chorus three. "
+            if i % 4 == 0
+            else f"solo verse {i} a. solo verse {i} b. "
+        ) + f"closing {i % 7}."
+        rows.append((i, body))
+
+    def ref(docs, window=3):
+        sents = {
+            i: [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", t) if s.strip()]
+            for i, t in docs
+        }
+        occ = {}
+        for i in sorted(sents):
+            ss = sents[i]
+            for w in range(max(len(ss) - window + 1, 0)):
+                h = hashlib.md5("\x1f".join(ss[w:w + window]).encode()).hexdigest()
+                occ.setdefault(h, []).append((i, w))
+        out = {}
+        for i in sorted(sents):
+            ss = sents[i]
+            dead = set()
+            for w in range(max(len(ss) - window + 1, 0)):
+                h = hashlib.md5("\x1f".join(ss[w:w + window]).encode()).hexdigest()
+                if len(occ[h]) >= 2 and occ[h][0] != (i, w):
+                    dead.update(range(w, w + window))
+            kept = [s for j, s in enumerate(ss) if j not in dead]
+            out[i] = (" ".join(kept), len(ss), len(ss) - len(kept))
+        return out
+
+    want = ref(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_sents"], r["n_dropped_sents"])
+        for r in D.c4_span_dedup(df, window=3).collect()
+    }
+    assert got == want
+    # something actually deduped (the % 4 chorus docs minus the first)
+    assert sum(1 for v in want.values() if v[2] > 0) == 14

@@ -505,6 +505,77 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_oracle_arm() -> str:
+    """C4 three-sentence-span dedup (operators/dedup.py:c4_span_dedup)
+    mirrored in DuckDB: the fixture sentence-izes each flat word stream
+    into 6-word '.'-terminated sentences and plants one shared
+    3-sentence passage (prefix on doc_id%5==0, suffix on doc_id%11==0,
+    so %55 docs carry it twice); the global (doc,wpos)-first occurrence
+    keeps, every other copy's sentences are deleted."""
+    plant = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    sents = f"""
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_extract_all(sx, '[^.!?]+[.!?]*'),
+                              x -> trim(x)),
+               x -> len(x) > 0) AS sents
+      FROM (
+        SELECT doc_id,
+               concat_ws(' ',
+                 CASE WHEN doc_id % 5 = 0 THEN '{plant}' ELSE '' END,
+                 array_to_string(list_filter(list_transform(range(0, 10),
+                   g -> CASE WHEN array_to_string(list_slice(
+                               string_split(text, ' '), g*6+1, g*6+6), ' ')
+                             <> ''
+                        THEN array_to_string(list_slice(
+                               string_split(text, ' '), g*6+1, g*6+6), ' ')
+                             || '.'
+                        END), x -> x IS NOT NULL), ' '),
+                 CASE WHEN doc_id % 11 = 0 THEN '{plant}' ELSE '' END) AS sx
+        FROM documents
+      )"""
+    return f"""
+    UNION ALL
+    -- C4 three-sentence-span dedup (Raffel et al. 2020 §2.2): drop all
+    -- but the globally first occurrence of any duplicated 3-sentence run
+    SELECT 'c4_span' AS policy, doc_id AS grp,
+           cast(('0x' || substr(md5(clean), 1, 15)) as ubigint)::bigint
+             AS chosen,
+           n_dropped::DOUBLE AS val
+    FROM (
+      SELECT se.doc_id,
+             coalesce(string_agg(se.s, ' ' ORDER BY se.pos)
+                        FILTER (WHERE d.pos IS NULL), '') AS clean,
+             count(*) FILTER (WHERE d.pos IS NOT NULL) AS n_dropped
+      FROM (
+        SELECT doc_id, generate_subscripts(sents, 1) - 1 AS pos,
+               unnest(sents) AS s
+        FROM ({sents})
+      ) se
+      LEFT JOIN (
+        SELECT DISTINCT doc_id, wpos + k AS pos
+        FROM (
+          SELECT doc_id, wpos,
+                 row_number() OVER (PARTITION BY wh
+                                    ORDER BY doc_id, wpos) AS rn,
+                 count(*) OVER (PARTITION BY wh) AS c
+          FROM (
+            SELECT doc_id, wpos,
+                   md5(sents[wpos+1] || chr(31) || sents[wpos+2]
+                       || chr(31) || sents[wpos+3]) AS wh
+            FROM (
+              SELECT doc_id, sents,
+                     unnest(range(greatest(len(sents) - 2, 0))) AS wpos
+              FROM ({sents})
+            )
+          )
+        ), (SELECT unnest(range(0, 3)) AS k)
+        WHERE c >= 2 AND rn > 1
+      ) d ON se.doc_id = d.doc_id AND se.pos = d.pos
+      GROUP BY se.doc_id
+    )"""
+
+
 def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
     """UniMax allocation (operators/dedup.py:unimax_allocation) unrolled
     over the documents table's fixed 5-language vocabulary: one CTE per
@@ -703,7 +774,7 @@ def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
             GROUP BY md5(para)) s
         ON md5(p.para) = s.h
       GROUP BY p.doc_id)
-    """ + _unimax_oracle_arm(),
+    """ + _unimax_oracle_arm() + _c4_oracle_arm(),
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2: the two exact-dedup survivor policies — first-wins via the
@@ -813,11 +884,46 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unimax_copies").alias("chosen"),
         F.col("unimax_alloc").cast("double").alias("val"),
     )
+    # C4 three-sentence-span dedup (operators/dedup.py:c4_span_dedup): the
+    # fixture sentence-izes each flat word stream into 6-word
+    # '.'-terminated sentences and plants one shared 3-sentence passage
+    # (prefix on doc_id%5==0, suffix on doc_id%11==0, so %55 docs carry it
+    # twice) — the global first occurrence keeps, every other copy's
+    # sentences are deleted
+    toks6 = F.split(F.col("text"), " ")
+    sent_chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda g: F.when(
+                F.array_join(F.slice(toks6, g * 6 + 1, 6), " ") != "",
+                F.concat(
+                    F.array_join(F.slice(toks6, g * 6 + 1, 6), " "), F.lit(".")
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    plant = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    sx = F.concat_ws(
+        " ",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(plant)).otherwise(F.lit("")),
+        F.array_join(sent_chunks, " "),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(plant)).otherwise(F.lit("")),
+    )
+    c4 = D.c4_span_dedup(
+        d.select("doc_id", sx.alias("sx")), "doc_id", "sx", window=3
+    ).select(
+        F.lit("c4_span").alias("policy"),
+        F.col("doc_id").alias("grp"),
+        hash64_col(F.col("clean_text")).alias("chosen"),
+        F.col("n_dropped_sents").cast("double").alias("val"),
+    )
     return (
         first.unionByName(best).unionByName(sub).unionByName(decon)
         .unionByName(samp).unionByName(uni)
         .unionByName(para_arm("boilerplate", "para_boiler"))
         .unionByName(para_arm("keep_first", "para_keepfirst"))
+        .unionByName(c4)
     )
 
 

@@ -606,6 +606,103 @@ def paragraph_dedup(
     )
 
 
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+) -> DataFrame:
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set") — the span-granularity cleanup between
+    paragraph_dedup (whole-paragraph boilerplate) and substring_dup_pairs
+    (token-window PAIR detection): it REWRITES documents, deleting every
+    duplicated ``window``-sentence run except its globally first
+    occurrence.
+
+    Sentences are the trimmed non-empty matches of ``[^.!?]+[.!?]*`` —
+    no lookaround, so the split is identical under Java regex (Spark),
+    RE2 (DuckDB), and Python ``re``; output text is re-joined with single
+    spaces, the same whitespace-normalizing contract as paragraph_dedup.
+    The first occurrence is the integer MIN over (id, span position);
+    span hashes are md5 over the \\x1f-joined sentences (the BPE sentinel
+    — cannot appear in real text), so every decision is engine-exact.
+
+    Plan shape (paragraph_dedup's, at span granularity): sliding windows
+    come from one in-row ``transform(sequence(...))`` over the sentence
+    array — no self-join — then posexplode (narrow) → one groupBy on the
+    span hash (count + MIN, map-side combinable) → equi-join back on the
+    hash → one groupBy on the doc id collecting the (small) per-doc drop
+    list → one co-keyed join onto the sentence arrays. A span duplicated
+    across 10^6 documents is 10^6 rows against ONE stats row — linear,
+    never a pair explosion; deleted sentence indices are resolved in-row
+    with ``exists`` over the drop list.
+
+    Returns (<id_col>, clean_text, n_sents, n_dropped_sents) — one row
+    per input document, including documents with fewer than ``window``
+    sentences (untouched by construction).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0),
+            # explicit unary lambda: F.trim also takes an optional
+            # trim-chars argument, and transform() would bind the element
+            # INDEX to it, silently trimming nothing
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    base = df.select(F.col(id_col).alias("_id"), sents.alias("_sents"))
+    n = F.size("_sents")
+    whashes = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("_sents"), i + 1, window), "\x1f")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select("_id", F.posexplode(whashes).alias("_wpos", "_wh"))
+    stats = wins.groupBy("_wh").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("_id", "_wpos")).alias("_first"),
+    )
+    drops = (
+        wins.join(stats, "_wh")
+        .filter(
+            (F.col("_c") >= 2)
+            & ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_wpos") == F.col("_first._wpos"))
+            )
+        )
+        .groupBy("_id")
+        .agg(F.collect_list("_wpos").alias("_dw"))
+    )
+    dw = F.coalesce(F.col("_dw"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: ~F.exists(dw, lambda w: (w <= i) & (i <= w + window - 1)),
+    )
+    return (
+        base.join(drops, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.transform(kept_idx, lambda i: F.element_at("_sents", i + 1)),
+                " ",
+            ).alias("clean_text"),
+            n.cast("long").alias("n_sents"),
+            (n - F.size(kept_idx)).cast("long").alias("n_dropped_sents"),
+        )
+    )
+
+
 # -------------------------------------------------------- canonical merge A3
 def canonical_merge(
     df: DataFrame,

@@ -57,6 +57,7 @@ def build_text_corpus(
     para_mode: str = "boilerplate",
     gopher_min_words: int | None = None,
     gopher_min_stop: int = 2,
+    c4_span_window: int | None = None,
     lm_target=None,
     lm_keep_tiers: tuple[str, ...] = ("head", "middle"),
     unimax_budget: int | None = None,
@@ -104,6 +105,22 @@ def build_text_corpus(
         docs = (
             docs.drop("text")
             .join(cleaned, "doc_id")
+            .withColumnRenamed("clean_text", "text")
+        )
+    if c4_span_window is not None:
+        # C4 sentence-span dedup (Raffel et al. 2020 §2.2) — the second
+        # corpus-wide rewrite, right after paragraph dedup and for the
+        # same reason (both must see the WHOLE corpus before any per-doc
+        # gate drops an occurrence that should have counted); docs whose
+        # every sentence was a duplicated span drop here
+        spanned = (
+            D.c4_span_dedup(docs, "doc_id", "text", window=c4_span_window)
+            .filter(F.col("clean_text") != "")
+            .select("doc_id", "clean_text")
+        )
+        docs = (
+            docs.drop("text")
+            .join(spanned, "doc_id")
             .withColumnRenamed("clean_text", "text")
         )
     if line_clean:
