@@ -55,14 +55,16 @@ def test_parse_robots_txt_star_group_and_sitemaps(spark):
     )
     got = {r["host"]: r for r in FR.parse_robots_txt(df).collect()}
     h = got["h.example.com"]
-    # sitemaps are global; disallows/delay come from the shared
-    # bingbot+* header group; empty Disallow and Allow are dropped
+    # sitemaps are global; disallows/allows/delay come from the shared
+    # bingbot+* header group; empty Disallow is dropped
     assert h["sitemaps"] == ["https://h.example.com/sm/root.xml",
                              "https://h.example.com/sm/extra.xml"]
     assert h["disallow_prefixes"] == ["/tmp7"]
+    assert h["allow_prefixes"] == ["/tmp7/ok"]
     assert h["crawl_delay_s"] == 2.0
     e = got["empty.example.com"]
     assert (e["sitemaps"], e["disallow_prefixes"], e["crawl_delay_s"]) == ([], [], 0.0)
+    assert e["allow_prefixes"] == []
     t = got["two.example.com"]
     assert t["disallow_prefixes"] == ["/a", "/b"]
     assert t["crawl_delay_s"] == 0.5
@@ -84,6 +86,87 @@ def test_parse_robots_txt_feeds_robots_gate(spark):
     allowed, blocked = FR.robots_gate(frontier, parsed)
     assert [r["url"] for r in allowed.collect()] == ["https://a.example.com/open/y"]
     assert [r["url"] for r in blocked.collect()] == ["https://a.example.com/blocked/x"]
+
+
+def test_robots_decision_rfc9309_longest_match(spark):
+    """operators/frontier.py:robots_decision — RFC 9309 §2.2.2: longest
+    (most-octets) matching rule wins, equal-length ties go to Allow,
+    no match means allowed; '*' wildcards and the trailing '$' anchor
+    are the protocol's two metacharacters."""
+    from web_crawler_spark.operators import frontier as FR
+
+    cases = [
+        # (path, allows, disallows, allowed, winning_rule)
+        ("/page", ["/p"], ["/"], True, "/p"),
+        ("/folder/page", ["/folder"], ["/folder"], True, "/folder"),
+        ("/page", ["/$"], ["/"], False, "/"),
+        ("/", ["/$"], ["/"], True, "/$"),
+        ("/pub/doc.pdf", ["/pub"], ["/*.pdf$"], False, "/*.pdf$"),
+        ("/pub/doc.pdfx", ["/pub"], ["/*.pdf$"], True, "/pub"),
+        ("/free", [], ["/tmp"], True, None),
+        ("/a.b/c", [], ["/a.b"], False, "/a.b"),   # '.' is a literal octet
+        ("/axb/c", [], ["/a.b"], True, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, p, a, d) for i, (p, a, d, _, _) in enumerate(cases)],
+        "i long, p string, a array<string>, d array<string>",
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in df.select(
+            "i", FR.robots_decision("p", "a", "d").alias("g")
+        ).collect()
+    }
+    for i, (path, _a, _d, want_allowed, want_rule) in enumerate(cases):
+        g = got[i]
+        assert g["allowed"] == want_allowed, (path, dict(g.asDict()))
+        assert g["rule"] == want_rule, (path, dict(g.asDict()))
+        assert g["specificity"] == (len(want_rule) if want_rule else 0)
+    # pure column algebra: no Python evaluation in the plan
+    plan = df.select(
+        FR.robots_decision("p", "a", "d").alias("g")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_robots_gate_rfc9309_mode_and_prefix_default(spark):
+    """mode='rfc9309' lets a longer Allow override a Disallow prefix the
+    default gate would block on; the default stays the reference's
+    prefix semantics (pinned crawl ordering depends on it)."""
+    import pytest as _pytest
+
+    from web_crawler_spark.operators import frontier as FR
+
+    parsed = FR.parse_robots_txt(spark.createDataFrame(
+        [("a.example.com",
+          "User-agent: *\nDisallow: /blocked\nAllow: /blocked/except\n")],
+        "host string, robots_txt string",
+    )).withColumn("fetch_ok", F.lit(True))
+    frontier = spark.createDataFrame(
+        [("https://a.example.com/blocked/x", "a.example.com"),
+         ("https://a.example.com/blocked/except/y", "a.example.com"),
+         ("https://a.example.com/open", "a.example.com")],
+        "url string, seed_host string",
+    )
+    allowed, blocked = FR.robots_gate(frontier, parsed, mode="rfc9309")
+    assert sorted(r["url"] for r in allowed.collect()) == [
+        "https://a.example.com/blocked/except/y",
+        "https://a.example.com/open",
+    ]
+    assert [r["url"] for r in blocked.collect()] == [
+        "https://a.example.com/blocked/x"
+    ]
+    # prefix default blocks BOTH /blocked paths (Allow ignored)
+    allowed_p, blocked_p = FR.robots_gate(frontier, parsed)
+    assert [r["url"] for r in allowed_p.collect()] == [
+        "https://a.example.com/open"
+    ]
+    assert sorted(r["url"] for r in blocked_p.collect()) == [
+        "https://a.example.com/blocked/except/y",
+        "https://a.example.com/blocked/x",
+    ]
+    with _pytest.raises(ValueError):
+        FR.robots_gate(frontier, parsed, mode="google")
 
 
 # ------------------------------------------------------- cuckoo filter ----

@@ -4910,7 +4910,18 @@ _ROBOTS_TXT_ORACLE = r"""
         ('sitemap', concat('https://h', p_partkey, '.example.com/sm/root.xml'), 0),
         ('sitemap', concat('https://h', p_partkey, '.example.com/sm/extra.xml'), 1),
         ('disallow', concat('/tmp', p_partkey), 0),
-        ('crawl_delay', '2.0', 0)
+        ('disallow', '/*.pdf$', 1),
+        ('allow', concat('/tmp', p_partkey, '/ok'), 0),
+        ('allow', '/pub*', 1),
+        ('crawl_delay', '2.0', 0),
+        -- RFC 9309 longest-match decisions (closed-form: the fixture's
+        -- rule lengths order the same way for every k)
+        ('rfc', concat('/tmp', p_partkey, '/ok/page|true|/tmp',
+                       p_partkey, '/ok'), 0),
+        ('rfc', concat('/tmp', p_partkey, '/other|false|/tmp', p_partkey), 1),
+        ('rfc', '/pub/doc.pdf|false|/*.pdf$', 2),
+        ('rfc', '/pub/doc.pdfx|true|/pub*', 3),
+        ('rfc', '/free|true|', 4)
     ) AS v(kind, value, ord)
     """
 
@@ -4919,8 +4930,10 @@ def _robots_txt_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 raw-text parse (robots.service.js:17-61,79-87,94-104): per part
     row a robots.txt with a googlebot group (ignored), a bingbot+* shared
     header (the * group), a comment, an empty Disallow (allow-all,
-    dropped), an Allow line (outside the prefix-gate subset), a trailing
-    group, and two global Sitemap directives."""
+    dropped), Allow and wildcard/anchor rules, a trailing group, and two
+    global Sitemap directives — then five RFC 9309 longest-match probe
+    decisions over the parsed rules (operators/frontier.py:
+    robots_decision)."""
     from web_crawler_spark.operators import frontier as FR
 
     p = load(spark, sf_dir, "part")
@@ -4932,7 +4945,8 @@ def _robots_txt_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example.com/sm/root.xml\n\nUser-agent: bingbot\n"
               "User-agent: *\nCrawl-delay: 2\nDisallow: /tmp"), ks,
         F.lit("\nDisallow:\nAllow: /tmp"), ks,
-        F.lit("/ok\n\nUser-agent: other\nDisallow: /x\n"
+        F.lit("/ok\nDisallow: /*.pdf$\nAllow: /pub*"
+              "\n\nUser-agent: other\nDisallow: /x\n"
               "Sitemap: https://h"), ks,
         F.lit(".example.com/sm/extra.xml\n"),
     )
@@ -4951,12 +4965,41 @@ def _robots_txt_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("disallow_prefixes"),
     ).select("k", "kind", F.col("col").alias("value"),
              F.col("pos").cast("long").alias("ord"))
+    alw = parsed.select(
+        key.alias("k"), F.lit("allow").alias("kind"),
+        F.posexplode("allow_prefixes"),
+    ).select("k", "kind", F.col("col").alias("value"),
+             F.col("pos").cast("long").alias("ord"))
     cd = parsed.select(
         key.alias("k"), F.lit("crawl_delay").alias("kind"),
         F.col("crawl_delay_s").cast("string").alias("value"),
         F.lit(0).cast("long").alias("ord"),
     )
-    return sm.unionByName(dis).unionByName(cd)
+    # RFC 9309 longest-match probes over the parsed rule arrays: value =
+    # 'path|allowed|winning_rule' ('' when no rule matched)
+    ktxt = F.regexp_extract("host", r"^h(\d+)\.", 1)
+    probes = F.array(
+        F.concat(F.lit("/tmp"), ktxt, F.lit("/ok/page")),
+        F.concat(F.lit("/tmp"), ktxt, F.lit("/other")),
+        F.lit("/pub/doc.pdf"),
+        F.lit("/pub/doc.pdfx"),
+        F.lit("/free"),
+    )
+    dec = FR.robots_decision(
+        F.col("probe"), "allow_prefixes", "disallow_prefixes"
+    )
+    rfc = parsed.select(
+        key.alias("k"), "allow_prefixes", "disallow_prefixes",
+        F.posexplode(probes).alias("ord", "probe"),
+    ).select(
+        "k", F.lit("rfc").alias("kind"),
+        F.concat_ws(
+            "|", F.col("probe"), dec["allowed"].cast("string"),
+            F.coalesce(dec["rule"], F.lit("")),
+        ).alias("value"),
+        F.col("ord").cast("long").alias("ord"),
+    )
+    return sm.unionByName(dis).unionByName(alw).unionByName(cd).unionByName(rfc)
 
 
 _MAP_DETECT_ORACLE = r"""

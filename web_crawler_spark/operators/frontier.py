@@ -198,14 +198,14 @@ def parse_robots_txt(
     :94-104 getSitemaps, re-derived from the robots exclusion protocol).
 
     Parsed subset: ``Sitemap:`` directives are collected globally (they
-    are group-independent per the protocol); ``Disallow:`` prefixes and
-    ``Crawl-delay:`` come from the ``User-agent: *`` group(s), where
-    consecutive User-agent lines share one group and a directive line
-    closes the group header. Empty Disallow values (allow-all) are
-    dropped; ``Allow:`` precedence is outside the prefix-gate subset the
-    engine uses (operators/frontier.py robots_gate). Comments (#) and
-    blank lines are stripped. One fold over the line array per row — no
-    shuffle, no Python."""
+    are group-independent per the protocol); ``Disallow:``/``Allow:``
+    rules and ``Crawl-delay:`` come from the ``User-agent: *`` group(s),
+    where consecutive User-agent lines share one group and a directive
+    line closes the group header. Empty Disallow values (allow-all) are
+    dropped; ``allow_prefixes`` feeds the RFC 9309 longest-match mode of
+    robots_gate (the default prefix gate ignores it, matching the
+    reference). Comments (#) and blank lines are stripped. One fold over
+    the line array per row — no shuffle, no Python."""
     body = F.coalesce(F.col(body_col), F.lit(""))
     lines = F.filter(
         F.transform(
@@ -230,6 +230,7 @@ def parse_robots_txt(
         F.lit(False).alias("star"),
         F.lit(False).alias("in_header"),
         F.array().cast("array<string>").alias("disallows"),
+        F.array().cast("array<string>").alias("allows"),
         F.lit(None).cast("double").alias("delay"),
     )
 
@@ -244,12 +245,18 @@ def parse_robots_txt(
             .otherwise(is_star).alias("star"),
             F.lit(True).alias("in_header"),
             acc["disallows"].alias("disallows"),
+            acc["allows"].alias("allows"),
             acc["delay"].alias("delay"),
         )
         dis_val = F.trim(F.regexp_extract(ln, r"(?i)^disallow\s*:\s*(.*)$", 1))
         add_dis = (
             acc["star"] & ln.rlike(r"(?i)^disallow\s*:")
             & (F.length(dis_val) > 0)
+        )
+        alw_val = F.trim(F.regexp_extract(ln, r"(?i)^allow\s*:\s*(.*)$", 1))
+        add_alw = (
+            acc["star"] & ln.rlike(r"(?i)^allow\s*:")
+            & (F.length(alw_val) > 0)
         )
         delay_val = F.regexp_extract(
             ln, r"(?i)^crawl-delay\s*:\s*([0-9.]+)", 1
@@ -263,6 +270,8 @@ def parse_robots_txt(
             F.lit(False).alias("in_header"),
             F.when(add_dis, F.concat(acc["disallows"], F.array(dis_val)))
             .otherwise(acc["disallows"]).alias("disallows"),
+            F.when(add_alw, F.concat(acc["allows"], F.array(alw_val)))
+            .otherwise(acc["allows"]).alias("allows"),
             new_delay.alias("delay"),
         )
         return F.when(is_ua, ua_step).otherwise(dir_step)
@@ -272,27 +281,117 @@ def parse_robots_txt(
         F.col(host_col).alias("host"),
         sitemaps.alias("sitemaps"),
         star_group["disallows"].alias("disallow_prefixes"),
+        star_group["allows"].alias("allow_prefixes"),
         F.coalesce(star_group["delay"], F.lit(0.0)).alias("crawl_delay_s"),
     )
 
 
-def robots_gate(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _robots_rule_regex(rule: Column) -> Column:
+    """RFC 9309 §2.2.2 rule → anchored regex string, in column algebra:
+    regex metacharacters escaped, ``*`` → ``.*``, a TRAILING ``$`` →
+    end-of-path anchor (a ``$`` anywhere else is a literal octet)."""
+    anchored = rule.endswith("$")
+    body = F.when(
+        anchored, rule.substr(F.lit(1), F.length(rule) - 1)
+    ).otherwise(rule)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), esc, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_decision(
+    path: Column | str, allows: Column | str, disallows: Column | str
+) -> Column:
+    """RFC 9309 longest-match robots evaluation (the Googlebot
+    semantics), in-row: among ALL matching rules from both groups, the
+    one with the most octets wins; an Allow and Disallow of equal length
+    tie in favor of Allow; no matching rule means allowed. Rules support
+    the protocol's two metacharacters (``*`` wildcard, trailing ``$``
+    anchor); matching uses per-rule regexes built in column algebra, so
+    the whole evaluation is one codegen projection over the broadcast
+    rule arrays — no UDF, no shuffle.
+
+    Returns struct(allowed BOOLEAN, rule STRING nullable — the winning
+    rule, NULL when nothing matched, specificity INT — its octet
+    length).
+    """
+    p = F.col(path) if isinstance(path, str) else path
+    alw = F.coalesce(
+        F.col(allows) if isinstance(allows, str) else allows, F.array()
+    )
+    dis = F.coalesce(
+        F.col(disallows) if isinstance(disallows, str) else disallows,
+        F.array(),
+    )
+
+    def entries(rules: Column, is_allow: int) -> Column:
+        return F.transform(
+            rules,
+            lambda r: F.struct(
+                F.length(r).alias("len"),
+                F.lit(is_allow).alias("allow"),
+                r.alias("rule"),
+            ),
+        )
+
+    matched = F.filter(
+        F.concat(entries(alw, 1), entries(dis, 0)),
+        lambda e: F.rlike(p, _robots_rule_regex(e["rule"])),
+    )
+    # struct max orders by (len, allow, rule): longest rule wins, a
+    # same-length Allow beats Disallow, lexicographic max as final tiebreak
+    best = F.array_max(matched)
+    return F.struct(
+        (best.isNull() | (best["allow"] == 1)).alias("allowed"),
+        best["rule"].alias("rule"),
+        F.coalesce(best["len"], F.lit(0)).alias("specificity"),
+    )
+
+
+def robots_gate(
+    frontier: DataFrame, robots: DataFrame, mode: str = "prefix"
+) -> tuple[DataFrame, DataFrame]:
     """J2+F5: broadcast-join robots rules onto candidates; split
     allowed/blocked. Permissive when robots fetch failed
-    (robots.service.js:44-53,63-71)."""
-    r = robots.select("host", "fetch_ok", "disallow_prefixes")
+    (robots.service.js:44-53,63-71).
+
+    ``mode='prefix'`` (default) is the reference's gate — any matching
+    Disallow prefix blocks, Allow ignored — and is what the pinned crawl
+    ordering uses. ``mode='rfc9309'`` evaluates longest-match
+    Allow/Disallow precedence with wildcard rules via robots_decision;
+    the robots side must then carry ``allow_prefixes`` (parse_robots_txt
+    emits it)."""
+    if mode not in ("prefix", "rfc9309"):
+        raise ValueError(f"mode must be 'prefix' or 'rfc9309', got {mode!r}")
+    cols = ["host", "fetch_ok", "disallow_prefixes"]
+    if mode == "rfc9309":
+        cols.append("allow_prefixes")
+    r = robots.select(*cols)
     joined = frontier.join(F.broadcast(r), frontier.seed_host == r.host, "left").drop("host")
     path = U.path_of("url")
-    blocked_expr: Column = (
-        F.col("fetch_ok").isNotNull()
-        & F.col("fetch_ok")
-        & F.exists(
-            F.coalesce(F.col("disallow_prefixes"), F.array()),
-            lambda px: path.startswith(px),
+    if mode == "rfc9309":
+        blocked_expr: Column = (
+            F.col("fetch_ok").isNotNull()
+            & F.col("fetch_ok")
+            & ~robots_decision(
+                path, "allow_prefixes", "disallow_prefixes"
+            )["allowed"]
         )
-    )
-    allowed = joined.filter(~blocked_expr).drop("fetch_ok", "disallow_prefixes")
-    blocked = joined.filter(blocked_expr).drop("fetch_ok", "disallow_prefixes")
+        drop = ["fetch_ok", "disallow_prefixes", "allow_prefixes"]
+    else:
+        blocked_expr = (
+            F.col("fetch_ok").isNotNull()
+            & F.col("fetch_ok")
+            & F.exists(
+                F.coalesce(F.col("disallow_prefixes"), F.array()),
+                lambda px: path.startswith(px),
+            )
+        )
+        drop = ["fetch_ok", "disallow_prefixes"]
+    allowed = joined.filter(~blocked_expr).drop(*drop)
+    blocked = joined.filter(blocked_expr).drop(*drop)
     return allowed, blocked
 
 
