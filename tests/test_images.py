@@ -267,3 +267,42 @@ def test_dhash_separates_reencodes_from_distinct_images(spark):
     px = IM.synth_pixels("img00001", 64, 48)
     up = np.kron(px, np.ones((3, 3, 1))).astype(np.uint8)  # 192x144 blowup
     assert ham(IM.dhash64(px), IM.dhash64(up)) <= 8
+
+
+def test_ahash_independent_recompute_and_separation():
+    """aHash (tri-hash third family): (1) bit-for-bit match against a
+    from-scratch naive recompute (mean threshold over the same 8x8 index
+    sample) — catches bit-order/sign bugs independently of the engine
+    code path; (2) the consensus margins: re-encodes stay <= 8, distinct
+    synthetic ids >= 16; (3) resize invariance like dhash."""
+    import numpy as np
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def naive(px):
+        gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        h, w = gray.shape
+        s = [[gray[min(y * h // 8, h - 1)][min(x * w // 8, w - 1)]
+              for x in range(8)] for y in range(8)]
+        mean = sum(sum(r) for r in s) / 64.0
+        val = 0
+        i = 0
+        for row in s:
+            for v in row:
+                if v > mean:
+                    val |= 1 << i
+                i += 1
+        return val - (1 << 64) if val >= 1 << 63 else val
+
+    for i in range(12):
+        px = IM.synth_pixels(f"img{i:05d}", 64 + (i % 5) * 16, 48 + (i % 3) * 16)
+        assert IM.ahash64(px) == naive(px), i
+        rec = IM.decode_lossy(IM.encode_lossy(px, 85))
+        assert ham(IM.ahash64(px), IM.ahash64(rec)) <= 8
+        if i:
+            other = IM.synth_pixels(f"img{i - 1:05d}", 64, 48)
+            assert ham(IM.ahash64(px), IM.ahash64(other)) >= 16
+    px = IM.synth_pixels("img00001", 64, 48)
+    up = np.kron(px, np.ones((3, 3, 1))).astype(np.uint8)
+    assert ham(IM.ahash64(px), IM.ahash64(up)) <= 8

@@ -3474,32 +3474,44 @@ def q_crawl_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("image_phash_dedup")
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup on the payload table: synthesize deterministic
-    image+caption rows (input_hint schema), decode + phash + dhash via
-    mapInPandas, collapse phash-Hamming ≤ 8 pairs to the min-id survivor —
-    with the production two-hash consensus: a phash candidate pair must
-    ALSO agree on dhash (row-gradient hash, images.py:dhash64, Hamming ≤
-    8) before it collapses, because the two hash families fail differently
-    and their intersection kills phash false positives for free (the
-    dhash lookup rides the candidate pairs, never a second self-join)."""
+    image+caption rows (input_hint schema), decode + phash + dhash + ahash
+    via mapInPandas, collapse candidate pairs to the min-id survivor under
+    the production tri-hash majority consensus: phash-Hamming ≤ 8 pairs
+    (the banded candidate generator) collapse only when at least 2 of the
+    3 hash families {phash (global low-frequency), dhash (local gradient,
+    images.py:dhash64), ahash (mean threshold, images.py:ahash64)} agree
+    at Hamming ≤ 8 — the families fail on DIFFERENT image classes, so the
+    vote kills each family's false positives without letting any single
+    family veto a true re-encode pair (re-encodes stay ≤ 4 on all three).
+    The dhash/ahash lookups ride the candidate pairs, never a second
+    self-join."""
     from web_crawler_spark.images import image_features, synthesize_images
 
     imgs = synthesize_images(spark, 120)
-    # persist: the features feed the pair join, the dhash consensus, and
+    # persist: the features feed the pair join, the hash consensus, and
     # the survivor join — without it the decode mapInPandas runs 4x
     feats = image_features(imgs).filter(F.col("decode_ok")).persist()
     cand = D.phash_neardup_pairs(feats, "image_id", "phash", max_hamming=8)
-    dh = feats.select("image_id", "dhash")
+    hx = feats.select("image_id", "phash", "dhash", "ahash")
+    sidea = hx.select(F.col("image_id").alias("a"), F.col("phash").alias("_pha"),
+                      F.col("dhash").alias("_dha"), F.col("ahash").alias("_aha"))
+    sideb = hx.select(F.col("image_id").alias("b"), F.col("phash").alias("_phb"),
+                      F.col("dhash").alias("_dhb"), F.col("ahash").alias("_ahb"))
+
+    def _vote(x, y):
+        return (F.bit_count(F.col(x).bitwiseXOR(F.col(y))) <= 8).cast("int")
+
     pairs = (
-        cand.join(dh.withColumnRenamed("image_id", "a")
-                  .withColumnRenamed("dhash", "_dha"), "a")
-        .join(dh.withColumnRenamed("image_id", "b")
-              .withColumnRenamed("dhash", "_dhb"), "b")
-        .filter(F.bit_count(F.col("_dha").bitwiseXOR(F.col("_dhb"))) <= 8)
+        cand.join(sidea, "a").join(sideb, "b")
+        .filter(
+            _vote("_pha", "_phb") + _vote("_dha", "_dhb") + _vote("_aha", "_ahb")
+            >= 2
+        )
     )
     losers = pairs.groupBy(F.col("b").alias("image_id")).agg(F.min("a").alias("_rep"))
     survivors = feats.join(losers, "image_id", "left").filter(F.col("_rep").isNull())
     return survivors.select(
-        "image_id", "w", "h", "fmt", "caption", "phash", "dhash"
+        "image_id", "w", "h", "fmt", "caption", "phash", "dhash", "ahash"
     )
 
 

@@ -203,6 +203,31 @@ def dhash64(pixels: np.ndarray) -> int:
     return val
 
 
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash (aHash) — the third classic perceptual-hash
+    family beside phash (global low-frequency structure) and dhash (local
+    gradients): 8×8 grayscale sample, bit = pixel brighter than the mean
+    of the 64 samples. Completes the production tri-hash consensus: the
+    three families fail on DIFFERENT image classes (aHash on flat/low-
+    contrast images, dhash on smooth gradients, phash on heavy crops), so
+    a 2-of-3 vote keeps each family's false positives out of the collapse
+    while never vetoing a true re-encode pair (re-encodes stay within
+    Hamming ≤ 4 on all three). Signed int64 (Spark LongType)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    small = gray[np.ix_(ys, xs)]
+    bits = (small > small.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic procedural bitmap: smooth gradients + a seeded pattern
     (hash of image_id), so near-dup re-encodes stay phash-close while
@@ -242,6 +267,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
         T.StructField("dhash", T.LongType(), True),
+        T.StructField("ahash", T.LongType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("decode_ok", T.BooleanType(), False),
     ]
@@ -262,14 +288,14 @@ def image_features(images: DataFrame) -> DataFrame:
                         (
                             row["image_id"], int(px.shape[1]), int(px.shape[0]),
                             row["fmt"], row["caption"], phash64(px),
-                            dhash64(px),
+                            dhash64(px), ahash64(px),
                             float(px.astype(np.float64).mean()), True,
                         )
                     )
                 except Exception:
                     rows.append(
                         (row["image_id"], None, None, row["fmt"], row["caption"],
-                         None, None, None, False)
+                         None, None, None, None, False)
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
