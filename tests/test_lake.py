@@ -126,3 +126,78 @@ def test_compact_rewrites_layout_preserves_content_and_changelog(spark, tmp_path
     with pytest.raises(ValueError, match="non-append"):
         t.read_changes(spark, chk)
     assert n_files_before >= 3
+
+
+def test_compact_zorder_clusters_files_for_multidim_skipping(spark, tmp_path):
+    """ZORDER compaction: (1) logical content unchanged; (2) parquet
+    per-file min/max stats actually prune a 2-D box predicate — the file
+    count whose [min,max] box overlaps x∈[0,7] ∧ y∈[0,7] drops from
+    "every file" under hash layout to a corner's worth under z-layout.
+    Stats read straight from the parquet footers (pyarrow), i.e. the
+    exact evidence a scan planner uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = _tbl(spark, tmp_path, "tz")
+    # two decorrelated 0..63 dims; hash layout scatters both everywhere
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("long").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.append(df.repartition(16))
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+
+    def overlapping_files(rels):
+        n = 0
+        for rel in rels:
+            for f in glob.glob(str(tmp_path / "tz" / "data" / rel / "*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                box = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if name in ("x", "y") and col.statistics is not None:
+                            lo, hi = col.statistics.min, col.statistics.max
+                            cur = box.get(name, (lo, hi))
+                            box[name] = (min(cur[0], lo), max(cur[1], hi))
+                if box["x"][0] <= 7 and box["y"][0] <= 7:
+                    n += 1
+        return n
+
+    files_before = overlapping_files(t.current()["files"])
+
+    snap = t.compact(spark, target_files=16, zorder_by=["x", "y"], zorder_bits=6)
+    assert snap["summary"]["zorder_by"] == ["x", "y"]
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+
+    files_after = overlapping_files(snap["files"])
+    # hash layout: essentially every file overlaps the corner box;
+    # z-layout: the corner lives in a handful of contiguous z-ranges
+    assert files_before >= 12
+    assert files_after <= files_before // 3
+
+
+def test_zorder_value_matches_naive_interleave(spark):
+    """Engine z-value == from-scratch Python Morton interleave, bit for
+    bit, over the full 2-D rank grid — the closed-form column expression
+    has no bit-order or offset bug."""
+    from web_crawler_spark.lake import zorder_value
+
+    def naive(x, y, bits):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    got = df.select(
+        "x", "y", zorder_value([F.col("x"), F.col("y")], bits=4).alias("zv")
+    ).collect()
+    for r in got:
+        assert r["zv"] == naive(r["x"], r["y"], 4), (r["x"], r["y"])

@@ -7590,6 +7590,26 @@ _DUST_APPLY_ORACLE = f"""
 """
 
 
+def _zorder_oracle() -> str:
+    """Morton bit-interleave re-derived in closed-form SQL: bit i of the
+    x rank lands at output bit 2i, of the y rank at 2i+1 — the same
+    shift/mask/add algebra lake.zorder_value builds as Spark columns, so
+    the frontier-layout clustering key is engine-exact."""
+
+    def ileave(expr: str, offset: int) -> str:
+        return " + ".join(
+            f"((({expr}) >> {i}) & 1) * {1 << (2 * i + offset)}"
+            for i in range(8)
+        )
+
+    return f"""
+    SELECT p_partkey AS k,
+           (({ileave('p_partkey % 256', 0)})
+            + ({ileave('(p_partkey // 7) % 256', 1)}))::BIGINT AS zv
+    FROM part
+    """
+
+
 _CRAWL_URL_ORACLE = (
     """
     SELECT 'link_filter' AS kernel, p_partkey AS key, href AS url, canonical,
@@ -7718,6 +7738,12 @@ _CRAWL_URL_ORACLE = (
            NULL, NULL, NULL, NULL, NULL, NULL
     FROM ("""
     + _DUST_APPLY_ORACLE
+    + """)
+    UNION ALL
+    SELECT 'zorder', k, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, zv, (zv >> 12)::BIGINT, NULL, NULL
+    FROM ("""
+    + _zorder_oracle()
     + """)
     """
 )
@@ -7958,12 +7984,33 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl.alias("priority"), _nl.alias("rank"),
         _ns.alias("provider"), _ns.alias("label"),
     )
+    # frontier z-order layout key (lake.zorder_value — the clustering key
+    # zorder compaction range-partitions by): Morton interleave of two
+    # closed-form 8-bit ranks, plus the 16-way file bucket it implies
+    # (zv >> 12); the oracle re-derives the identical bit algebra in SQL
+    from web_crawler_spark import lake as LK
+
+    zsrc = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("key"),
+        (F.col("p_partkey") % 256).cast("long").alias("_zx"),
+        ((F.col("p_partkey") / 7).cast("long") % 256).alias("_zy"),
+    )
+    zv = LK.zorder_value([F.col("_zx"), F.col("_zy")], bits=8)
+    zo = zsrc.select(
+        F.lit("zorder").alias("kernel"), "key",
+        _ns.alias("url"), _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        zv.alias("priority"), F.shiftright(zv, 12).alias("rank"),
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     return (
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
         .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(tk)
         .unionByName(mr).unionByName(mcl).unionByName(dur).unionByName(dua)
+        .unionByName(zo)
     )
 
 

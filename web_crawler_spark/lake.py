@@ -26,7 +26,46 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_value(ranks: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of per-column ranks: bit i of rank j
+    lands at output bit ``i * n_cols + j``, so rows close in EVERY ranked
+    dimension get close z-values — the multi-dimensional clustering key
+    behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+    Inputs must already be integer ranks in ``[0, 2**bits)`` (see
+    :func:`uniform_rank`). Pure closed-form column algebra — ``bits *
+    n_cols`` shift/mask/add terms, whole-stage codegen, no UDF — so the
+    same expression is engine-exact in Spark and any SQL oracle.
+    """
+    n = len(ranks)
+    if not 1 <= n * bits <= 62:
+        raise ValueError(f"{n} cols x {bits} bits won't fit a signed long")
+    out = F.lit(0).cast("long")
+    for j, r in enumerate(ranks):
+        r = r.cast("long")
+        for i in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(r, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return out
+
+
+def uniform_rank(col: Column, lo: int, hi: int, bits: int = 16) -> Column:
+    """Order-preserving rank of a numeric column into ``[0, 2**bits)``
+    by uniform [lo, hi] scaling — integer cross-multiplication only, so
+    the rank is bit-identical across engines. Values outside [lo, hi]
+    clamp to the edge ranks. A skew-robust variant would rank by
+    approxQuantile boundaries instead (Delta's range-id approach); at
+    compaction time either works because the rank only steers LAYOUT —
+    query results never depend on it."""
+    span = max(1, hi - lo)
+    top = (1 << bits) - 1
+    r = ((col.cast("long") - F.lit(lo)) * F.lit(top)) / F.lit(span)
+    return F.greatest(F.lit(0), F.least(F.lit(top), r.cast("long")))
 
 
 class SnapshotTable:
@@ -138,6 +177,8 @@ class SnapshotTable:
         target_files: int = 1,
         summary: dict | None = None,
         partition_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> dict:
         """Small-files compaction (Iceberg's ``rewriteDataFiles``
         maintenance action): rewrite the table's current content into
@@ -153,11 +194,57 @@ class SnapshotTable:
         refuses overwrites: a consumer checkpointed before a compaction
         catches up across it losslessly, and its pinned time-travel reads
         keep working until :meth:`expire_snapshots` reclaims the old
-        files."""
+        files.
+
+        ``zorder_by`` additionally CLUSTERS the rewrite (Delta/Iceberg
+        ``OPTIMIZE ... ZORDER BY``): each named column is ranked into
+        ``2**zorder_bits`` buckets (numeric: order-preserving uniform
+        min/max rank; string: crc32 bucket — equality-clustering only),
+        the ranks are Morton-interleaved (:func:`zorder_value`), and the
+        rewrite is range-partitioned + sorted by that z-value. Rows close
+        in EVERY zorder dimension land in the SAME files, so parquet
+        per-file min/max stats prune multi-dimension predicates — the
+        reason a 10^10-row frontier scan for one host × depth band opens
+        a handful of files instead of all of them. Layout-only: the
+        logical content is unchanged, so incremental scans still skip the
+        snapshot."""
         cur = self.current()
         if cur is None or not cur["files"]:
             raise ValueError(f"table {self.path} has no snapshot/data")
-        df = self.read(spark).repartition(target_files)
+        df = self.read(spark)
+        if zorder_by:
+            from pyspark.sql import types as T
+
+            ranks = []
+            numeric = [
+                c for c in zorder_by
+                if isinstance(df.schema[c].dataType, T.NumericType)
+            ]
+            if numeric:
+                bounds = df.agg(
+                    *[F.min(c).alias(f"_lo_{c}") for c in numeric],
+                    *[F.max(c).alias(f"_hi_{c}") for c in numeric],
+                ).collect()[0]
+            for c in zorder_by:
+                if c in numeric:
+                    lo = int(bounds[f"_lo_{c}"] or 0)
+                    hi = int(bounds[f"_hi_{c}"] or 0)
+                    ranks.append(uniform_rank(F.col(c), lo, hi, zorder_bits))
+                else:
+                    ranks.append(
+                        F.pmod(F.crc32(F.col(c).cast("string")),
+                               F.lit(1 << zorder_bits))
+                    )
+            df = (
+                df.withColumn("_zv", zorder_value(ranks, zorder_bits))
+                .repartitionByRange(target_files, "_zv")
+                .sortWithinPartitions("_zv")
+                .drop("_zv")
+            )
+            summary = dict(summary or {},
+                           zorder_by=list(zorder_by), zorder_bits=zorder_bits)
+        else:
+            df = df.repartition(target_files)
         rel = self._write_files(df, partition_by)
         lineage = self._lineage(df, None, rel)
         return self._commit("compact", [rel], summary or {}, lineage)
