@@ -325,3 +325,49 @@ def test_text_corpus_c4_span_stage(spark):
     }
     assert all("alpha beta gamma" in base_kept[i]
                for i in base_kept if i % 5 == 0)
+
+
+def test_pair_corpus_model_score_and_lang_gates(spark):
+    """The two new optional gates: (1) model_scores drops NSFW /
+    low-aesthetic / unscored pairs before any dedup; (2) caption_lang
+    keeps only captions language-IDed to the target. Both gates only
+    ever SHRINK the baseline survivor set."""
+    from web_crawler_spark.images import synthesize_images
+
+    pairs = synthesize_images(spark, 60)
+    base = {r["image_id"] for r in C.build_pair_corpus(pairs).collect()}
+
+    # score every image cleanly except: _dup rows unscored, one specific
+    # survivor marked nsfw
+    ids = [r["image_id"] for r in pairs.select("image_id").collect()]
+    victim = sorted(base)[0]
+    scores = spark.createDataFrame(
+        [
+            (i, 0.9 if i == victim else 0.0, 6.0, 0.0)
+            for i in ids if not i.endswith("_dup")
+        ],
+        "image_id string, nsfw_p double, aesthetic double, watermark_p double",
+    )
+    got = {
+        r["image_id"]
+        for r in C.build_pair_corpus(pairs, model_scores=scores).collect()
+    }
+    assert victim not in got
+    assert not any(i.endswith("_dup") for i in got)  # unscored never pass
+    assert got <= base
+
+    # caption lang gate: synthesized captions are English-ish; a wrong
+    # target empties the corpus, the detected target keeps a subset
+    from web_crawler_spark.functions.text import lang_id
+
+    det = (
+        pairs.select(lang_id(F.col("caption")).alias("lg"))
+        .groupBy("lg").count().orderBy(F.desc("count")).first()["lg"]
+    )
+    same = {
+        r["image_id"]
+        for r in C.build_pair_corpus(pairs, caption_lang=det).collect()
+    }
+    assert same and same <= base
+    none = C.build_pair_corpus(pairs, caption_lang="xx").count()
+    assert none == 0

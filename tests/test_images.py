@@ -306,3 +306,53 @@ def test_ahash_independent_recompute_and_separation():
     px = IM.synth_pixels("img00001", 64, 48)
     up = np.kron(px, np.ones((3, 3, 1))).astype(np.uint8)
     assert ham(IM.ahash64(px), IM.ahash64(up)) <= 8
+
+
+def test_colorfulness_metric_properties():
+    """Hasler–Süsstrunk colorfulness: exact naive recompute match, zero
+    on pure grayscale, large on saturated opponent colors, deterministic."""
+    import numpy as np
+
+    def naive(px):
+        px = px.astype(np.float64)
+        rg = px[..., 0] - px[..., 1]
+        yb = 0.5 * (px[..., 0] + px[..., 1]) - px[..., 2]
+        return float(np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+                     + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
+
+    for i in range(6):
+        px = IM.synth_pixels(f"img{i:05d}", 64, 48)
+        assert abs(IM.colorfulness(px) - naive(px)) < 1e-9
+    gray = np.tile(np.arange(48, dtype=np.uint8)[:, None, None], (1, 64, 3))
+    assert IM.colorfulness(gray) == 0.0
+    sat = np.zeros((16, 16, 3), np.uint8)
+    sat[:8, :, 0] = 255   # half pure red
+    sat[8:, :, 2] = 255   # half pure blue
+    assert IM.colorfulness(sat) > 100.0
+
+
+def test_model_score_gate_cascade_and_broadcast(spark):
+    """Scores-as-data gate: per-reason cascade order, unscored rows fail
+    as missing_score (never silently pass), and the plan is a broadcast
+    join — no shuffle rides the pair table."""
+    pairs = spark.createDataFrame(
+        [(f"i{k}",) for k in range(6)], "image_id string")
+    scores = spark.createDataFrame(
+        [
+            ("i0", 0.0, 6.0, 0.0),    # clean -> keep
+            ("i1", 0.9, 6.0, 0.0),    # nsfw
+            ("i2", 0.9, 6.0, 0.9),    # nsfw beats watermark (cascade order)
+            ("i3", 0.0, 6.0, 0.9),    # watermark
+            ("i4", 0.0, 1.0, 0.0),    # low_aesthetic
+        ],
+        "image_id string, nsfw_p double, aesthetic double, watermark_p double",
+    )
+    got = {r["image_id"]: (r["keep"], r["reject_reason"])
+           for r in IM.model_score_gate(pairs, scores).collect()}
+    assert got == {
+        "i0": (True, None), "i1": (False, "nsfw"), "i2": (False, "nsfw"),
+        "i3": (False, "watermark"), "i4": (False, "low_aesthetic"),
+        "i5": (False, "missing_score"),
+    }
+    plan = IM.model_score_gate(pairs, scores)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -125,6 +125,13 @@ def main() -> None:
     oracles["image_psnr_agg"] = values_oracle(df.columns, rows)
     print(f"image_psnr_agg: {len(rows)} rows (golden pin, image_features source)")
 
+    # Hasler–Süsstrunk colorfulness arm, aggregated per format over the
+    # same SF-independent fixture — pinned under a non-query key.
+    df = Q._image_color_agg_rows(spark, SF_DIR)
+    rows = [tuple(r) for r in df.collect()]
+    oracles["image_color_agg"] = values_oracle(df.columns, rows)
+    print(f"image_color_agg: {len(rows)} rows (golden pin, image_features source)")
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "web_crawler_spark", "analytics", "golden.py",

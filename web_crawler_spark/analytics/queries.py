@@ -3531,6 +3531,22 @@ def _image_feature_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_color_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hasler–Süsstrunk colorfulness (images.colorfulness — exact pixel
+    math, the cheap aesthetic-adjacent curation signal) aggregated per
+    format over the synthesized fixture. Golden-pinned source for the
+    image_features composite (tools/pin_oracles.py key
+    ``image_color_agg``)."""
+    from web_crawler_spark.images import image_features, synthesize_images
+
+    feats = image_features(synthesize_images(spark, 120))
+    return feats.filter(F.col("decode_ok")).groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("colorfulness"), 2).alias("avg_color"),
+        F.round(F.min("colorfulness"), 2).alias("min_color"),
+    )
+
+
 def _image_psnr_agg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-row emission invariant (images.verify_invariant:
     decoded pixels vs independently re-derived ground truth — exact for
@@ -3763,7 +3779,38 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_psnr").cast("double").alias("d1"),
         (F.col("n") == F.col("n_ok")).alias("b1"), _ns.alias("s1"),
     )
-    return feats.unionByName(cur).unionByName(bk).unionByName(sh).unionByName(pv)
+    co = _image_color_agg_rows(spark, sf_dir).select(
+        F.lit("colorfulness").alias("kernel"), _ns.alias("media_id"), "fmt",
+        F.col("n").cast("long").alias("l1"), _nl.alias("l2"), _nl.alias("l3"),
+        F.col("avg_color").cast("double").alias("d1"),
+        (F.col("min_color") > 0).alias("b1"), _ns.alias("s1"),
+    )
+    # score_gate: model scores AS DATA (images.model_score_gate) — the
+    # broadcast threshold cascade over a closed-form score fixture the
+    # oracle re-derives exactly (integer-ratio doubles, engine-exact);
+    # every p_partkey % 11 == 0 image is deliberately unscored to prove
+    # unscored rows never silently pass
+    from web_crawler_spark.images import model_score_gate
+
+    pairs_fx = p.select(F.format_string("img_%06d", "p_partkey").alias("image_id"))
+    scores_fx = p.filter(F.col("p_partkey") % 11 != 0).select(
+        F.format_string("img_%06d", "p_partkey").alias("image_id"),
+        ((F.col("p_partkey") % 7) / F.lit(40.0)).alias("nsfw_p"),
+        (F.lit(3.0) + (F.col("p_partkey") % 13) / F.lit(4.0)).alias("aesthetic"),
+        (((F.col("p_partkey") / 3).cast("long") % 5) / F.lit(7.0))
+        .alias("watermark_p"),
+    )
+    sg = model_score_gate(pairs_fx, scores_fx).select(
+        F.lit("score_gate").alias("kernel"),
+        F.col("image_id").alias("media_id"), _ns.alias("fmt"),
+        _nl.alias("l1"), _nl.alias("l2"), _nl.alias("l3"),
+        F.col("aesthetic").alias("d1"), F.col("keep").alias("b1"),
+        F.col("reject_reason").alias("s1"),
+    )
+    return (
+        feats.unionByName(cur).unionByName(bk).unionByName(sh)
+        .unionByName(pv).unionByName(co).unionByName(sg)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -8386,7 +8433,36 @@ _ORACLES["image_features"] = (
         # before the pin exists; never executed with this placeholder
         "SELECT '' AS fmt, 0 AS n, 0 AS n_ok, 0.0 AS min_psnr WHERE 1 = 0",
     )
-    + ")"
+    + """)
+    UNION ALL
+    SELECT 'colorfulness' AS kernel, CAST(NULL AS VARCHAR) AS media_id, fmt,
+           n::BIGINT AS l1, CAST(NULL AS BIGINT) AS l2,
+           CAST(NULL AS BIGINT) AS l3, avg_color::DOUBLE AS d1,
+           min_color > 0 AS b1, CAST(NULL AS VARCHAR) AS s1
+    FROM ("""
+    + _GOLDEN.get(
+        "image_color_agg",
+        "SELECT '' AS fmt, 0 AS n, 0.0 AS avg_color, 0.0 AS min_color "
+        "WHERE 1 = 0",
+    )
+    + """)
+    UNION ALL
+    SELECT 'score_gate' AS kernel, printf('img_%06d', p_partkey) AS media_id,
+           CAST(NULL AS VARCHAR) AS fmt, CAST(NULL AS BIGINT) AS l1,
+           CAST(NULL AS BIGINT) AS l2, CAST(NULL AS BIGINT) AS l3,
+           CASE WHEN p_partkey % 11 = 0 THEN NULL
+                ELSE 3.0 + (p_partkey % 13) / 4.0 END AS d1,
+           reason IS NULL AS b1, reason AS s1
+    FROM (
+      SELECT p_partkey,
+             CASE
+               WHEN p_partkey % 11 = 0 THEN 'missing_score'
+               WHEN (p_partkey % 7) / 40.0 > 0.1 THEN 'nsfw'
+               WHEN ((p_partkey // 3) % 5) / 7.0 > 0.5 THEN 'watermark'
+               WHEN 3.0 + (p_partkey % 13) / 4.0 < 4.5 THEN 'low_aesthetic'
+             END AS reason
+      FROM part)
+    """
 )
 
 # quality_report's 'funnel' arm is appended here because its SQL reuses the

@@ -228,6 +228,23 @@ def ahash64(pixels: np.ndarray) -> int:
     return val
 
 
+def colorfulness(pixels: np.ndarray) -> float:
+    """Hasler–Süsstrunk colorfulness (CIC 2003, "Measuring colourfulness
+    in natural images"): M = sqrt(sigma_rg^2 + sigma_yb^2) + 0.3 *
+    sqrt(mu_rg^2 + mu_yb^2) over the opponent channels rg = R - G and
+    yb = (R + G)/2 - B. The standard cheap aesthetic-adjacent signal in
+    image curation stacks (grayscale scans, line art, and flat screenshots
+    score near 0; saturated photographs score 40+); unlike the model
+    scores it is computed exactly from decoded pixels."""
+    px = pixels.astype(np.float64)
+    rg = px[..., 0] - px[..., 1]
+    yb = 0.5 * (px[..., 0] + px[..., 1]) - px[..., 2]
+    return float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic procedural bitmap: smooth gradients + a seeded pattern
     (hash of image_id), so near-dup re-encodes stay phash-close while
@@ -269,6 +286,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("dhash", T.LongType(), True),
         T.StructField("ahash", T.LongType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("colorfulness", T.DoubleType(), True),
         T.StructField("decode_ok", T.BooleanType(), False),
     ]
 )
@@ -289,13 +307,14 @@ def image_features(images: DataFrame) -> DataFrame:
                             row["image_id"], int(px.shape[1]), int(px.shape[0]),
                             row["fmt"], row["caption"], phash64(px),
                             dhash64(px), ahash64(px),
-                            float(px.astype(np.float64).mean()), True,
+                            float(px.astype(np.float64).mean()),
+                            colorfulness(px), True,
                         )
                     )
                 except Exception:
                     rows.append(
                         (row["image_id"], None, None, row["fmt"], row["caption"],
-                         None, None, None, None, False)
+                         None, None, None, None, None, False)
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
@@ -412,6 +431,47 @@ def curate_pairs(
         reason.alias("reject_reason"),
         F.round(aspect, 4).alias("aspect"),
         n_tokens.cast("long").alias("n_caption_tokens"),
+    )
+
+
+def model_score_gate(
+    df: DataFrame,
+    scores: DataFrame,
+    nsfw_max: float = 0.1,
+    aesthetic_min: float = 4.5,
+    watermark_max: float = 0.5,
+) -> DataFrame:
+    """Model-score curation gate (the LAION/DataComp stage after the
+    metadata gates): NSFW probability, aesthetic score, and watermark
+    probability arrive AS DATA — a ``scores`` table (image_id, nsfw_p,
+    aesthetic, watermark_p) produced upstream by whatever classifier tower
+    the deployment runs — and this operator is the broadcast join plus the
+    first-failure threshold cascade. Scores-as-data is the same seam as
+    the ANN codebook tables: the models are swappable, the Spark plan
+    (one broadcast hash join + a codegen projection, no shuffle) is not.
+
+    Cascade (first failure names ``reject_reason``):
+    ``missing_score`` (no row / NULL in the scores table — unscored
+    images never silently pass) → ``nsfw`` (> nsfw_max) → ``watermark``
+    (> watermark_max) → ``low_aesthetic`` (< aesthetic_min).
+    """
+    j = df.join(
+        F.broadcast(scores.select("image_id", "nsfw_p", "aesthetic",
+                                  "watermark_p")),
+        "image_id", "left",
+    )
+    reason = (
+        F.when(
+            F.col("nsfw_p").isNull() | F.col("aesthetic").isNull()
+            | F.col("watermark_p").isNull(),
+            F.lit("missing_score"),
+        )
+        .when(F.col("nsfw_p") > nsfw_max, F.lit("nsfw"))
+        .when(F.col("watermark_p") > watermark_max, F.lit("watermark"))
+        .when(F.col("aesthetic") < aesthetic_min, F.lit("low_aesthetic"))
+    )
+    return j.select(
+        "*", reason.isNull().alias("keep"), reason.alias("reject_reason")
     )
 
 

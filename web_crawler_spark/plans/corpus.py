@@ -246,6 +246,8 @@ def build_pair_corpus(
     caption_emb: DataFrame | None = None,
     image_emb: DataFrame | None = None,
     eval_pairs: DataFrame | None = None,
+    model_scores: DataFrame | None = None,
+    caption_lang: str | None = None,
     align_threshold: float = 0.1,
     max_hamming: int = 8,
     batch_size: int = 8,
@@ -255,15 +257,19 @@ def build_pair_corpus(
     """Image+caption pairs (input_hint schema) → training-ready release.
 
     Metadata gates first (images.curate_pairs — rejected rows never
-    decode), then exact caption dedup (the LAION-style collapse of the
-    boilerplate captions stock-photo sites stamp on thousands of images
-    — min-id survivor per distinct caption), then phash near-dup
-    collapse to the min-id survivor, then image-side benchmark
-    decontamination when ``eval_pairs`` is given (drop any training
-    image phash-near an eval image), then (when both embedding tables
-    are given, keyed by image_id) the CLIP-score-style alignment gate,
-    then the training layout: each
-    survivor gets its SDXL-style aspect bucket + batch index
+    decode), then the optional caption language gate (``caption_lang``:
+    keep pairs whose caption language-IDs to the target, the LAION-2B-en
+    split move), then the optional model-score gate (``model_scores``
+    table of NSFW/aesthetic/watermark scores as data —
+    images.model_score_gate; unscored pairs drop), then exact caption
+    dedup (the LAION-style collapse of the boilerplate captions
+    stock-photo sites stamp on thousands of images — min-id survivor per
+    distinct caption), then phash near-dup collapse to the min-id
+    survivor, then image-side benchmark decontamination when
+    ``eval_pairs`` is given (drop any training image phash-near an eval
+    image), then (when both embedding tables are given, keyed by
+    image_id) the CLIP-score-style alignment gate, then the training
+    layout: each survivor gets its SDXL-style aspect bucket + batch index
     (images.aspect_bucket) and its WebDataset shard address
     (images.shard_pack over the estimated row bytes) — the columns a
     loader needs to stream same-shaped batches straight off the shards."""
@@ -277,6 +283,18 @@ def build_pair_corpus(
     kept = curate_pairs(pairs).filter(F.col("keep")).drop(
         "keep", "reject_reason", "aspect", "n_caption_tokens"
     )
+    if caption_lang is not None:
+        from web_crawler_spark.functions.text import lang_id
+
+        kept = kept.filter(lang_id(F.col("caption")) == caption_lang)
+    if model_scores is not None:
+        from web_crawler_spark.images import model_score_gate
+
+        kept = (
+            model_score_gate(kept, model_scores)
+            .filter(F.col("keep"))
+            .drop("keep", "reject_reason", "nsfw_p", "aesthetic", "watermark_p")
+        )
     kept = D.dedup_exact_text(kept, text_col="caption", order="image_id")
     dup = phash_neardup_pairs(kept, "image_id", "phash", max_hamming=max_hamming)
     losers = dup.select(F.col("b").alias("image_id")).distinct()
