@@ -201,3 +201,70 @@ def test_zorder_value_matches_naive_interleave(spark):
     ).collect()
     for r in got:
         assert r["zv"] == naive(r["x"], r["y"], 4), (r["x"], r["y"])
+
+
+def test_manifest_stats_prune_scan_without_opening_files(spark, tmp_path):
+    """Iceberg-manifest-style scan planning: snapshot JSON carries
+    per-file column min/max lifted from the parquet footers at commit
+    time; plan_scan prunes from the manifest alone, and read_where over
+    the pruned file set returns exactly read().filter(...). After a
+    zorder compact, a 2-D box predicate opens a corner's worth of the
+    files."""
+    t = _tbl(spark, tmp_path, "tp")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("long").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.append(df.repartition(16))
+
+    # stats landed in the manifest for every data file
+    snap = t.current()
+    assert len(snap["file_stats"]) == 16
+    assert all({"x", "y", "payload"} <= set(b) for b in snap["file_stats"].values())
+
+    # pruned read == full read + filter, on the unclustered layout too
+    want = sorted(
+        tuple(r) for r in t.read(spark)
+        .filter((F.col("x") <= 7) & (F.col("y") <= 7)).collect()
+    )
+    got = sorted(
+        tuple(r) for r in t.read_where(spark, {"x": (None, 7), "y": (None, 7)})
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+    # zorder compact -> the same box predicate now PLANS a small scan
+    t.compact(spark, target_files=16, zorder_by=["x", "y"], zorder_bits=6)
+    kept, total = t.plan_scan({"x": (0, 7), "y": (0, 7)})
+    assert total == 16 and len(kept) <= total // 3
+    got2 = sorted(
+        tuple(r) for r in t.read_where(spark, {"x": (0, 7), "y": (0, 7)})
+        .collect()
+    )
+    assert got2 == want
+
+    # unknown column bounds never prune (conservative)
+    kept_unknown, total2 = t.plan_scan({"nonexistent": (0, 1)})
+    assert len(kept_unknown) == total2
+
+    # point lookup on a string column after an equality-clustered rewrite
+    t2 = _tbl(spark, tmp_path, "tps")
+    sdf = spark.range(0, 2000).select(
+        F.concat(F.lit("h"), (F.col("id") % 40).cast("string")).alias("host"),
+        F.col("id").alias("payload"),
+    )
+    t2.append(sdf.repartition(8))
+    t2.compact(spark, target_files=8, zorder_by=["host"], zorder_bits=6)
+    kept_h, total_h = t2.plan_scan({"host": ("h7", "h7")})
+    # crc32 bucketing clusters EQUAL hosts but is not lexicographically
+    # order-preserving, so [min,max] boxes overlap more than a sorted
+    # layout's would — still a halving, not a full scan
+    assert total_h == 8 and len(kept_h) <= total_h // 2
+    got_h = sorted(
+        tuple(r) for r in t2.read_where(spark, {"host": ("h7", "h7")}).collect()
+    )
+    want_h = sorted(
+        tuple(r) for r in t2.read(spark).filter(F.col("host") == "h7").collect()
+    )
+    assert got_h == want_h and len(want_h) == 50

@@ -30,6 +30,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _pq():
+    import pyarrow.parquet as pq
+
+    return pq
+
+
 def zorder_value(ranks: list[Column], bits: int = 16) -> Column:
     """Morton (Z-order) interleave of per-column ranks: bit i of rank j
     lands at output bit ``i * n_cols + j``, so rows close in EVERY ranked
@@ -101,6 +107,49 @@ class SnapshotTable:
         w.parquet(out)
         return rel
 
+    def _collect_file_stats(self, rels: list[str]) -> dict:
+        """Per-data-file column min/max, lifted from the parquet footers
+        the writers already produced, into the snapshot manifest — the
+        Iceberg manifest-entry stats (lower_bounds/upper_bounds) that let
+        a scan planner prune files WITHOUT opening any of them. Footer
+        reads are metadata-only (no row groups are decoded); a real
+        Iceberg writer collects the same stats during the write itself.
+        Numeric and string bounds only; other types are skipped (never
+        pruned on)."""
+        stats: dict[str, dict] = {}
+        for rel in rels:
+            base = os.path.join(self.data_dir, rel)
+            for dirpath, _, names in os.walk(base):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    fpath = os.path.join(dirpath, name)
+                    frel = os.path.relpath(fpath, self.data_dir)
+                    md = _pq().ParquetFile(fpath).metadata
+                    box: dict[str, list] = {}
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        for ci in range(rg.num_columns):
+                            col = rg.column(ci)
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            lo, hi = st.min, st.max
+                            if isinstance(lo, bytes):
+                                try:
+                                    lo, hi = lo.decode(), hi.decode()
+                                except UnicodeDecodeError:
+                                    continue
+                            if not isinstance(lo, (int, float, str)):
+                                continue
+                            cur = box.get(col.path_in_schema)
+                            box[col.path_in_schema] = (
+                                [min(cur[0], lo), max(cur[1], hi)]
+                                if cur else [lo, hi]
+                            )
+                    stats[frel] = box
+        return stats
+
     def _lineage(self, df: DataFrame, lineage_key: str | None, rel: str) -> dict:
         """Per-partition lineage: row counts keyed by the partition column.
 
@@ -124,8 +173,11 @@ class SnapshotTable:
         cur = self.current()
         if mode == "append" and cur:
             files = cur["files"] + added
+            file_stats = dict(cur.get("file_stats") or {})
         else:
             files = added
+            file_stats = {}
+        file_stats.update(self._collect_file_stats(added))
         snap = {
             "snapshot_id": (cur["snapshot_id"] + 1) if cur else 0,
             "parent_id": cur["snapshot_id"] if cur else None,
@@ -133,6 +185,7 @@ class SnapshotTable:
             "files": files,
             "added_files": added,
             "partition_lineage": lineage,
+            "file_stats": file_stats,
             "summary": summary,
         }
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -250,6 +303,74 @@ class SnapshotTable:
         return self._commit("compact", [rel], summary or {}, lineage)
 
     # ------------------------------------------------------------ read ----
+    def plan_scan(
+        self,
+        predicates: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-level file pruning (Iceberg's scan planning): given
+        ``{column: (lo, hi)}`` inclusive ranges (either end may be None),
+        return ``(data file paths whose stats box overlaps EVERY range,
+        total files in the snapshot)`` — decided entirely from the
+        snapshot manifest's per-file min/max, with ZERO file opens. Files
+        with no recorded bounds for a predicate column are kept
+        (conservative, never wrong). Composes with zorder compaction:
+        after ``compact(zorder_by=[x, y])`` a box predicate on (x, y)
+        selects a corner's worth of files instead of all of them."""
+        snap = (self.current() if snapshot_id is None
+                else next(s for s in self.snapshots()
+                          if s["snapshot_id"] == snapshot_id))
+        if snap is None or not snap["files"]:
+            raise ValueError(f"table {self.path} has no snapshot/data")
+        stats = snap.get("file_stats") or {}
+        # every data file under the snapshot's rel dirs, stats or not
+        all_files: list[str] = []
+        for rel in snap["files"]:
+            base = os.path.join(self.data_dir, rel)
+            for dirpath, _, names in os.walk(base):
+                all_files.extend(
+                    os.path.relpath(os.path.join(dirpath, n), self.data_dir)
+                    for n in sorted(names) if n.endswith(".parquet")
+                )
+        kept = []
+        for frel in all_files:
+            box = stats.get(frel)
+            ok = True
+            for col, (lo, hi) in predicates.items():
+                b = (box or {}).get(col)
+                if b is None:
+                    continue  # unknown bounds -> cannot prune
+                if (hi is not None and b[0] > hi) or (
+                    lo is not None and b[1] < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                kept.append(os.path.join(self.data_dir, frel))
+        return kept, len(all_files)
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Pruned read: scan only the files :meth:`plan_scan` keeps, then
+        apply the same ranges as a residual row filter — result identical
+        to ``read().filter(...)``, cost proportional to the files the
+        predicate actually touches."""
+        paths, _ = self.plan_scan(predicates, snapshot_id)
+        if not paths:
+            df = self.read(spark, snapshot_id).limit(0)
+        else:
+            df = spark.read.option("mergeSchema", "false").parquet(*paths)
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is None:
             snap = self.current()
