@@ -455,3 +455,66 @@ def test_trustrank_uniform_seed_set_equals_pagerank(spark):
     assert sorted((r["node"], r["rank_int"]) for r in pr) == sorted(
         (r["node"], r["rank_int"]) for r in tr
     )
+
+
+def _py_opic(edges, iters=5, scale=SCALE):
+    """Single-threaded reference of host_opic's exact integer algebra
+    (synchronized OPIC with virtual-page dangling recycling)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    cash = {v: scale // n for v in nodes}
+    hist = {v: 0 for v in nodes}
+    vc = 0
+    for _ in range(iters):
+        recv = {v: 0 for v in nodes}
+        for u, v in edges:
+            recv[v] += cash[u] // outdeg[u]
+        nvc = sum(cash[u] for u in nodes if u not in outdeg)
+        for u in nodes:
+            hist[u] += cash[u]
+            cash[u] = recv[u] + vc // n
+        vc = nvc
+    return {v: (cash[v], hist[v]) for v in nodes}
+
+
+def test_opic_matches_integer_reference_exactly(spark):
+    # a cycle, a chord, and two dangling sinks (99, 7 has out-edges)
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    edges += [(0, 99), (3, 98), (2, 0), (98, 1)]  # 99 dangling, 98 not
+    want = _py_opic(edges)
+    for parts in (1, 7):
+        got = {
+            r["node"]: (r["cash_int"], r["hist_int"])
+            for r in FR.host_opic(_edges_df(spark, edges, parts)).collect()
+        }
+        assert got == want
+
+
+def test_opic_virtual_page_recycles_dangling_cash(spark):
+    # star into a dangling sink: with a leaky scheme the sink's cash
+    # would vanish; OPIC's virtual page must return it to circulation,
+    # so total (cash + recycled vcash) stays within integer-div dust
+    edges = [(i, 0) for i in range(1, 9)]
+    rows = FR.host_opic(_edges_df(spark, edges), iters=6).collect()
+    got = {r["node"]: (r["cash_int"], r["hist_int"]) for r in rows}
+    assert got == _py_opic(edges, iters=6)
+    # the spokes have no in-edges: after round 1 their only income is the
+    # virtual page's uniform share — nonzero exactly because recycling works
+    assert all(got[i][0] > 0 for i in range(1, 9))
+    # history keeps the running importance: the hub banks every round
+    assert got[0][1] > max(got[i][1] for i in range(1, 9))
+
+
+def test_opic_importance_orders_like_pagerank_on_strong_graphs(spark):
+    # on a strongly-connected, in-degree-skewed graph with no dangling
+    # mass the two priors must agree on who the top authority is
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    edges += [(1, 0), (2, 0), (3, 0), (4, 0)]
+    pr = {r["node"]: r["rank_int"]
+          for r in FR.host_pagerank(_edges_df(spark, edges)).collect()}
+    op = {r["node"]: r["cash_int"] + r["hist_int"]
+          for r in FR.host_opic(_edges_df(spark, edges), iters=8).collect()}
+    assert max(pr, key=pr.get) == max(op, key=op.get) == 0

@@ -6989,6 +6989,78 @@ def _trustrank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opic_oracle(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled integer fixed-point OPIC (operators/frontier.py:host_opic)
+    — the PageRank edge fixture minus the out-edges of hosts ≡ 3 (mod 11),
+    which manufactures a dangling set so the virtual page's
+    absorb-and-redistribute cycle is actually exercised. One recv CTE +
+    one dangling-sum CTE per round; pure BIGINT div/sum, so the hash
+    compare is exact."""
+    ctes = [
+        f"e AS (SELECT * FROM ({_PAGERANK_EDGE_SQL}) WHERE src % 11 <> 3)",
+        "outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""s0 AS (SELECT node, {scale} // n AS cash, 0 AS hist
+            FROM nodes, nn)""",
+        "v0 AS (SELECT 0 AS vc)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""recv{i} AS (
+          SELECT e.dst AS node, sum(s.cash // o.od) AS r
+          FROM e
+          JOIN s{i - 1} s ON e.src = s.node
+          JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst)""")
+        ctes.append(f"""v{i} AS (
+          SELECT coalesce(sum(cash), 0) AS vc FROM s{i - 1}
+          WHERE node NOT IN (SELECT src FROM e))""")
+        ctes.append(f"""s{i} AS (
+          SELECT n.node,
+                 coalesce(r.r, 0)
+                 + (SELECT vc FROM v{i - 1}) // (SELECT n FROM nn) AS cash,
+                 s.hist + s.cash AS hist
+          FROM nodes n
+          JOIN s{i - 1} s ON n.node = s.node
+          LEFT JOIN recv{i} r ON n.node = r.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT node AS k,
+           concat('https://h', node, '.example.com') AS url,
+           (hist + cash)::BIGINT AS priority,
+           row_number() OVER (ORDER BY (hist + cash) DESC, node) AS rank
+    FROM s{iters}""")
+
+
+def _opic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_opic over the dangling-augmented PageRank edge fixture
+    (operators/frontier.py:host_opic — Abiteboul, Preda & Cobena 2003);
+    priority is the on-line importance estimate ``history + cash``."""
+    from web_crawler_spark.operators import frontier as FR
+
+    k = F.col("p_partkey")
+    dst = (
+        F.when(F.pmod(k, F.lit(4)) == 0, F.pmod(k, F.lit(7)))
+        .otherwise(F.pmod(k * 13 + 5, F.lit(_PAGERANK_N)))
+    )
+    edges = (
+        load(spark, sf_dir, "part")
+        .select(F.pmod(k, F.lit(_PAGERANK_N)).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.pmod(F.col("src"), F.lit(11)) != 3)
+        .distinct()
+    )
+    op = FR.host_opic(edges, iters=5)
+    imp = (F.col("hist_int") + F.col("cash_int")).cast("long")
+    w = Window.orderBy(imp.desc(), "node")
+    return op.select(
+        F.col("node").alias("k"),
+        F.concat(F.lit("https://h"), F.col("node").cast("string"),
+                 F.lit(".example.com")).alias("url"),
+        imp.alias("priority"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
     """Unrolled integer fixed-point HITS (operators/frontier.py:host_hits)
     over the same edge fixture as PageRank — two CTEs per half-iteration
@@ -7724,6 +7796,12 @@ _CRAWL_URL_ORACLE = (
     + _trustrank_oracle()
     + """)
     UNION ALL
+    SELECT 'opic', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
+           priority, rank, NULL, NULL
+    FROM ("""
+    + _opic_oracle()
+    + """)
+    UNION ALL
     SELECT 'anchor_text', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
            priority, NULL, NULL, label
     FROM ("""
@@ -7807,7 +7885,9 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing predicates (isPdfUrl / isDocumentUrl / isHomepage), the
     host-graph PageRank authority prior (integer fixed-point, 5
     iterations — the 10^10-URL scale extension of the static priority
-    tiers), HITS hubs/authorities over the same edge fixture, the
+    tiers), OPIC on-line importance (host_opic: cash/history with
+    virtual-page dangling recycling over a dangling-augmented fixture),
+    HITS hubs/authorities over the same edge fixture, the
     per-target anchor-text rollup (bounded distinct-cap
     formulation), Cho-style re-crawl scheduling (change-rate estimate
     from fingerprint transitions → integer freshness priority + due flag),
@@ -7981,6 +8061,14 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "rank",
         _ns.alias("provider"), _ns.alias("label"),
     )
+    oc = _opic_rows(spark, sf_dir).select(
+        F.lit("opic").alias("kernel"),
+        F.col("k").alias("key"), "url", _ns.alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        "priority", "rank",
+        _ns.alias("provider"), _ns.alias("label"),
+    )
     mirror_pairs = FR.detect_mirror_hosts(
         _mirror_rows(spark, sf_dir), "host", "fp",
         max_fp_hosts=10, min_shared=2,
@@ -8056,6 +8144,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
         .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(tk)
+        .unionByName(oc)
         .unionByName(mr).unionByName(mcl).unionByName(dur).unionByName(dua)
         .unionByName(zo)
     )

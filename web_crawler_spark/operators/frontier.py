@@ -880,6 +880,109 @@ def host_hits(
     )
 
 
+def host_opic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003) over the host graph, in integer fixed-point
+    arithmetic: the crawl-time importance signal that needs NO converged
+    offline pass. Every node starts with equal *cash*; a crawl round
+    banks each node's cash into its *history* and forwards the cash in
+    equal shares along its out-edges; importance after any number of
+    rounds is ``history + cash``. Unlike :func:`host_pagerank` (a fixed
+    damped power iteration) the estimate is usable after every round and
+    improves monotonically — which is why OPIC is the classic frontier
+    prioritizer for crawls that cannot wait for convergence.
+
+    Synchronized-batch variant (the paper's §3.2 "crawl all pages each
+    round" schedule, which is what a wave-structured Spark crawl does),
+    all BIGINT and mirrored verbatim in the SQL oracle:
+
+        hist'[u] = hist[u] + cash[u]
+        cash'[v] = SUM over in-edges (u,v) of cash[u] div outdeg(u)
+                   + vcash div n            -- virtual page's share
+        vcash'   = SUM over dangling u of cash[u]
+
+    The *virtual page* is the paper's strong-connectivity device: here it
+    absorbs dangling (outdeg-0) cash each round and redistributes it
+    uniformly the next — so mass recycles instead of leaking (the
+    distinguishing behavior vs host_pagerank's open-system leak).
+    Integer-division dust does leak (< 1 unit per edge per round at
+    ``scale``=10^12), identically in both engines, so results are exact
+    and independent of partitioning/summation order.
+
+    Plan shape per iteration: the state table (one row per node) is
+    broadcast onto the edge set — edges NEVER shuffle; each round is one
+    map-side-combinable SUM keyed by ``dst`` plus a 1-row dangling
+    aggregate cross-joined back (the same scalar-broadcast shape as
+    host_hits' L1 totals). Fully lazy like host_pagerank's default.
+
+    Returns (node BIGINT, cash_int BIGINT, hist_int BIGINT).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("cash_int"),
+            F.lit(0).cast("long").alias("hist_int"),
+        )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # dangling flag is static — compute once, ride the state table
+    nodes = nodes.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(False).alias("_dang")),
+        "node", "left",
+    ).select("node", F.coalesce("_dang", F.lit(True)).alias("_dang"))
+    st = nodes.select(
+        "node", "_dang",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    vc = st.sparkSession.range(1).select(F.lit(0).cast("long").alias("vc"))
+    for _ in range(iters):
+        recv = (
+            e.join(
+                F.broadcast(
+                    st.select(F.col("node").alias("src"), "cash")
+                    .join(outdeg, "src")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("cash div od")).alias("_recv"))
+        )
+        new_vc = st.filter("_dang").agg(
+            F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("vc")
+        )
+        st = (
+            st.join(recv, "node", "left")
+            .crossJoin(F.broadcast(vc))
+            .select(
+                "node", "_dang",
+                (F.coalesce("_recv", F.lit(0)) + F.expr(f"vc div {n}"))
+                .cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+        )
+        vc = new_vc
+    return st.select(
+        "node",
+        F.col("cash").alias("cash_int"),
+        F.col("hist").alias("hist_int"),
+    )
+
+
 def resolve_redirects(
     nodes: DataFrame,
     edges: DataFrame,
