@@ -356,3 +356,72 @@ def test_model_score_gate_cascade_and_broadcast(spark):
     }
     plan = IM.model_score_gate(pairs, scores)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_webdataset_write_read_roundtrip_exact(spark, tmp_path):
+    """write_webdataset emits real ustar shards; read_webdataset's
+    binaryFile+tar scan must reproduce every (id, bytes, caption) exactly,
+    and shard bytes must be deterministic across runs (pinned tar
+    metadata) so content-hash dedup of re-uploads works."""
+    import hashlib
+
+    pairs = IM.synthesize_images(spark, n=30)
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    m1 = IM.write_webdataset(pairs, d1, n_writers=4, shard_bytes=64 * 1024).collect()
+    assert sum(r["n_samples"] for r in m1) == pairs.count()
+    assert all(r["tar_bytes"] > 0 for r in m1)
+
+    back = IM.read_webdataset(spark, d1)
+    src = {
+        (r["image_id"], hashlib.md5(bytes(r["bytes"])).hexdigest(), r["caption"])
+        for r in pairs.collect()
+    }
+    got = {
+        (r["image_id"], hashlib.md5(bytes(r["img"])).hexdigest(), r["caption"])
+        for r in back.collect()
+    }
+    assert got == src
+
+    # determinism: same input -> bit-identical shard archives
+    m2 = IM.write_webdataset(pairs, d2, n_writers=4, shard_bytes=64 * 1024).collect()
+    assert {r["shard_key"]: r["tar_md5"] for r in m1} == {
+        r["shard_key"]: r["tar_md5"] for r in m2
+    }
+
+    # shard membership matches the shard_pack addressing contract:
+    # every sample sits in exactly the shard its (writer, shard_idx) says
+    sized = pairs.select(
+        "image_id", "bytes", "caption",
+        (F.length("bytes") + F.length("caption")).cast("long").alias("n_bytes"),
+    )
+    addressed = {
+        r["image_id"]: f"w{r['writer']}-s{r['shard_idx']:05d}"
+        for r in IM.shard_pack(
+            sized, "n_bytes", n_writers=4, shard_bytes=64 * 1024
+        ).collect()
+    }
+    placed = {r["image_id"]: r["shard_key"] for r in back.collect()}
+    assert placed == addressed
+
+
+def test_webdataset_orphan_member_surfaces_as_null_caption(spark, tmp_path):
+    """A .img with no .txt twin must come back as a NULL-caption row, not
+    disappear — loss stays observable downstream."""
+    import io
+    import tarfile
+
+    d = tmp_path / "orphan"
+    d.mkdir()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(name="lone.img")
+        payload = b"\x89payload"
+        info.size = len(payload)
+        info.mtime = 0
+        tf.addfile(info, io.BytesIO(payload))
+    (d / "w0-s00000.tar").write_bytes(buf.getvalue())
+    rows = IM.read_webdataset(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["image_id"] == "lone"
+    assert rows[0]["caption"] is None
+    assert bytes(rows[0]["img"]) == b"\x89payload"

@@ -4264,6 +4264,21 @@ _REQKEY_INPUT = "crawl|1|21:https://cache.example|single"
       ('hit_equals_put', 'true'),
       ('request_key', 'req_' || format('{{:015x}}',
         cast(('0x' || substr(md5('{_REQKEY_INPUT}'), 1, 15)) as ubigint)::bigint))) t(col, val)
+    UNION ALL
+    SELECT 'wds', s.image_id, 0::BIGINT, t.col, t.val
+    FROM (
+      SELECT printf('img_%012d', i) AS image_id,
+             'synthetic scene ' || i AS caption
+      FROM generate_series(0, 39) g(i)
+      UNION ALL
+      SELECT printf('img_%012d', i) || '_dup', 'synthetic scene ' || i
+      FROM generate_series(0, 39) g(i) WHERE i % 10 = 0
+    ) s CROSS JOIN LATERAL (VALUES
+      ('caption', s.caption), ('bytes_ok', 'true')) t(col, val)
+    UNION ALL
+    SELECT 'wds', 'meta', 0::BIGINT, 'total_samples', '44'
+    UNION ALL
+    SELECT 'wds', 'meta', 0::BIGINT, 'shards_nonempty', 'true'
     """,
 )
 def q_sink_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4287,6 +4302,13 @@ def q_sink_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'cache' (S12): ResultCache miss → put → hit → site-mode skip
       (cache.service.js:47-69); the hit must equal the stored frame and
       the request key matches the oracle's md5 re-derivation.
+    - 'wds': the WebDataset tar-shard sink (images.py:write_webdataset)
+      writes real ustar archives per (writer, shard), read_webdataset
+      streams them back through a binaryFile scan + Arrow tar parse, and
+      the per-sample join against the source proves byte integrity and
+      single placement — the oracle predicts every caption plus an
+      all-true integrity column, so corruption, loss, or double-packing
+      breaks the hash.
     """
     import tempfile
 
@@ -4383,7 +4405,68 @@ def q_sink_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         env_rows + cache_rows,
         "variant string, sheet string, rn bigint, col string, val string",
     )
-    return csv_arm.unionByName(xlsx_arm).unionByName(driver_arm)
+
+    # ---- wds (WebDataset tar-shard sink, images.py:write_webdataset) ----
+    # write real ustar shards, re-read them through the binaryFile scan +
+    # tar parse, and prove sample identity + byte integrity: the oracle
+    # predicts every caption and an all-true integrity column, so a
+    # corrupted member, a dropped sample, or a double-packed id all break
+    # the value hash.
+    from web_crawler_spark import images as IM
+
+    wds_pairs = IM.synthesize_images(spark, n=40)
+    wds_dir = tempfile.mkdtemp(prefix="wcs_sinkrt_wds_") + "/shards"
+    manifest = IM.write_webdataset(
+        wds_pairs, wds_dir, n_writers=4, shard_bytes=64 * 1024
+    ).collect()  # eager: the read below must see the files
+    back = IM.read_webdataset(spark, wds_dir)
+    src = wds_pairs.select(
+        "image_id",
+        F.md5("bytes").alias("_src_md5"),
+        F.col("caption").alias("_src_caption"),
+    )
+    per_sample = (
+        back.join(src, "image_id", "full")
+        .groupBy("image_id")
+        .agg(
+            F.count(F.lit(1)).alias("_copies"),
+            F.min("caption").alias("_caption"),
+            F.min(
+                (F.md5("img") == F.col("_src_md5"))
+                & (F.col("caption") == F.col("_src_caption"))
+            ).alias("_ok"),
+        )
+    )
+    wds_arm = per_sample.select(
+        F.lit("wds").alias("variant"),
+        F.col("image_id").alias("sheet"),
+        F.lit(0).cast("long").alias("rn"),
+        F.lit("caption").alias("col"),
+        F.col("_caption").alias("val"),
+    ).unionByName(
+        per_sample.select(
+            F.lit("wds").alias("variant"),
+            F.col("image_id").alias("sheet"),
+            F.lit(0).cast("long").alias("rn"),
+            F.lit("bytes_ok").alias("col"),
+            F.when(F.col("_ok") & (F.col("_copies") == 1), F.lit("true"))
+            .otherwise(F.lit("false")).alias("val"),
+        )
+    )
+    wds_meta = spark.createDataFrame(
+        [
+            ("wds", "meta", 0, "total_samples",
+             str(sum(r["n_samples"] for r in manifest))),
+            ("wds", "meta", 0, "shards_nonempty",
+             str(all(r["n_samples"] > 0 and r["tar_bytes"] > 0
+                     for r in manifest)).lower()),
+        ],
+        "variant string, sheet string, rn bigint, col string, val string",
+    )
+    return (
+        csv_arm.unionByName(xlsx_arm).unionByName(driver_arm)
+        .unionByName(wds_arm).unionByName(wds_meta)
+    )
 
 
 # --------------------------------------------------------------------------
