@@ -197,3 +197,37 @@ def test_embedding_default_blocking_survives_identical_sign_prefix(spark):
     ex = df.select("vec_id", F.explode(keys).alias("blk"))
     max_bucket = ex.groupBy("blk").count().agg(F.max("count")).collect()[0][0]
     assert max_bucket < df.count() // 2, max_bucket
+
+
+def test_budget_by_ip_shares_one_budget_across_vhosts(spark):
+    """Mercator server-level politeness: 20 vhosts resolved to one IP get
+    ONE shared budget; an unresolved host falls back to a private
+    per-host key; ranks are deterministic (FIFO by enqueue_seq)."""
+    from web_crawler_spark.operators.frontier import budget_by_ip
+
+    rows = [(f"v{h:02d}.example.com", f"https://v{h:02d}.example.com/p{i}",
+             h * 100 + i)
+            for h in range(20) for i in range(3)]
+    rows += [("lone.example.com", f"https://lone.example.com/p{i}", 10_000 + i)
+             for i in range(8)]
+    cand = spark.createDataFrame(
+        rows, "seed_host string, url string, enqueue_seq long")
+    dim = spark.createDataFrame(
+        [(f"v{h:02d}.example.com", "10.1.1.1") for h in range(20)],
+        "host string, ip string")
+
+    kept = budget_by_ip(cand, dim, ip_wave_budget=5).collect()
+    by_key = {}
+    for r in kept:
+        by_key.setdefault(r["polite_key"], []).append(r)
+    # the 60 vhost rows collapse to the shared server budget of 5
+    assert len(by_key["10.1.1.1"]) == 5
+    # FIFO: the kept five are the globally lowest enqueue_seq on that box
+    assert sorted(r["enqueue_seq"] for r in by_key["10.1.1.1"]) == [0, 1, 2, 100, 101]
+    # unresolved host budgets privately under its own name
+    assert len(by_key["lone.example.com"]) == 5
+    assert sorted(r["ip_rank"] for r in by_key["lone.example.com"]) == [1, 2, 3, 4, 5]
+    # determinism under repartitioning
+    again = budget_by_ip(cand.repartition(13), dim, ip_wave_budget=5).collect()
+    assert sorted((r["url"], r["ip_rank"]) for r in again) == sorted(
+        (r["url"], r["ip_rank"]) for r in kept)

@@ -7144,6 +7144,75 @@ def _opic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IP_BUDGET_ORACLE = """
+    WITH cand AS (
+      SELECT p_partkey AS k,
+             'h' || (p_partkey % 37) AS seed_host,
+             'https://h' || (p_partkey % 37) || '.example.com/p'
+               || p_partkey AS url,
+             p_partkey AS enqueue_seq
+      FROM part
+    ),
+    dim AS (
+      SELECT h AS seed_host, '10.0.0.' || srv AS ip
+      FROM (SELECT DISTINCT seed_host AS h,
+                   cast(('0x' || substr(md5(seed_host), 1, 4)) AS INT) % 7
+                     AS srv
+            FROM cand)
+      WHERE srv <> 3
+    ),
+    ranked AS (
+      SELECT c.k, c.url, c.seed_host,
+             coalesce(d.ip, c.seed_host) AS polite_key,
+             row_number() OVER (PARTITION BY coalesce(d.ip, c.seed_host)
+                                ORDER BY c.enqueue_seq) AS ip_rank
+      FROM cand c LEFT JOIN dim d USING (seed_host)
+    )
+    SELECT k, url, polite_key, seed_host, ip_rank::BIGINT AS ip_rank
+    FROM ranked WHERE ip_rank <= 5
+"""
+
+
+def _ip_budget_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """budget_by_ip over a vhost-farm fixture: 37 hosts hash onto 7
+    servers (md5-derived, AS DATA); the server-3 hosts are left out of
+    the resolution dim to exercise the conservative per-host fallback;
+    wave budget 5 per politeness key (operators/frontier.py:budget_by_ip
+    — Mercator §3.2 server-level back queues)."""
+    from web_crawler_spark.operators import frontier as FR
+
+    host = F.concat(
+        F.lit("h"), F.pmod(F.col("p_partkey"), F.lit(37)).cast("string")
+    )
+    cand = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k"),
+        host.alias("seed_host"),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("p_partkey"), F.lit(37)).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("p_partkey").cast("string"),
+        ).alias("url"),
+        F.col("p_partkey").cast("long").alias("enqueue_seq"),
+    )
+    srv = (
+        F.conv(F.substring(F.md5("seed_host"), 1, 4), 16, 10).cast("int")
+        % 7
+    )
+    dim = (
+        cand.select("seed_host").distinct()
+        .select("seed_host", srv.alias("_srv"))
+        .filter(F.col("_srv") != 3)
+        .select(
+            "seed_host",
+            F.concat(F.lit("10.0.0."), F.col("_srv").cast("string")).alias("ip"),
+        )
+    )
+    return FR.budget_by_ip(cand, dim, ip_wave_budget=5).select(
+        "k", "url", "polite_key", "seed_host", "ip_rank"
+    )
+
+
 def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
     """Unrolled integer fixed-point HITS (operators/frontier.py:host_hits)
     over the same edge fixture as PageRank — two CTEs per half-iteration
@@ -7885,6 +7954,12 @@ _CRAWL_URL_ORACLE = (
     + _opic_oracle()
     + """)
     UNION ALL
+    SELECT 'ip_budget', k, url, polite_key, NULL, NULL, NULL, NULL, NULL,
+           ip_rank, NULL, NULL, seed_host
+    FROM ("""
+    + _IP_BUDGET_ORACLE
+    + """)
+    UNION ALL
     SELECT 'anchor_text', k, url, NULL, NULL, NULL, NULL, NULL, NULL,
            priority, NULL, NULL, label
     FROM ("""
@@ -7970,7 +8045,9 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations — the 10^10-URL scale extension of the static priority
     tiers), OPIC on-line importance (host_opic: cash/history with
     virtual-page dangling recycling over a dangling-augmented fixture),
-    HITS hubs/authorities over the same edge fixture, the
+    Mercator server-level politeness (budget_by_ip: vhosts sharing a
+    resolved IP share ONE wave budget, unresolved hosts fall back to
+    per-host keys), HITS hubs/authorities over the same edge fixture, the
     per-target anchor-text rollup (bounded distinct-cap
     formulation), Cho-style re-crawl scheduling (change-rate estimate
     from fingerprint transitions → integer freshness priority + due flag),
@@ -8152,6 +8229,15 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "rank",
         _ns.alias("provider"), _ns.alias("label"),
     )
+    ib = _ip_budget_rows(spark, sf_dir).select(
+        F.lit("ip_budget").alias("kernel"),
+        F.col("k").alias("key"), "url",
+        F.col("polite_key").alias("canonical"),
+        _nb.alias("flag_a"), _nb.alias("flag_b"), _nb.alias("flag_c"),
+        _nd.alias("lat"), _nd.alias("lon"),
+        F.col("ip_rank").alias("priority"), _nl.alias("rank"),
+        _ns.alias("provider"), F.col("seed_host").alias("label"),
+    )
     mirror_pairs = FR.detect_mirror_hosts(
         _mirror_rows(spark, sf_dir), "host", "fp",
         max_fp_hosts=10, min_shared=2,
@@ -8227,7 +8313,7 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
         .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(tk)
-        .unionByName(oc)
+        .unionByName(oc).unionByName(ib)
         .unionByName(mr).unionByName(mcl).unionByName(dur).unionByName(dua)
         .unionByName(zo)
     )

@@ -190,6 +190,53 @@ def take_budgeted(
     return out.drop("remaining")
 
 
+def budget_by_ip(
+    candidates: DataFrame,
+    host_ip: DataFrame,
+    ip_wave_budget: int,
+    host_col: str = "seed_host",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mercator-style SERVER-level politeness (Heydon & Najork 1999 §3.2):
+    the politeness key is the resolved server address, not the hostname.
+    A shared-hosting box serving 10^3 vhosts must get ONE budget across
+    all of them — per-host budgets alone would hit it at 10^3× the
+    intended rate. Mercator routes fetches through per-server back
+    queues for exactly this reason; this is the batch-wave restatement
+    (the complement of :func:`take_budgeted`, which enforces the per-seed
+    and per-host tiers).
+
+    ``host_ip`` is a (host, ip) resolution dim — DNS answers arrive AS
+    DATA and broadcast onto the wave (at 10^10 URLs the dim is hosts-
+    sized, ~10^7 rows, comfortably broadcastable). A host with no
+    resolution row falls back to its own hostname as a private key:
+    no answer → per-host budget, conservative, never a shared-bucket
+    free-ride.
+
+    Rank within the politeness key follows ``order_cols`` (default: the
+    FIFO enqueue_seq then host) — deterministic, so the kept set is
+    engine-exact. One window over one exchange keyed by the politeness
+    key; the dim never shuffles.
+
+    Returns candidates + (polite_key, ip_rank), filtered to
+    ``ip_rank <= ip_wave_budget``.
+    """
+    order_cols = order_cols or ["enqueue_seq", host_col]
+    dim = host_ip.select(
+        F.col(host_ip.columns[0]).alias(host_col),
+        F.col(host_ip.columns[1]).alias("_ip"),
+    )
+    keyed = candidates.join(F.broadcast(dim), host_col, "left").withColumn(
+        "polite_key", F.coalesce(F.col("_ip"), F.col(host_col))
+    )
+    w = Window.partitionBy("polite_key").orderBy(*order_cols)
+    return (
+        keyed.withColumn("ip_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("ip_rank") <= F.lit(ip_wave_budget))
+        .drop("_ip")
+    )
+
+
 def parse_robots_txt(
     robots: DataFrame, body_col: str = "robots_txt", host_col: str = "host"
 ) -> DataFrame:
