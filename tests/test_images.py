@@ -425,3 +425,58 @@ def test_webdataset_orphan_member_surfaces_as_null_caption(spark, tmp_path):
     assert rows[0]["image_id"] == "lone"
     assert rows[0]["caption"] is None
     assert bytes(rows[0]["img"]) == b"\x89payload"
+
+
+def test_elect_captions_transitive_cluster_and_tiebreak(spark):
+    """Caption election: longest caption wins across the WHOLE transitive
+    cluster (A~B, B~C must pool A, B, C), ties break to the
+    lexicographically smallest, singletons keep their own caption."""
+    pairs = spark.createDataFrame(
+        [
+            ("i1", "short"),
+            ("i2", "the much longer caption"),
+            ("i3", "tie caption B"),
+            ("i4", "solo caption"),
+            ("i5", "tie caption A"),
+            ("i6", "tie caption A"),
+        ],
+        "image_id string, caption string",
+    )
+    # chain i1~i2~i3 (transitive), pair i5~i6 (equal-length tie via i3? no:
+    # i5/i6 tie with each other), i4 singleton
+    dup = spark.createDataFrame(
+        [("i1", "i2"), ("i2", "i3"), ("i5", "i6")], "a string, b string"
+    )
+    out = {r["image_id"]: r for r in IM.elect_captions(pairs, dup).collect()}
+    assert len(out) == 6
+    # chain cluster pools all three captions; longest wins everywhere
+    for i in ("i1", "i2", "i3"):
+        assert out[i]["cluster_id"] == "i1"
+        assert out[i]["elected_caption"] == "the much longer caption"
+        assert out[i]["n_members"] == 3 and out[i]["n_captions"] == 3
+    assert out["i1"]["is_rep"] and not out["i2"]["is_rep"]
+    # i5/i6 share one caption text -> one distinct caption, elected as-is
+    assert out["i5"]["elected_caption"] == "tie caption A"
+    assert out["i5"]["n_captions"] == 1
+    # cross-cluster tie-break check rides the oracled arm (equal-length
+    # captions inside the chain cluster order lexicographically there)
+    # singleton passes through untouched
+    assert out["i4"]["elected_caption"] == "solo caption"
+    assert out["i4"]["n_members"] == 1 and out["i4"]["is_rep"]
+    # the collapsed corpus = is_rep filter, one row per cluster
+    reps = [r for r in out.values() if r["is_rep"]]
+    assert sorted(r["cluster_id"] for r in reps) == ["i1", "i4", "i5"]
+
+
+def test_elect_captions_rep_can_lose_the_election(spark):
+    """The representative id (min of cluster) and the elected caption are
+    independent: the rep keeps the cluster's identity, the caption comes
+    from whichever member had the best one."""
+    pairs = spark.createDataFrame(
+        [("a1", "tiny"), ("a2", "a very descriptive alt text")],
+        "image_id string, caption string",
+    )
+    dup = spark.createDataFrame([("a1", "a2")], "a string, b string")
+    out = {r["image_id"]: r for r in IM.elect_captions(pairs, dup).collect()}
+    assert out["a1"]["is_rep"]
+    assert out["a1"]["elected_caption"] == "a very descriptive alt text"

@@ -3807,9 +3807,42 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aesthetic").alias("d1"), F.col("keep").alias("b1"),
         F.col("reject_reason").alias("s1"),
     )
+    # caption_elect: per-near-dup-cluster caption election
+    # (images.elect_captions) over a planted chain-cluster fixture —
+    # consecutive ids k, k+1, k+2 for k % 5 == 0 form 3-chains (the
+    # transitive case naive per-pair collapse gets wrong); captions vary
+    # in length AND tie, so both electoral rules (longest, then
+    # lexicographically smallest) decide somewhere
+    from web_crawler_spark.images import elect_captions
+
+    el_range = p.filter(F.col("p_partkey").between(10, 160))
+    el_pairs = el_range.select(
+        F.format_string("img_%06d", "p_partkey").alias("image_id"),
+        F.concat(
+            F.lit("c"), (F.col("p_partkey") % 7).cast("string"),
+            F.expr("repeat('!', cast(p_partkey % 4 as int))"),
+        ).alias("caption"),
+    )
+    el_edges = (
+        el_range.filter(
+            (F.col("p_partkey") % 5 < 2) & (F.col("p_partkey") <= 159)
+        )
+        .select(
+            F.format_string("img_%06d", "p_partkey").alias("a"),
+            F.format_string("img_%06d", F.col("p_partkey") + 1).alias("b"),
+        )
+    )
+    el = elect_captions(el_pairs, el_edges).select(
+        F.lit("caption_elect").alias("kernel"),
+        F.col("image_id").alias("media_id"), _ns.alias("fmt"),
+        F.col("n_members").alias("l1"), F.col("n_captions").alias("l2"),
+        _nl.alias("l3"), _nd.alias("d1"),
+        F.col("is_rep").alias("b1"),
+        F.col("elected_caption").alias("s1"),
+    )
     return (
         feats.unionByName(cur).unionByName(bk).unionByName(sh)
-        .unionByName(pv).unionByName(co).unionByName(sg)
+        .unionByName(pv).unionByName(co).unionByName(sg).unionByName(el)
     )
 
 
@@ -8720,6 +8753,38 @@ _ORACLES["image_features"] = (
                WHEN 3.0 + (p_partkey % 13) / 4.0 < 4.5 THEN 'low_aesthetic'
              END AS reason
       FROM part)
+    UNION ALL
+    SELECT 'caption_elect' AS kernel, media_id, CAST(NULL AS VARCHAR) AS fmt,
+           n_members::BIGINT AS l1, n_captions::BIGINT AS l2,
+           CAST(NULL AS BIGINT) AS l3, CAST(NULL AS DOUBLE) AS d1,
+           is_rep AS b1, elected AS s1
+    FROM (
+      WITH m AS (
+        SELECT p_partkey AS k,
+               printf('img_%06d', p_partkey) AS media_id,
+               CASE WHEN p_partkey % 5 <= 2 THEN p_partkey - (p_partkey % 5)
+                    ELSE p_partkey END AS root,
+               'c' || (p_partkey % 7) || repeat('!', p_partkey % 4) AS caption
+        FROM part WHERE p_partkey BETWEEN 10 AND 160
+      ),
+      agg AS (
+        SELECT root, count(*) AS n_members,
+               count(DISTINCT caption) AS n_captions
+        FROM m GROUP BY root
+      ),
+      el AS (
+        SELECT root, caption AS elected,
+               row_number() OVER (PARTITION BY root
+                                  ORDER BY length(caption) DESC, caption)
+                 AS rn
+        FROM m
+      )
+      SELECT m.media_id, a.n_members, a.n_captions,
+             m.k = m.root AS is_rep, e.elected
+      FROM m
+      JOIN agg a ON m.root = a.root
+      JOIN el e ON e.root = m.root AND e.rn = 1
+    )
     """
 )
 

@@ -820,3 +820,66 @@ def read_webdataset(spark, path: str) -> DataFrame:
             "caption string, member_ord long",
         )
     )
+
+
+# ----------------------------------------- caption election per cluster -----
+def elect_captions(
+    pairs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """One canonical caption per image near-dup cluster (the LAION-style
+    collapse step AFTER the hash vote): near-dup pairs rarely share a
+    caption — the same photo circulates with different alt-texts — so
+    dropping losers row-wise throws captions away at random. This elects
+    deterministically instead: cluster = connected component of the
+    confirmed pair graph (log-diameter hook+compress, never per-pair
+    chains), electoral rule = LONGEST caption, ties broken by
+    lexicographically smallest — engine-exact, no scoring model required
+    (a model score would slot in as data, like model_score_gate).
+
+    Plan: components over the dup pairs (pairs-sized, tiny vs corpus) →
+    one corpus shuffle keyed by cluster, where the election is a
+    map-side-combinable ``min(struct(-len, caption))`` and the stats ride
+    the same aggregate → join back on the same key. Singletons (no dup
+    edge) keep their own caption at zero extra cost.
+
+    Returns one row per input image: (id, cluster_id, elected_caption,
+    n_members, n_captions, is_rep) — filter ``is_rep`` for the collapsed
+    corpus; keep the rest when provenance must survive the collapse.
+    """
+    from web_crawler_spark.operators.dedup import connected_min
+
+    comp = connected_min(
+        dup_pairs.select(
+            F.col(dup_pairs.columns[0]).alias("a"),
+            F.col(dup_pairs.columns[1]).alias("b"),
+        )
+    )
+    # no forced broadcast: the component table is dup-graph-sized, which
+    # is usually small but NOT bounded (a 30%-dup corpus makes it corpus
+    # scale) — AQE picks broadcast when it actually fits
+    labeled = pairs.join(
+        comp.select(F.col("node").alias(id_col),
+                    F.col("component").alias("_comp")),
+        id_col, "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("_comp"), F.col(id_col)))
+    agg = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct(caption_col).alias("n_captions"),
+        F.min(
+            F.struct(
+                (-F.length(caption_col)).alias("nl"),
+                F.col(caption_col).alias("c"),
+            )
+        ).alias("_e"),
+    )
+    return labeled.join(agg, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        F.col("_e.c").alias("elected_caption"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_captions").cast("long").alias("n_captions"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_rep"),
+    )
