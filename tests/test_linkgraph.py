@@ -477,7 +477,9 @@ def _py_opic(edges, iters=5, scale=SCALE):
             hist[u] += cash[u]
             cash[u] = recv[u] + vc // n
         vc = nvc
-    return {v: (cash[v], hist[v]) for v in nodes}
+    out = {v: (cash[v], hist[v]) for v in nodes}
+    out[-1] = (vc, 0)  # the virtual page rides the state as node -1
+    return out
 
 
 def test_opic_matches_integer_reference_exactly(spark):
@@ -518,3 +520,34 @@ def test_opic_importance_orders_like_pagerank_on_strong_graphs(spark):
     op = {r["node"]: r["cash_int"] + r["hist_int"]
           for r in FR.host_opic(_edges_df(spark, edges), iters=8).collect()}
     assert max(pr, key=pr.get) == max(op, key=op.get) == 0
+
+
+def test_opic_state_resume_bitwise_equals_straight_run(spark):
+    """On-line accumulation: iters=a then resume for iters=b must equal
+    iters=a+b bit-for-bit — the virtual page's in-flight cash round-trips
+    through the node -1 state row."""
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    edges += [(0, 99), (3, 98), (2, 0), (98, 1)]
+    e = _edges_df(spark, edges)
+    straight = {
+        r["node"]: (r["cash_int"], r["hist_int"])
+        for r in FR.host_opic(e, iters=5).collect()
+    }
+    resumed = {
+        r["node"]: (r["cash_int"], r["hist_int"])
+        for r in FR.host_opic(
+            e, iters=2, state=FR.host_opic(e, iters=3)
+        ).collect()
+    }
+    assert resumed == straight == _py_opic(edges, iters=5)
+    # a node unknown to the state (newly discovered page) starts at zero
+    # cash and is funded by in-edges + the virtual share
+    grown = edges + [(1, 500)]
+    out = {
+        r["node"]: r
+        for r in FR.host_opic(
+            _edges_df(spark, grown), iters=1, state=FR.host_opic(e, iters=3)
+        ).collect()
+    }
+    assert out[500]["hist_int"] == 0  # banked nothing before this round
+    assert out[500]["cash_int"] > 0   # funded by 1's forwarded cash

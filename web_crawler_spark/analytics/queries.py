@@ -7165,7 +7165,7 @@ def _opic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.pmod(F.col("src"), F.lit(11)) != 3)
         .distinct()
     )
-    op = FR.host_opic(edges, iters=5)
+    op = FR.host_opic(edges, iters=5).filter(F.col("node") >= 0)
     imp = (F.col("hist_int") + F.col("cash_int")).cast("long")
     w = Window.orderBy(imp.desc(), "node")
     return op.select(

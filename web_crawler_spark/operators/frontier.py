@@ -933,6 +933,7 @@ def host_opic(
     dst: str = "dst",
     iters: int = 5,
     scale: int = 10**12,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
     Preda & Cobena, WWW 2003) over the host graph, in integer fixed-point
@@ -968,7 +969,20 @@ def host_opic(
     aggregate cross-joined back (the same scalar-broadcast shape as
     host_hits' L1 totals). Fully lazy like host_pagerank's default.
 
-    Returns (node BIGINT, cash_int BIGINT, hist_int BIGINT).
+    ``state`` makes the computation genuinely ON-LINE — the paper's
+    actual contribution: pass a previous return value to continue
+    accumulating across crawl waves instead of restarting, so the
+    frontier re-prioritizes after every wave at one round's cost. The
+    returned table carries the virtual page as node ``-1`` (cash = the
+    vcash in flight, history 0) precisely so the state round-trips
+    losslessly: ``host_opic(e, iters=a+b)`` ==
+    ``host_opic(e, iters=b, state=host_opic(e, iters=a))`` bit-for-bit.
+    Nodes absent from the state (pages discovered since) start at zero
+    cash and are funded by their in-edges and the virtual share — the
+    paper's new-page treatment.
+
+    Returns (node BIGINT, cash_int BIGINT, hist_int BIGINT), including
+    the node ``-1`` virtual-page row.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -991,12 +1005,28 @@ def host_opic(
         outdeg.select(F.col("src").alias("node"), F.lit(False).alias("_dang")),
         "node", "left",
     ).select("node", F.coalesce("_dang", F.lit(True)).alias("_dang"))
-    st = nodes.select(
-        "node", "_dang",
-        F.lit(scale // n).cast("long").alias("cash"),
-        F.lit(0).cast("long").alias("hist"),
-    )
-    vc = st.sparkSession.range(1).select(F.lit(0).cast("long").alias("vc"))
+    if state is None:
+        st = nodes.select(
+            "node", "_dang",
+            F.lit(scale // n).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
+        vc = st.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("vc")
+        )
+    else:
+        st = nodes.join(
+            state.filter(F.col("node") >= 0)
+            .select("node", "cash_int", "hist_int"),
+            "node", "left",
+        ).select(
+            "node", "_dang",
+            F.coalesce("cash_int", F.lit(0)).cast("long").alias("cash"),
+            F.coalesce("hist_int", F.lit(0)).cast("long").alias("hist"),
+        )
+        vc = state.filter(F.col("node") == -1).agg(
+            F.coalesce(F.sum("cash_int"), F.lit(0)).cast("long").alias("vc")
+        )
     for _ in range(iters):
         recv = (
             e.join(
@@ -1027,6 +1057,12 @@ def host_opic(
         "node",
         F.col("cash").alias("cash_int"),
         F.col("hist").alias("hist_int"),
+    ).unionByName(
+        vc.select(
+            F.lit(-1).cast("long").alias("node"),
+            F.col("vc").alias("cash_int"),
+            F.lit(0).cast("long").alias("hist_int"),
+        )
     )
 
 
