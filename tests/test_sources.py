@@ -461,3 +461,43 @@ def test_wet_read_scale_path_matches_chunk_parse(spark, tmp_path):
         for r in W.parse_wet_records(chunk_df).collect()
     )
     assert got == want
+
+
+def test_warc_http_response_parsing_and_non_http_nulls(spark):
+    """Full-WARC layer: response bodies yield status / media type /
+    payload; the media type drops ';' parameters; non-HTTP bodies
+    (conversion) and bodies with a malformed status line come back
+    all-NULL — surfaced, never misparsed."""
+    from web_crawler_spark.sources.warc import parse_warc_responses
+
+    crlf = "\r\n"
+    http = (
+        f"HTTP/1.1 404 Not Found{crlf}"
+        f"Content-Type: text/html; charset=utf-8{crlf}"
+        f"Server: syn{crlf}{crlf}"
+        "<html>gone</html>"
+    )
+    bad = f"HTP/1.1 200 OK{crlf}{crlf}nope"  # malformed protocol token
+    def rec(typ, body):
+        return (
+            f"WARC/1.0{crlf}WARC-Type: {typ}{crlf}"
+            f"WARC-Target-URI: https://x.example/{typ}{crlf}"
+            f"Content-Length: {len(body)}{crlf}{crlf}{body}{crlf}{crlf}"
+        )
+    shard = rec("response", http) + rec("conversion", "plain text") + rec(
+        "response", bad
+    )
+    df = spark.createDataFrame([(shard,)], "warc string")
+    rows = {r["record_ord"]: r for r in parse_warc_responses(df).collect()}
+    assert len(rows) == 3
+    ok = rows[0]
+    assert ok["http_status"] == 404
+    assert ok["http_content_type"] == "text/html"  # parameter dropped
+    assert ok["payload"] == "<html>gone</html>"
+    assert ok["len_ok"]
+    for i in (1, 2):  # conversion body and malformed status line
+        assert rows[i]["http_status"] is None
+        assert rows[i]["http_content_type"] is None
+        assert rows[i]["payload"] is None
+    # the WET framing layer still sees all three records normally
+    assert rows[1]["body"] == "plain text" and rows[1]["len_ok"]

@@ -7611,6 +7611,147 @@ def _warc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.parse_wet_records(o.select(k.alias("k"), chunk.alias("wet")))
 
 
+_WARC_HTTP_ORACLE = f"""
+    WITH hsrc AS (
+      SELECT o_orderkey AS k,
+             concat('order ', o_orderkey, ' status ', o_orderstatus,
+                    ' placed ', o_orderdate::VARCHAR) AS page_text,
+             CASE WHEN o_orderkey % 3 = 0 THEN '200 OK'
+                  WHEN o_orderkey % 3 = 1 THEN '404 Not Found'
+                  ELSE '301 Moved Permanently' END AS status_line,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'text/html'
+                  ELSE 'application/pdf' END AS ctype
+      FROM orders WHERE o_orderkey % 10 = 0),
+    hmsg AS (
+      SELECT k, page_text,
+             concat('HTTP/1.1 ', status_line, {_WET_SQL_CRLF},
+                    'Content-Type: ', ctype, '; charset=utf-8',
+                    {_WET_SQL_CRLF}, 'Server: synthetic',
+                    {_WET_SQL_CRLF}, {_WET_SQL_CRLF}, page_text) AS http
+      FROM hsrc),
+    hf AS (
+      SELECT k,
+             concat(
+               'WARC/1.0', {_WET_SQL_CRLF},
+               'WARC-Type: response', {_WET_SQL_CRLF},
+               'WARC-Target-URI: https://w', k, '.example.com/r',
+               {_WET_SQL_CRLF},
+               'WARC-Date: 2024-01-15T00:00:01Z', {_WET_SQL_CRLF},
+               'Content-Length: ', length(http),
+               {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               http, {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               'WARC/1.0', {_WET_SQL_CRLF},
+               'WARC-Type: conversion', {_WET_SQL_CRLF},
+               'WARC-Target-URI: https://w', k, '.example.com/t',
+               {_WET_SQL_CRLF},
+               'WARC-Date: 2024-01-15T00:00:02Z', {_WET_SQL_CRLF},
+               'Content-Length: ', length(page_text),
+               {_WET_SQL_CRLF}, {_WET_SQL_CRLF},
+               page_text, {_WET_SQL_CRLF}, {_WET_SQL_CRLF}
+             ) AS warc
+      FROM hmsg),
+    hx AS (
+      SELECT k, u['ord'] AS record_ord, u['rec'] AS rec
+      FROM (SELECT k,
+                   unnest(list_transform(
+                     generate_series(2, len(parts)),
+                     i -> {{'ord': i - 2, 'rec': parts[i]}})) AS u
+            FROM (SELECT k,
+                         string_split_regex(warc,
+                           'WARC/1\\.0' || {_WET_SQL_CRLF}) AS parts
+                  FROM hf))),
+    hw AS (
+      SELECT k, record_ord,
+             nullif(regexp_extract(hd, 'WARC-Type: ([^' || chr(13) || chr(10)
+               || ']+)', 1), '') AS warc_type,
+             nullif(regexp_extract(hd, 'WARC-Target-URI: ([^' || chr(13)
+               || chr(10) || ']+)', 1), '') AS target_uri,
+             nullif(regexp_extract(hd, 'Content-Length: ([^' || chr(13)
+               || chr(10) || ']+)', 1), '')::BIGINT AS content_length,
+             body
+      FROM (SELECT k, record_ord,
+                   split_part(rec, {_WET_SQL_CRLF} || {_WET_SQL_CRLF}, 1)
+                     AS hd,
+                   regexp_replace(
+                     substr(rec, length(split_part(rec,
+                       {_WET_SQL_CRLF} || {_WET_SQL_CRLF}, 1)) + 5),
+                     '(' || chr(13) || chr(10) || ')+$', '', 'g') AS body
+            FROM hx)),
+    hr AS (
+      SELECT *,
+             regexp_matches(body, '^HTTP/1\\.[01] [0-9]{{3}}') AS is_http,
+             split_part(body, {_WET_SQL_CRLF} || {_WET_SQL_CRLF}, 1) AS hd2
+      FROM hw)
+    SELECT k, record_ord::BIGINT AS record_ord, warc_type, target_uri,
+           CASE WHEN is_http THEN
+             regexp_extract(hd2, '^HTTP/1\\.[01] ([0-9]{{3}})', 1)::BIGINT
+           END AS http_status,
+           CASE WHEN is_http THEN
+             nullif(regexp_extract(hd2, chr(13) || chr(10)
+               || 'Content-Type: ([^' || chr(13) || chr(10) || ';]+)', 1), '')
+           END AS http_content_type,
+           CASE WHEN is_http THEN md5(substr(body, length(hd2) + 5)) END
+             AS payload_md5,
+           length(body) = content_length AS len_ok
+    FROM hr
+"""
+
+
+def _warc_http_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_warc_responses over synthesized full-WARC shards: one HTTP
+    ``response`` record (status/media-type routing surface, parameters
+    after ';' dropped) + one ``conversion`` record per shard proving
+    non-HTTP bodies yield NULLs, never a misparse
+    (sources/warc.py:http_response)."""
+    from web_crawler_spark.sources import warc as W
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    k = F.col("o_orderkey")
+    crlf = _WET_CRLF
+    page_text = F.concat(
+        F.lit("order "), k.cast("string"),
+        F.lit(" status "), F.col("o_orderstatus"),
+        F.lit(" placed "), F.col("o_orderdate").cast("string"),
+    )
+    status_line = (
+        F.when(k % 3 == 0, F.lit("200 OK"))
+        .when(k % 3 == 1, F.lit("404 Not Found"))
+        .otherwise(F.lit("301 Moved Permanently"))
+    )
+    ctype = F.when(k % 2 == 0, F.lit("text/html")).otherwise(
+        F.lit("application/pdf")
+    )
+    http_msg = F.concat(
+        F.lit("HTTP/1.1 "), status_line, F.lit(crlf),
+        F.lit("Content-Type: "), ctype, F.lit("; charset=utf-8" + crlf),
+        F.lit("Server: synthetic" + crlf + crlf), page_text,
+    )
+
+    def rec(typ: str, path: str, date: str, body) -> Column:
+        return F.concat(
+            F.lit(f"WARC/1.0{crlf}WARC-Type: {typ}{crlf}"),
+            F.lit("WARC-Target-URI: https://w"), k.cast("string"),
+            F.lit(f".example.com/{path}{crlf}"),
+            F.lit(f"WARC-Date: {date}{crlf}Content-Length: "),
+            F.length(body).cast("string"), F.lit(crlf + crlf),
+            body, F.lit(crlf + crlf),
+        )
+
+    shard = F.concat(
+        rec("response", "r", "2024-01-15T00:00:01Z", http_msg),
+        rec("conversion", "t", "2024-01-15T00:00:02Z", page_text),
+    )
+    return W.parse_warc_responses(
+        o.select(k.alias("k"), shard.alias("warc"))
+    ).select(
+        "k", "record_ord", "warc_type", "target_uri",
+        F.col("http_status").cast("long").alias("http_status"),
+        "http_content_type",
+        F.md5("payload").alias("payload_md5"),
+        "len_ok",
+    )
+
+
 # Redirect-chain fixture: 400 URL nodes; the mod-101 overlay plants 2-cycles
 # (20↔21, 121↔122, ...), every other non-multiple-of-5 node chains one step
 # down (n → n-1, terminating at a multiple of 5 unless the walk falls into a
@@ -8032,6 +8173,13 @@ _CRAWL_URL_ORACLE = (
     + _WET_ORACLE
     + """)
     UNION ALL
+    SELECT 'warc_http', k, target_uri, payload_md5, len_ok,
+           http_status = 200, NULL, NULL, NULL,
+           http_status, record_ord, http_content_type, warc_type
+    FROM ("""
+    + _WARC_HTTP_ORACLE
+    + """)
+    UNION ALL
     SELECT 'mirror', shared, host_a, host_b, is_mirror, NULL, NULL,
            NULL, NULL, jaccard_micro, NULL, NULL, NULL
     FROM ("""
@@ -8227,6 +8375,19 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("warc_type").alias("provider"),
         F.col("warc_date").alias("label"),
     )
+    wh = _warc_http_rows(spark, sf_dir).select(
+        F.lit("warc_http").alias("kernel"),
+        F.col("k").cast("long").alias("key"),
+        F.col("target_uri").alias("url"),
+        F.col("payload_md5").alias("canonical"),
+        F.col("len_ok").alias("flag_a"),
+        (F.col("http_status") == 200).alias("flag_b"),
+        _nb.alias("flag_c"), _nd.alias("lat"), _nd.alias("lon"),
+        F.col("http_status").alias("priority"),
+        F.col("record_ord").cast("long").alias("rank"),
+        F.col("http_content_type").alias("provider"),
+        F.col("warc_type").alias("label"),
+    )
     rd = _redirect_rows(spark, sf_dir).select(
         F.lit("redirect").alias("kernel"),
         F.col("k").alias("key"), "url",
@@ -8345,8 +8506,8 @@ def q_crawl_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.unionByName(rg).unionByName(mu).unionByName(md).unionByName(da)
         .unionByName(rt).unionByName(ld).unionByName(dr)
         .unionByName(pr).unionByName(at).unionByName(rc).unionByName(tr)
-        .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(tk)
-        .unionByName(oc).unionByName(ib)
+        .unionByName(ht).unionByName(rd).unionByName(wr).unionByName(wh)
+        .unionByName(tk).unionByName(oc).unionByName(ib)
         .unionByName(mr).unionByName(mcl).unionByName(dur).unionByName(dua)
         .unionByName(zo)
     )

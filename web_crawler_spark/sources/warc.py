@@ -113,3 +113,50 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             *[F.col(f"_p.{f.split(' ')[0]}") for f in _FIELDS.split(", ")],
         )
     )
+
+
+def http_response(body: Column) -> Column:
+    """Parse the HTTP/1.x message inside a WARC ``response`` record's
+    body (ISO 28500 §6.3: the block is the full protocol response, status
+    line + headers + entity): struct(http_status int, http_content_type,
+    payload). A body that is not an HTTP message (warcinfo, conversion,
+    request records) comes back all-NULL — type confusion surfaces as
+    data, never as a misparse. Pure regexp/substring column algebra,
+    whole-stage codegen, mirrored verbatim in the DuckDB oracle.
+
+    ``http_content_type`` is the media type alone (parameters after ';'
+    dropped) — the routing key a corpus build fans out on (text/html →
+    extraction, application/pdf → the PDF battery, image/* → the pair
+    pipeline).
+    """
+    is_http = body.rlike(r"^HTTP/1\.[01] \d{3}")
+    hd = F.substring_index(body, "\r\n\r\n", 1)
+    payload = F.substr(body, F.length(hd) + F.lit(5), F.length(body))
+    status = F.regexp_extract(hd, r"^HTTP/1\.[01] (\d{3})", 1).cast("int")
+    ctype = F.nullif(
+        F.regexp_extract(hd, r"\r\nContent-Type: ([^\r\n;]+)", 1), F.lit("")
+    )
+    return F.struct(
+        F.when(is_http, status).alias("http_status"),
+        F.when(is_http, ctype).alias("http_content_type"),
+        F.when(is_http, payload).alias("payload"),
+    )
+
+
+def parse_warc_responses(
+    df: DataFrame, col: str = "warc", keep: list[str] | None = None
+) -> DataFrame:
+    """Full-WARC layer over :func:`parse_wet_records`: every record is
+    framed and parsed exactly as WET (same magic, same Content-Length
+    validation), then ``response`` record bodies additionally yield the
+    HTTP status, media type, and entity payload. One projection on top of
+    the record rows — no extra exchange, no second pass over the shard.
+    """
+    recs = parse_wet_records(df, col=col, keep=keep)
+    h = http_response(F.col("body"))
+    return recs.select(
+        "*",
+        h["http_status"].alias("http_status"),
+        h["http_content_type"].alias("http_content_type"),
+        h["payload"].alias("payload"),
+    )
