@@ -54,6 +54,15 @@ def main() -> None:
                     help="train this many BPE merges on the released "
                          "corpus and append n_bpe_tokens")
     ap.add_argument("--shard-bytes", type=int, default=4 * 1024 * 1024)
+    ap.add_argument("--elect-caption", action="store_true",
+                    help="pairs mode: collapse phash clusters with caption "
+                         "election (longest, ties lexicographic) instead of "
+                         "keeping the min-id row's own caption")
+    ap.add_argument("--wds-dir", default=None,
+                    help="pairs mode: additionally materialize the release "
+                         "as real WebDataset ustar shards in this directory "
+                         "(same writer/byte-budget addressing as the "
+                         "shard_key column)")
     args = ap.parse_args()
 
     spark = (
@@ -98,11 +107,23 @@ def main() -> None:
 
         pairs = synthesize_images(spark, args.n_pairs)
         n_in = pairs.count()
-        out = C.build_pair_corpus(pairs, shard_bytes=args.shard_bytes).persist()
+        out = C.build_pair_corpus(
+            pairs, shard_bytes=args.shard_bytes,
+            elect_caption=args.elect_caption,
+        ).persist()
         n_out = out.count()
         out.write.mode("overwrite").parquet(args.out)
         n_shards = out.select("shard_key").distinct().count()
         extra = {"shards": int(n_shards)}
+        if args.wds_dir:
+            from web_crawler_spark.images import write_webdataset
+
+            manifest = write_webdataset(
+                out.select("image_id", "bytes", "caption"), args.wds_dir,
+                shard_bytes=args.shard_bytes,
+            ).collect()
+            extra["wds_shards"] = len(manifest)
+            extra["wds_bytes"] = int(sum(r["tar_bytes"] for r in manifest))
 
     out.unpersist()
     print(

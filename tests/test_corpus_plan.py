@@ -371,3 +371,42 @@ def test_pair_corpus_model_score_and_lang_gates(spark):
     assert same and same <= base
     none = C.build_pair_corpus(pairs, caption_lang="xx").count()
     assert none == 0
+
+
+def test_pair_corpus_caption_election_same_survivors_better_captions(spark):
+    """elect_caption=True keeps the EXACT survivor set of the default
+    collapse but upgrades each survivor's caption to the cluster's best:
+    the planted _dup siblings carry strictly longer alt-text, so every
+    clustered survivor must come out wearing the dup's caption."""
+    from web_crawler_spark.images import synthesize_images
+    from web_crawler_spark.plans.corpus import build_pair_corpus
+
+    base = synthesize_images(spark, 400)
+    pairs = base.withColumn(
+        "caption",
+        F.when(
+            F.col("image_id").endswith("_dup"),
+            F.concat(F.col("caption"),
+                     F.lit(" with a much longer descriptive alt text")),
+        ).otherwise(F.col("caption")),
+    )
+    plain = build_pair_corpus(pairs).select("image_id", "caption").collect()
+    elected = build_pair_corpus(pairs, elect_caption=True).select(
+        "image_id", "caption", "n_cluster_captions"
+    ).collect()
+
+    assert sorted(r["image_id"] for r in plain) == sorted(
+        r["image_id"] for r in elected
+    )
+    pl = {r["image_id"]: r["caption"] for r in plain}
+    el = {r["image_id"]: r for r in elected}
+    upgraded = 0
+    for iid, r in el.items():
+        if r["n_cluster_captions"] > 1:
+            # contested cluster: election must pick the longer alt-text
+            assert r["caption"].endswith("descriptive alt text")
+            assert len(r["caption"]) > len(pl[iid])
+            upgraded += 1
+        else:
+            assert r["caption"] == pl[iid]
+    assert upgraded >= 3  # the planted every-10th _dup siblings survived

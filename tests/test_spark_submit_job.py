@@ -76,6 +76,11 @@ def test_spark_submit_corpus_job(tmp_path):
     assert 0 < text["rows_out"] <= text["rows_in"]
     assert text["total_tokens"] > 0
 
-    pairs = run("pairs", "--n-pairs", "80")
+    pairs = run("pairs", "--n-pairs", "80", "--elect-caption",
+                "--wds-dir", str(tmp_path / "wds"))
     assert 0 < pairs["rows_out"] < pairs["rows_in"]
     assert pairs["shards"] >= 1
+    # the WebDataset release materialized real tar shards
+    assert pairs["wds_shards"] >= 1 and pairs["wds_bytes"] > 0
+    tars = [f for f in os.listdir(tmp_path / "wds") if f.endswith(".tar")]
+    assert len(tars) == pairs["wds_shards"]

@@ -253,6 +253,7 @@ def build_pair_corpus(
     batch_size: int = 8,
     shard_bytes: int = 4 * 1024 * 1024,
     n_writers: int = 8,
+    elect_caption: bool = False,
 ) -> DataFrame:
     """Image+caption pairs (input_hint schema) → training-ready release.
 
@@ -265,7 +266,11 @@ def build_pair_corpus(
     dedup (the LAION-style collapse of the boilerplate captions
     stock-photo sites stamp on thousands of images — min-id survivor per
     distinct caption), then phash near-dup collapse to the min-id
-    survivor, then image-side benchmark decontamination when
+    survivor (``elect_caption=True`` swaps in images.elect_captions: the
+    survivor set is identical, but each survivor carries its cluster's
+    elected caption — longest, ties lexicographic — plus an
+    ``n_cluster_captions`` provenance column), then image-side benchmark
+    decontamination when
     ``eval_pairs`` is given (drop any training image phash-near an eval
     image), then (when both embedding tables are given, keyed by
     image_id) the CLIP-score-style alignment gate, then the training
@@ -297,8 +302,31 @@ def build_pair_corpus(
         )
     kept = D.dedup_exact_text(kept, text_col="caption", order="image_id")
     dup = phash_neardup_pairs(kept, "image_id", "phash", max_hamming=max_hamming)
-    losers = dup.select(F.col("b").alias("image_id")).distinct()
-    kept = kept.join(losers, "image_id", "left_anti")
+    if elect_caption:
+        # near-dup collapse WITH caption election (images.elect_captions):
+        # the survivor keeps the cluster's best caption (longest, ties
+        # lexicographic) instead of whatever its own row happened to carry.
+        # phash pairs are emitted a < b, so the cluster min is never a
+        # loser — the elected-rep set IS the anti-join survivor set, and
+        # the inner join below selects exactly it. n_cluster_captions
+        # rides along as provenance (how contested the election was).
+        from web_crawler_spark.images import elect_captions
+
+        reps = (
+            elect_captions(kept.select("image_id", "caption"),
+                           dup.select("a", "b"))
+            .filter(F.col("is_rep"))
+            .select("image_id", F.col("elected_caption").alias("_cap"),
+                    F.col("n_captions").alias("n_cluster_captions"))
+        )
+        kept = (
+            kept.join(reps, "image_id")
+            .withColumn("caption", F.col("_cap"))
+            .drop("_cap")
+        )
+    else:
+        losers = dup.select(F.col("b").alias("image_id")).distinct()
+        kept = kept.join(losers, "image_id", "left_anti")
 
     if eval_pairs is not None:
         # image-side benchmark decontamination: any training image whose
