@@ -655,3 +655,68 @@ def test_c4_span_dedup_matches_python_reference(spark):
     assert got == want
     # something actually deduped (the % 4 chorus docs minus the first)
     assert sum(1 for v in want.values() if v[2] > 0) == 14
+
+
+def test_temperature_allocation_exact_integer_roots():
+    from web_crawler_spark.operators.dedup import (
+        _iroot,
+        temperature_allocation,
+    )
+
+    # _iroot is exact at perfect powers and their neighbours — the float
+    # sqrt boundary cases the SQL guard exists for
+    for k in (2, 3, 5):
+        for base in (1, 7, 10**6, 2**31):
+            x = base ** k
+            assert _iroot(x, k) == base
+            assert _iroot(x - 1, k) == base - 1
+            assert _iroot(x + 1, k) == base
+
+    # alpha=1/2 flattens the head: the small stratum's share of the
+    # allocation exceeds its share of the corpus
+    sizes = [("big", 90_000), ("small", 900)]
+    al = temperature_allocation(sizes, budget=10_000, alpha=(1, 2))
+    assert al["big"] + al["small"] <= 10_000
+    assert al["small"] / 10_000 > 900 / 90_900
+    # exact expected values: w = isqrt -> 300 and 30
+    assert al == {"big": 10_000 * 300 // 330, "small": 10_000 * 30 // 330}
+    # alpha=1 degenerates to proportional
+    al1 = temperature_allocation(sizes, budget=10_000, alpha=(1, 1))
+    assert al1["big"] == 10_000 * 90_000 // 90_900
+
+
+def test_temperature_sample_copy_counts_and_growth_stability(spark):
+    from web_crawler_spark.operators.dedup import temperature_sample
+
+    rows = [(f"d{i:05d}", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = temperature_sample(df, budget=800, alpha=(1, 2)).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    # flattening: small (10% of corpus) gets > 10% of the realized sample
+    n_small = sum(r["temp_copies"] for r in by.get("small", []))
+    n_big = sum(r["temp_copies"] for r in by.get("big", []))
+    assert n_small / max(n_small + n_big, 1) > 0.15
+    # realized counts track the allocation (the md5 draw is a fixed
+    # deterministic sample, so the deviation is a few sigma of the
+    # binomial, not a tight quantum)
+    for lang, rs in by.items():
+        alloc = rs[0]["temp_alloc"]
+        realized = sum(r["temp_copies"] for r in rs)
+        assert abs(realized - alloc) <= max(5, alloc // 10)
+    # membership is stable under corpus growth: the kept set of the
+    # original strata is unchanged when a NEW stratum appears (its rows
+    # hash independently; existing buckets don't move)
+    kept1 = {r["doc_id"] for r in out}
+    grown = spark.createDataFrame(
+        rows + [(f"x{i}", "newlang") for i in range(50)],
+        "doc_id string, lang string",
+    )
+    out2 = temperature_sample(grown, budget=800, alpha=(1, 2)).collect()
+    # buckets are per-doc md5 draws, so a doc's bucket never moves; only
+    # the per-stratum thresholds shift with the new allocation
+    b1 = {r["doc_id"]: r["temp_bucket"] for r in out}
+    b2 = {r["doc_id"]: r["temp_bucket"] for r in out2 if not r["doc_id"].startswith("x")}
+    assert all(b2[d] == b1[d] for d in b2 if d in b1)
+    assert kept1  # non-degenerate

@@ -576,6 +576,42 @@ def _c4_oracle_arm() -> str:
     )"""
 
 
+_TEMP_ORACLE_ARM = """
+    UNION ALL
+    -- temperature mixing (mT5/XLM-R baseline, alpha = 1/2): weight =
+    -- EXACT integer sqrt of the stratum size (floor(sqrt) guarded against
+    -- float boundary error), alloc = budget * w // SUM(w), realized as
+    -- per-doc copy counts via the same md5 bucket draw as UniMax
+    SELECT 'sample_temp', doc_id, copies, alloc::DOUBLE
+    FROM (
+      WITH tsz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      tb AS (SELECT count(*) * 4 // 5 AS budget FROM documents),
+      tw AS (SELECT lang, n,
+               CASE WHEN (CAST(floor(sqrt(n)) AS BIGINT) + 1)
+                         * (CAST(floor(sqrt(n)) AS BIGINT) + 1) <= n
+                    THEN CAST(floor(sqrt(n)) AS BIGINT) + 1
+                    WHEN CAST(floor(sqrt(n)) AS BIGINT)
+                         * CAST(floor(sqrt(n)) AS BIGINT) > n
+                    THEN CAST(floor(sqrt(n)) AS BIGINT) - 1
+                    ELSE CAST(floor(sqrt(n)) AS BIGINT) END AS wgt
+             FROM tsz),
+      tal AS (SELECT lang, n AS sz,
+                     (SELECT budget FROM tb) * wgt
+                       // (SELECT sum(wgt) FROM tw) AS alloc
+              FROM tw)
+      SELECT d.doc_id,
+             (tal.alloc // tal.sz
+              + CASE WHEN (CAST(('0x' || substr(md5('temp|' ||
+                             CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                           % 10000)::BIGINT
+                          < ((tal.alloc % tal.sz) * 10000) // tal.sz
+                     THEN 1 ELSE 0 END)::BIGINT AS copies,
+             tal.alloc AS alloc
+      FROM documents d JOIN tal ON d.lang = tal.lang
+    ) WHERE copies >= 1
+"""
+
+
 def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
     """UniMax allocation (operators/dedup.py:unimax_allocation) unrolled
     over the documents table's fixed 5-language vocabulary: one CTE per
@@ -774,7 +810,7 @@ def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
             GROUP BY md5(para)) s
         ON md5(p.para) = s.h
       GROUP BY p.doc_id)
-    """ + _unimax_oracle_arm() + _c4_oracle_arm(),
+    """ + _unimax_oracle_arm() + _TEMP_ORACLE_ARM + _c4_oracle_arm(),
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2: the two exact-dedup survivor policies — first-wins via the
@@ -884,6 +920,17 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unimax_copies").alias("chosen"),
         F.col("unimax_alloc").cast("double").alias("val"),
     )
+    # temperature mixing (mT5/XLM-R alpha=1/2 baseline): same budget, no
+    # epoch cap — the head flattens smoothly instead of capping exactly
+    tmp = D.temperature_sample(
+        d.select("doc_id", "lang"), stratum="lang", key="doc_id",
+        budget=d.count() * 4 // 5, alpha=(1, 2),
+    ).select(
+        F.lit("sample_temp").alias("policy"),
+        F.col("doc_id").alias("grp"),
+        F.col("temp_copies").alias("chosen"),
+        F.col("temp_alloc").cast("double").alias("val"),
+    )
     # C4 three-sentence-span dedup (operators/dedup.py:c4_span_dedup): the
     # fixture sentence-izes each flat word stream into 6-word
     # '.'-terminated sentences and plants one shared 3-sentence passage
@@ -920,7 +967,7 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         first.unionByName(best).unionByName(sub).unionByName(decon)
-        .unionByName(samp).unionByName(uni)
+        .unionByName(samp).unionByName(uni).unionByName(tmp)
         .unionByName(para_arm("boilerplate", "para_boiler"))
         .unionByName(para_arm("keep_first", "para_keepfirst"))
         .unionByName(c4)

@@ -194,6 +194,105 @@ def unimax_sample(
     return out.filter(F.col("unimax_copies") >= 1)
 
 
+def _iroot(x: int, k: int) -> int:
+    """Floor k-th root of a non-negative int, exact (Newton on Python
+    ints — no float ever touches the value, so the result is platform-
+    and engine-independent)."""
+    if x < 0:
+        raise ValueError("x must be non-negative")
+    if x == 0 or k == 1:
+        return x
+    r = 1 << (x.bit_length() // k + 1)
+    while True:
+        nr = ((k - 1) * r + x // r ** (k - 1)) // k
+        if nr >= r:
+            return r
+        r = nr
+
+
+def temperature_allocation(
+    sizes: list[tuple[str, int]], budget: int, alpha: tuple[int, int] = (1, 2)
+) -> dict[str, int]:
+    """Temperature-based mixing allocation (the mT5/XLM-R baseline:
+    sample stratum i with probability ∝ n_i^α, α < 1 flattening the
+    head): weight_i = floor(n_i^(p/q)) for α = p/q, computed EXACTLY as
+    the integer q-th root of n_i^p — no float ever enters, so the
+    allocation is engine- and platform-exact, and for α = 1/2 the weight
+    is SQL-expressible (a guarded floor(sqrt)) so the whole arm oracles.
+    alloc_i = budget * w_i // Σw; floor dust goes unspent, as in
+    :func:`unimax_allocation`. The complement of UniMax: temperature
+    flattens smoothly with no epoch cap, UniMax caps epochs exactly —
+    the two standard answers to head-heavy corpus mixing."""
+    p, q = alpha
+    w = {name: _iroot(int(sz) ** p, q) for name, sz in sizes}
+    total = sum(w.values())
+    if total == 0:
+        return {name: 0 for name, _ in sizes}
+    return {name: int(budget) * w[name] // total for name, _ in sizes}
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    budget: int = 0,
+    alpha: tuple[int, int] = (1, 2),
+    salt: str = "temp",
+    flags_only: bool = False,
+) -> DataFrame:
+    """Temperature corpus mixing as a deterministic sampling operator:
+    :func:`temperature_allocation` picks per-stratum targets, realized
+    per row as a COPY COUNT exactly like :func:`unimax_sample` —
+    ``alloc div size`` full epochs plus the md5-bucket-selected fraction,
+    stable under corpus growth, repartitioning, and reruns.
+
+    Plan shape: identical to unimax_sample — one map-side-combinable
+    count per stratum collected as metadata, the allocation returns as a
+    literal CASE, zero corpus joins. Appends ``temp_bucket`` /
+    ``temp_alloc`` / ``temp_copies``; filters to copies ≥ 1 unless
+    ``flags_only``."""
+    sizes = [
+        (r["_s"], r["_n"])
+        for r in df.groupBy(F.col(stratum).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    ]
+    allocs = temperature_allocation(sizes, budget, alpha)
+    szmap = dict(sizes)
+    s = F.col(stratum)
+    alloc_col: Column = F.lit(0).cast("long")
+    sz_col: Column = F.lit(1).cast("long")
+    for name in sorted(allocs):
+        alloc_col = F.when(s == name, F.lit(allocs[name])).otherwise(alloc_col)
+        sz_col = F.when(s == name, F.lit(szmap[name])).otherwise(sz_col)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % 10000
+    )
+    out = df.select(
+        "*",
+        bucket.cast("long").alias("temp_bucket"),
+        alloc_col.alias("temp_alloc"),
+        sz_col.alias("_sz"),
+    )
+    copies = (
+        F.expr("temp_alloc div _sz")
+        + F.when(
+            F.col("temp_bucket")
+            < F.expr("((temp_alloc % _sz) * 10000) div _sz"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    out = out.withColumn("temp_copies", copies).drop("_sz")
+    if flags_only:
+        return out
+    return out.filter(F.col("temp_copies") >= 1)
+
+
 def dsir_importance(
     df: DataFrame,
     target: Column,
