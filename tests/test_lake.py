@@ -268,3 +268,43 @@ def test_manifest_stats_prune_scan_without_opening_files(spark, tmp_path):
         tuple(r) for r in t2.read(spark).filter(F.col("host") == "h7").collect()
     )
     assert got_h == want_h and len(want_h) == 50
+
+
+def test_rollback_restores_content_without_deleting_history(spark, tmp_path):
+    """Iceberg rollback: a bad overwrite is undone by a NEW snapshot that
+    copies the target's file set — history intact (time travel still
+    reads the bad commit), incremental scans refuse to cross it, appends
+    resume on the restored content, and expiry reclaims the bad files
+    once the window passes."""
+    import pytest
+
+    t = _tbl(spark, tmp_path, "rb")
+    t.append(spark.range(0, 10).select(F.col("id").alias("v")))        # snap 0
+    good = t.append(spark.range(10, 15).select(F.col("id").alias("v")))  # snap 1
+    bad = t.overwrite(spark.range(100, 102).select(F.col("id").alias("v")))  # snap 2
+
+    rb = t.rollback(good["snapshot_id"])                                # snap 3
+    assert rb["operation"] == "rollback" and rb["snapshot_id"] == 3
+    assert sorted(r["v"] for r in t.read(spark).collect()) == list(range(15))
+    # the bad commit is still time-travelable until expiry
+    assert sorted(r["v"] for r in t.read(spark, bad["snapshot_id"]).collect()) \
+        == [100, 101]
+    # incremental scans refuse to cross the rollback, like an overwrite
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_changes(spark, 0)
+    # appends resume on the restored content, and the changelog works
+    # strictly after the rollback
+    t.append(spark.range(15, 18).select(F.col("id").alias("v")))       # snap 4
+    assert sorted(r["v"] for r in t.read(spark).collect()) == list(range(18))
+    assert sorted(
+        r["v"] for r in t.read_changes(spark, rb["snapshot_id"]).collect()
+    ) == [15, 16, 17]
+    # the copied file stats still drive manifest pruning on the new tip
+    kept, total = t.plan_scan({"v": (0, 4)})
+    assert total >= 2 and len(kept) < total
+    # expiry keeps the rolled-back-to files alive (the tip references
+    # them) while the bad overwrite's files become reclaimable
+    t.expire_snapshots(keep_last=2)
+    assert sorted(r["v"] for r in t.read(spark).collect()) == list(range(18))
+    with pytest.raises(Exception):
+        t.read(spark, bad["snapshot_id"]).collect()

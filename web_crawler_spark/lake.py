@@ -423,6 +423,43 @@ class SnapshotTable:
         paths = [os.path.join(self.data_dir, rel) for rel in added]
         return spark.read.option("mergeSchema", "false").parquet(*paths)
 
+    def rollback(self, snapshot_id: int) -> dict:
+        """Iceberg rollback semantics (manageSnapshots().rollbackTo): a
+        NEW snapshot whose logical content is exactly the target's. Bad
+        commits stay in history — time-travel reads keep working until
+        ``expire_snapshots`` reclaims them — and the current pointer
+        moves by APPENDING metadata, never by deleting it, so readers
+        pinned to any snapshot are unaffected and the rollback itself is
+        crash-safe (the same single atomic ``os.replace`` as every
+        commit). ``added_files`` is empty (nothing was written); the
+        ``files`` list and per-file stats are copied from the target, so
+        expiry keeps those files alive while this snapshot lives.
+        ``read_changes`` refuses to cross a rollback, exactly like an
+        overwrite: the logical delta is not expressible as added files."""
+        snaps = {s["snapshot_id"]: s for s in self.snapshots()}
+        if snapshot_id not in snaps:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        target = snaps[snapshot_id]
+        cur = self.current()
+        snap = {
+            "snapshot_id": cur["snapshot_id"] + 1,
+            "parent_id": cur["snapshot_id"],
+            "operation": "rollback",
+            "files": list(target["files"]),
+            "added_files": [],
+            "partition_lineage": target.get("partition_lineage") or {},
+            "file_stats": dict(target.get("file_stats") or {}),
+            "summary": {"rolled_back_to": snapshot_id},
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        os.replace(
+            tmp,
+            os.path.join(self.meta_dir, f"snap-{snap['snapshot_id']:06d}.json"),
+        )
+        return snap
+
     def exists(self) -> bool:
         return self.current() is not None
 
