@@ -1441,10 +1441,16 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = orders
     for qi, terms in enumerate(_BM25_QUERIES):
         scored = SIM.bm25_scores(d, terms)
+        # global top-20: orderBy+limit plans as TakeOrderedAndProject
+        # (per-partition top-k, driver merge of 20-row heads) — the
+        # whole scored corpus never moves to one partition; the rank
+        # window then runs over the ≤20 survivors only. The order is
+        # total (score desc, doc_id), so ranks equal the old global
+        # row_number ≤ 20 filter bit-for-bit.
         wq = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
         arm = (
-            scored.withColumn("rk", F.row_number().over(wq).cast("long"))
-            .filter(F.col("rk") <= 20)
+            scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+            .withColumn("rk", F.row_number().over(wq).cast("long"))
             .select(
                 F.lit(f"bm25:q{qi}").alias("arm"),
                 F.lit(qi).cast("long").alias("grp"),
@@ -1463,10 +1469,11 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = SIM.bm25_scores_indexed(
             postings, tstats, int(cs["n"]), int(cs["total_len"]), terms
         )
+        # same TakeOrderedAndProject top-20 shape as the scan arm
         wq = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
         arm = (
-            scored.withColumn("rk", F.row_number().over(wq).cast("long"))
-            .filter(F.col("rk") <= 20)
+            scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+            .withColumn("rk", F.row_number().over(wq).cast("long"))
             .select(
                 F.lit(f"bm25x:q{qi}").alias("arm"),
                 F.lit(qi).cast("long").alias("grp"),
@@ -5343,7 +5350,7 @@ _LF_EXT_RE = U._EXT_RE.replace("'", "''")
 _LF_PAT_RE = U._PAT_RE.replace("'", "''")
 
 
-_LINK_FILTER_ORACLE = f"""
+_LINK_FILTER_ORACLE = rf"""
     WITH h AS (
       SELECT p_partkey,
              CASE p_partkey % 7
@@ -5497,7 +5504,7 @@ def _address_normalize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAGE_CLASSIFY_ORACLE = """
+_PAGE_CLASSIFY_ORACLE = r"""
     WITH t AS (
       SELECT p_partkey,
              concat('https://h', p_partkey % 9, '.example.com',
