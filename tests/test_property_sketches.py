@@ -113,3 +113,35 @@ def test_temperature_allocation_never_overspends(sizes, budget):
     w = {name: sz for name, sz in sizes}
     tot = sum(w.values())
     assert flat == {name: budget * w[name] // tot for name in w}
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                  st.integers(min_value=1, max_value=10**9)),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=8),
+)
+def test_unimax_allocation_invariants(sizes, budget, max_epochs):
+    """The three contracts of Chung et al.'s allocation: never overspend,
+    never exceed the per-stratum epoch cap, and leave slack only when
+    EVERY stratum is capped (otherwise an uncapped stratum would have
+    absorbed it)."""
+    from web_crawler_spark.operators.dedup import unimax_allocation
+
+    alloc = unimax_allocation(sizes, budget, max_epochs)
+    assert set(alloc) == {name for name, _ in sizes}
+    assert sum(alloc.values()) <= budget
+    w = dict(sizes)
+    assert all(0 <= alloc[nm] <= max_epochs * w[nm] for nm in alloc)
+    spent = sum(alloc.values())
+    if spent < budget:
+        # slack implies the LARGEST stratum hit its cap (it sees all the
+        # remaining budget last and absorbs anything under its cap; only
+        # integer floor dust < n_strata may remain otherwise)
+        largest = max(sizes, key=lambda kv: (kv[1], kv[0]))[0]
+        n = len(sizes)
+        assert alloc[largest] == max_epochs * w[largest] or budget - spent < n
