@@ -562,3 +562,41 @@ def test_warc_route_media_type_lanes_and_extraction_composition(spark):
     # parity), so a trailing separator may ride the capture
     assert r["phone"].strip() == "+1 555-0100"
     assert r["email"] == "hq@acme.example"
+
+
+def test_wet_magic_inside_payload_never_yields_trusted_phantom(spark):
+    """Adversarial framing: a record whose BODY contains the record magic
+    splits at the text layer (the documented limit of delimiter framing —
+    physical framing belongs to the per-record gzip layer). The honest-
+    surfacing contract is what matters: the truncated real record must
+    flag len_ok=false, and the phantom fragment after the embedded magic
+    must never come back len_ok=true — downstream keep-len_ok filters
+    drop BOTH pieces instead of ingesting corrupt text."""
+    from web_crawler_spark.sources import warc as W
+
+    evil = "first line\r\nWARC/1.0\r\nthis is still the same document body"
+    chunk = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://evil.example/\r\n"
+        f"WARC-Date: 2024-01-15T00:00:03Z\r\nContent-Length: {len(evil)}\r\n\r\n"
+        f"{evil}\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://ok.example/\r\n"
+        "WARC-Date: 2024-01-15T00:00:04Z\r\nContent-Length: 2\r\n\r\n"
+        "ok\r\n\r\n"
+    )
+    df = spark.createDataFrame([(1, chunk)], "k long, wet string")
+    rows = sorted(
+        W.parse_wet_records(df).collect(), key=lambda r: r["record_ord"]
+    )
+    # 2 real records became 3 fragments
+    assert len(rows) == 3
+    truncated, phantom, clean = rows
+    assert truncated["target_uri"] == "https://evil.example/"
+    assert truncated["len_ok"] is False          # body cut at the magic
+    assert phantom["len_ok"] is not True         # no trusted phantom
+    assert phantom["target_uri"] is None
+    assert clean["target_uri"] == "https://ok.example/"
+    assert clean["len_ok"] is True               # later records unharmed
+    kept = [r for r in rows if r["len_ok"]]
+    assert [r["target_uri"] for r in kept] == ["https://ok.example/"]
