@@ -480,3 +480,77 @@ def test_elect_captions_rep_can_lose_the_election(spark):
     out = {r["image_id"]: r for r in IM.elect_captions(pairs, dup).collect()}
     assert out["a1"]["is_rep"]
     assert out["a1"]["elected_caption"] == "a very descriptive alt text"
+
+
+# --------------------------- binary header audit (zero-decode column) ------
+def test_sniff_format_magics(spark):
+    rows = [
+        ("png", IM.encode_png(IM.synth_pixels("img_000000000001", 16, 16))),
+        ("lossy", IM.encode_lossy(IM.synth_pixels("img_000000000002", 16, 16))),
+        ("jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF\x00rest"),
+        ("gif", b"GIF89a\x10\x00\x10\x00rest"),
+        ("gif", b"GIF87a\x10\x00\x10\x00rest"),
+        ("webp", b"RIFF\x00\x00\x00\x00WEBPVP8 rest"),
+        (None, b"RIFF\x00\x00\x00\x00WAVEfmt "),  # RIFF but not WEBP
+        (None, b"\x00PNG\r\n\x1a\n"),
+        (None, b""),
+        (None, b"\x89P"),  # shorter than any magic
+    ]
+    df = spark.createDataFrame(
+        [(i, exp, data) for i, (exp, data) in enumerate(rows)],
+        "i int, expected string, bytes binary",
+    )
+    got = df.select("expected", IM.sniff_format("bytes").alias("s")).collect()
+    for r in got:
+        assert r["s"] == r["expected"], (r["expected"], r["s"])
+
+
+def test_png_ihdr_parses_real_encoder_output(spark):
+    px = IM.synth_pixels("img_000000000042", 80, 48)
+    df = spark.createDataFrame([(IM.encode_png(px),)], "bytes binary")
+    r = df.select(IM.png_ihdr("bytes").alias("p")).collect()[0]["p"]
+    assert r["ihdr_ok"] and (r["w"], r["h"]) == (80, 48)
+    assert (r["bit_depth"], r["color_type"]) == (8, 2)
+
+
+def test_png_ihdr_rejects_truncation_and_bad_chunk(spark):
+    data = IM.encode_png(IM.synth_pixels("img_000000000042", 32, 32))
+    bad_len = data[:8] + b"\x00\x00\x00\x0c" + data[12:]  # chunk len 12 != 13
+    df = spark.createDataFrame(
+        [(1, data[:20]), (2, bad_len), (3, data[:33])],
+        "i int, bytes binary",
+    )
+    got = {r["i"]: r["p"] for r in
+           df.select("i", IM.png_ihdr("bytes").alias("p")).collect()}
+    assert not got[1]["ihdr_ok"] and got[1]["w"] is None
+    assert not got[2]["ihdr_ok"]
+    assert got[3]["ihdr_ok"] and got[3]["w"] == 32  # exactly the minimum
+
+
+def test_header_audit_clean_fixture_all_pass(spark):
+    aud = IM.header_audit(IM.synthesize_images(spark, 40))
+    rows = aud.collect()
+    assert rows and all(r["header_dims_ok"] for r in rows)
+    for r in rows:
+        assert (r["hdr_w"], r["hdr_h"]) == (r["w"], r["h"])
+        assert r["sniffed"] == ("png" if r["fmt"] == "png" else "lossy")
+        if r["fmt"] == "png":
+            assert (r["hdr_bit_depth"], r["hdr_color_type"]) == (8, 2)
+
+
+def test_header_audit_metadata_mismatch_fails_row(spark):
+    # header parses fine but catalog metadata lies about the width
+    imgs = IM.synthesize_images(spark, 8).withColumn(
+        "w", (F.col("w") + 1).cast("int")
+    )
+    assert IM.header_audit(imgs).filter(F.col("header_dims_ok")).count() == 0
+
+
+def test_header_audit_is_codegen_column_algebra(spark):
+    # the audit must stay whole-stage-codegen scan algebra: no exchange,
+    # no Python evaluation in the plan
+    plan = IM.header_audit(
+        IM.synthesize_images(spark, 8)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan.replace("MapInPandas", "")

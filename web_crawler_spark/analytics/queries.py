@@ -3894,9 +3894,45 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_rep").alias("b1"),
         F.col("elected_caption").alias("s1"),
     )
+    # header: the zero-decode binary payload audit (images.header_audit —
+    # magic sniff + PNG IHDR / surrogate LQNT fixed-layout parse, pure
+    # hex/substr/conv column algebra) over the synthesized payload table
+    # with PLANTED corruption: every i % 10 == 3 row is truncated to 20
+    # bytes (signature intact, IHDR unreadable) and every i % 10 == 7 row
+    # gets its first byte zeroed (no magic matches). Both moduli are odd,
+    # so they never land on the i % 4 == 0 lossy rows and the oracle
+    # re-derives every expectation in closed form: clean rows parse dims
+    # equal to metadata (deltas 0, png bit_depth*100+color_type = 802),
+    # truncated rows sniff 'png' but fail dims, bad-magic rows sniff NULL.
+    # A parser bug — wrong offset, wrong endianness, a length guard off by
+    # one — shows up as a nonzero delta or a flipped flag, never hides.
+    from web_crawler_spark.images import header_audit, synthesize_images
+
+    _i = F.regexp_extract("image_id", r"img_(\d+)", 1).cast("long")
+    _nodup = ~F.col("image_id").endswith("_dup")
+    hdr_fx = synthesize_images(spark, 120).withColumn(
+        "bytes",
+        F.when(_nodup & (_i % 10 == 3),
+               F.substr(F.col("bytes"), F.lit(1), F.lit(20)))
+        .when(_nodup & (_i % 10 == 7),
+              F.concat(F.lit(b"\x00"),
+                       F.substr(F.col("bytes"), F.lit(2), F.length("bytes"))))
+        .otherwise(F.col("bytes")),
+    )
+    hd = header_audit(hdr_fx).select(
+        F.lit("header").alias("kernel"),
+        F.col("image_id").alias("media_id"), "fmt",
+        (F.col("hdr_w") - F.col("w")).cast("long").alias("l1"),
+        (F.col("hdr_h") - F.col("h")).cast("long").alias("l2"),
+        (F.col("hdr_bit_depth") * 100 + F.col("hdr_color_type"))
+        .cast("long").alias("l3"),
+        _nd.alias("d1"), F.col("header_dims_ok").alias("b1"),
+        F.col("sniffed").alias("s1"),
+    )
     return (
         feats.unionByName(cur).unionByName(bk).unionByName(sh)
         .unionByName(pv).unionByName(co).unionByName(sg).unionByName(el)
+        .unionByName(hd)
     )
 
 
@@ -8999,6 +9035,39 @@ _ORACLES["image_features"] = (
       FROM m
       JOIN agg a ON m.root = a.root
       JOIN el e ON e.root = m.root AND e.rn = 1
+    )
+    UNION ALL
+    -- header: closed-form re-derivation of the planted-corruption payload
+    -- audit (images.header_audit over synthesize_images(120)): row ids and
+    -- formats from the synthesizer's moduli (jpeg iff i % 4 = 0, plus a
+    -- jpeg '_dup' sibling per i % 10 = 0), corruption classes from the
+    -- query's planted moduli (trunc i % 10 = 3, badmagic i % 10 = 7 —
+    -- both odd, so they never hit a lossy row or a dup). Clean rows parse
+    -- header dims equal to metadata (deltas 0; png IHDR bit_depth 8 /
+    -- color_type 2 -> 802), truncated rows keep the signature (sniff
+    -- 'png') but cannot prove dims, zeroed-magic rows sniff NULL.
+    SELECT 'header' AS kernel, media_id, fmt,
+           CASE WHEN cls = 'clean' THEN 0 END::BIGINT AS l1,
+           CASE WHEN cls = 'clean' THEN 0 END::BIGINT AS l2,
+           CASE WHEN cls = 'clean' AND fmt = 'png' THEN 802 END::BIGINT AS l3,
+           CAST(NULL AS DOUBLE) AS d1,
+           (cls = 'clean') AS b1,
+           CASE WHEN cls = 'badmagic' THEN NULL
+                WHEN fmt = 'png' THEN 'png' ELSE 'lossy' END AS s1
+    FROM (
+      SELECT media_id, is_dup,
+             CASE WHEN is_dup OR i % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+             CASE WHEN NOT is_dup AND i % 10 = 3 THEN 'trunc'
+                  WHEN NOT is_dup AND i % 10 = 7 THEN 'badmagic'
+                  ELSE 'clean' END AS cls
+      FROM (
+        SELECT i::BIGINT AS i, printf('img_%012d', i) AS media_id,
+               FALSE AS is_dup
+        FROM range(120) t(i)
+        UNION ALL
+        SELECT i::BIGINT, printf('img_%012d_dup', i), TRUE
+        FROM range(120) t(i) WHERE i % 10 = 0
+      )
     )
     """
 )

@@ -883,3 +883,116 @@ def elect_captions(
         F.col("n_captions").cast("long").alias("n_captions"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_rep"),
     )
+
+
+# ------------------------------- binary header audit (zero decode) ---------
+# Magic-byte sniffing and fixed-layout header parsing as PURE COLUMN
+# ALGEBRA (hex/substr/conv — whole-stage codegen, no UDF, no decode): the
+# cheap corruption gate a 100 TB image ingest runs on every row BEFORE
+# paying for a decode. A truncated download, a mislabeled payload, or a
+# header whose dimensions disagree with the catalog metadata surfaces as
+# data here, and the decode stage (images.image_features) only ever sees
+# rows that passed. Reference seam: the crawler trusts the bytes it just
+# fetched (image-extraction.service.js stores URLs, never validates
+# payloads); at archive scale validation has to be a column, not a codec.
+PNG_SIG_HEX = "89504E470D0A1A0A"
+LOSSY_MAGIC_HEX = "4C514E54"  # b"LQNT", the deterministic lossy surrogate
+
+
+def _be32(c, pos: int):
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substr(c, F.lit(pos), F.lit(4))), 16, 10).cast("long")
+
+
+def _u8(c, pos: int):
+    return F.conv(F.hex(F.substr(c, F.lit(pos), F.lit(1))), 16, 10).cast("int")
+
+
+def sniff_format(bytes_col):
+    """Container format from magic bytes alone: 'png' | 'jpeg' | 'gif' |
+    'webp' | 'lossy' (this engine's surrogate) | NULL (unrecognized).
+    Spark's ``hex`` is uppercase; a payload shorter than a magic simply
+    yields a shorter hex string and fails every equality — no length
+    guards needed."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    hx = F.hex(F.substr(c, F.lit(1), F.lit(12)))
+    return (
+        F.when(F.substring(hx, 1, 16) == PNG_SIG_HEX, F.lit("png"))
+        .when(F.substring(hx, 1, 6) == "FFD8FF", F.lit("jpeg"))
+        .when(F.substring(hx, 1, 12).isin("474946383761", "474946383961"),
+              F.lit("gif"))
+        .when(
+            (F.substring(hx, 1, 8) == "52494646")
+            & (F.hex(F.substr(c, F.lit(9), F.lit(4))) == "57454250"),
+            F.lit("webp"),
+        )
+        .when(F.substring(hx, 1, 8) == LOSSY_MAGIC_HEX, F.lit("lossy"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def png_ihdr(bytes_col):
+    """PNG IHDR fields from the fixed layout (RFC 2083: 8-byte signature,
+    4-byte chunk length == 13, 'IHDR' tag, then w/h/bit_depth/color_type):
+    struct(ihdr_ok, w, h, bit_depth, color_type). A signature-valid but
+    truncated payload gets ihdr_ok = false and NULL fields — corruption is
+    data, never a misparse."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    ok = (
+        (F.length(c) >= 33)
+        & (F.hex(F.substr(c, F.lit(1), F.lit(8))) == PNG_SIG_HEX)
+        & (_be32(c, 9) == 13)
+        & (F.hex(F.substr(c, F.lit(13), F.lit(4))) == "49484452")  # IHDR
+    )
+    return F.struct(
+        ok.alias("ihdr_ok"),
+        F.when(ok, _be32(c, 17)).alias("w"),
+        F.when(ok, _be32(c, 21)).alias("h"),
+        F.when(ok, _u8(c, 25)).alias("bit_depth"),
+        F.when(ok, _u8(c, 26)).alias("color_type"),
+    )
+
+
+def lossy_header(bytes_col):
+    """Surrogate-codec header (LQNT magic + big-endian w, h at offsets
+    5/9 — see encode_lossy): struct(hdr_ok, w, h)."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    ok = (F.length(c) >= 13) & (
+        F.hex(F.substr(c, F.lit(1), F.lit(4))) == LOSSY_MAGIC_HEX
+    )
+    return F.struct(
+        ok.alias("hdr_ok"),
+        F.when(ok, _be32(c, 5)).alias("w"),
+        F.when(ok, _be32(c, 9)).alias("h"),
+    )
+
+
+def header_audit(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Per-row payload audit over the input_hint table: sniffed format,
+    header-declared dimensions, and agreement with the catalog's (w, h)
+    metadata — all narrow column algebra (zero shuffles, zero Python,
+    zero decodes), so it runs at scan speed over the full archive.
+
+    Adds: sniffed (magic format or NULL), hdr_w/hdr_h (header dims where
+    a known fixed layout exists: PNG IHDR, surrogate LQNT), hdr_bit_depth/
+    hdr_color_type (PNG only), header_dims_ok (parsed AND equal to the
+    metadata columns; false for unparseable payloads — a row that cannot
+    prove its dimensions never passes)."""
+    c = F.col(bytes_col)
+    ih = png_ihdr(c)
+    lh = lossy_header(c)
+    hw = F.when(ih["ihdr_ok"], ih["w"]).otherwise(F.when(lh["hdr_ok"], lh["w"]))
+    hh = F.when(ih["ihdr_ok"], ih["h"]).otherwise(F.when(lh["hdr_ok"], lh["h"]))
+    parsed = ih["ihdr_ok"] | lh["hdr_ok"]
+    dims_ok = F.when(
+        parsed, (hw == F.col("w")) & (hh == F.col("h"))
+    ).otherwise(F.lit(False))
+    return images.select(
+        "*",
+        sniff_format(c).alias("sniffed"),
+        hw.alias("hdr_w"),
+        hh.alias("hdr_h"),
+        F.when(ih["ihdr_ok"], ih["bit_depth"]).alias("hdr_bit_depth"),
+        F.when(ih["ihdr_ok"], ih["color_type"]).alias("hdr_color_type"),
+        dims_ok.alias("header_dims_ok"),
+    )
