@@ -410,3 +410,41 @@ def test_pair_corpus_caption_election_same_survivors_better_captions(spark):
         else:
             assert r["caption"] == pl[iid]
     assert upgraded >= 3  # the planted every-10th _dup siblings survived
+
+
+def test_text_corpus_chunking_stage(spark):
+    docs = _docs(spark)
+    base = C.build_text_corpus(docs)
+    out = C.build_text_corpus(docs, chunk_max=16, chunk_stride=4)
+    assert out.columns == base.columns + ["chunk_idx"]
+    rows = out.collect()
+    assert rows
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    base_by = {r["doc_id"]: r for r in base.collect()}
+    # same survivor documents — chunking only changes row granularity
+    assert set(by) == set(base_by)
+    n_multi = 0
+    for doc_id, rs in by.items():
+        rs = sorted(rs, key=lambda r: r["chunk_idx"])
+        # contiguous chunk indices and bounded window sizes
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        assert all(r["n_tokens"] <= 16 for r in rs)
+        # every chunk of a doc inherits the DOC's split: overlapping
+        # windows can never straddle train/val/test
+        assert len({r["split"] for r in rs}) == 1
+        assert rs[0]["split"] == base_by[doc_id]["split"]
+        # verbatim mode: chunk 0 is a prefix of the redacted text
+        assert base_by[doc_id]["text_redacted"].startswith(
+            rs[0]["text_redacted"].split(" ")[0]
+        )
+        if len(rs) > 1:
+            n_multi += 1
+            # stride overlap: each successor repeats the last 4 tokens
+            for a, b in zip(rs, rs[1:]):
+                ta = a["text_redacted"].split(" ")
+                tb = b["text_redacted"].split(" ")
+                if len(ta) == 16:
+                    assert ta[-4:] == tb[:4]
+    assert n_multi > 0, "fixture has no doc longer than chunk_max"

@@ -720,3 +720,86 @@ def test_temperature_sample_copy_counts_and_growth_stability(spark):
     b2 = {r["doc_id"]: r["temp_bucket"] for r in out2 if not r["doc_id"].startswith("x")}
     assert all(b2[d] == b1[d] for d in b2 if d in b1)
     assert kept1  # non-degenerate
+
+
+# ------------------------------ context-window chunking ---------------------
+def test_chunk_documents_short_doc_is_one_whole_chunk(spark):
+    from web_crawler_spark.operators.dedup import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "Alpha, beta GAMMA delta")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=8, stride=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_idx"], r["chunk_start"]) == (0, 0)
+    assert r["chunk_text"] == "alpha beta gamma delta"
+    assert r["n_chunk_tokens"] == 4
+
+
+def test_chunk_documents_windows_cover_and_overlap(spark):
+    from web_crawler_spark.operators.dedup import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(7, " ".join(words))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(df, max_tokens=8, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    step = 8 - 3
+    # n_chunks = 1 + ceil((25 - 8) / 5) = 1 + 4 = 5
+    assert len(out) == 5
+    for k, r in enumerate(out):
+        assert r["chunk_start"] == k * step
+        toks = r["chunk_text"].split(" ")
+        assert toks == words[k * step: k * step + 8]
+        assert r["n_chunk_tokens"] == len(toks) <= 8
+    # every token is covered and consecutive chunks overlap by stride
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(words)
+    a, b = out[0]["chunk_text"].split(" "), out[1]["chunk_text"].split(" ")
+    assert a[-3:] == b[:3]
+
+
+def test_chunk_documents_exact_boundary_no_empty_tail(spark):
+    from web_crawler_spark.operators.dedup import chunk_documents
+
+    # n == max_tokens: exactly one chunk; n == max_tokens + 1: two
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(8))),
+         (2, " ".join(f"b{i}" for i in range(9)))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=8, stride=4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert len(by[1]) == 1
+    assert len(by[2]) == 2
+    last = max(by[2], key=lambda r: r["chunk_idx"])
+    assert last["chunk_start"] == 4 and last["n_chunk_tokens"] == 5
+
+
+def test_chunk_documents_rejects_bad_stride():
+    import pytest
+
+    from web_crawler_spark.operators.dedup import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, max_tokens=8, stride=8)
+    with pytest.raises(ValueError):
+        chunk_documents(None, max_tokens=8, stride=-1)
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    from web_crawler_spark.operators.dedup import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "x " * 100)], "doc_id long, text string"
+    )
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # posexplode only — no shuffle

@@ -611,6 +611,34 @@ _TEMP_ORACLE_ARM = """
     ) WHERE copies >= 1
 """
 
+_CHUNK_ORACLE_ARM = """
+    UNION ALL
+    -- context-window chunking (operators/dedup.py:chunk_documents):
+    -- 24-token windows at stride 8 (step 16) over the dedup-normalized
+    -- token stream; n_chunks = 1 + ceil(max(0, n-24)/16), chunk k starts
+    -- at token k*16. chosen = hash64('chunk'|idx|chunk_text) so both the
+    -- window CONTENT and its order are value-checked; val packs start +
+    -- short-window length (start + len/1000, identical IEEE ops)
+    SELECT 'chunk' AS policy, doc_id AS grp,
+           cast(('0x' || substr(md5(concat_ws('|', 'chunk', idx::VARCHAR,
+                    array_to_string(ck, ' '))), 1, 15)) as ubigint)::bigint
+             AS chosen,
+           (idx * 16 + len(ck) / 1000.0)::DOUBLE AS val
+    FROM (
+      SELECT doc_id, idx, toks[idx*16+1 : idx*16+24] AS ck
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(0, 1 + (greatest(0, len(toks) - 24) + 15) // 16))
+                 AS idx
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents)
+      )
+    )
+"""
+
 
 def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
     """UniMax allocation (operators/dedup.py:unimax_allocation) unrolled
@@ -810,7 +838,8 @@ def _unimax_oracle_arm(n_langs: int = 5, epochs: int = 1) -> str:
             GROUP BY md5(para)) s
         ON md5(p.para) = s.h
       GROUP BY p.doc_id)
-    """ + _unimax_oracle_arm() + _TEMP_ORACLE_ARM + _c4_oracle_arm(),
+    """ + _unimax_oracle_arm() + _TEMP_ORACLE_ARM + _c4_oracle_arm()
+    + _CHUNK_ORACLE_ARM,
 )
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2: the two exact-dedup survivor policies — first-wins via the
@@ -965,12 +994,27 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash64_col(F.col("clean_text")).alias("chosen"),
         F.col("n_dropped_sents").cast("double").alias("val"),
     )
+    # context-window chunking (operators/dedup.py:chunk_documents):
+    # 24-token windows at stride 8 — the stage between cleaning and
+    # pack_bins for documents longer than the training context; chosen
+    # hashes (idx, chunk_text) so window content and order are both
+    # value-checked against the oracle's closed-form re-slicing
+    ck = D.chunk_documents(
+        d.select("doc_id", "text"), "doc_id", "text",
+        max_tokens=24, stride=8,
+    ).select(
+        F.lit("chunk").alias("policy"),
+        F.col("doc_id").alias("grp"),
+        hash64_col(F.lit("chunk"), "chunk_idx", "chunk_text").alias("chosen"),
+        (F.col("chunk_start") + F.col("n_chunk_tokens") / F.lit(1000.0))
+        .cast("double").alias("val"),
+    )
     return (
         first.unionByName(best).unionByName(sub).unionByName(decon)
         .unionByName(samp).unionByName(uni).unionByName(tmp)
         .unionByName(para_arm("boilerplate", "para_boiler"))
         .unionByName(para_arm("keep_first", "para_keepfirst"))
-        .unionByName(c4)
+        .unionByName(c4).unionByName(ck)
     )
 
 

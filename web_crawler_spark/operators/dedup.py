@@ -1578,3 +1578,70 @@ def phash_crossdup_ids(
         .select(F.col("_c_id").alias(id_col))
         .distinct()
     )
+
+
+# ------------------------------ context-window chunking (corpus layout) ----
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    stride: int = 16,
+    normalize: bool = True,
+) -> DataFrame:
+    """Split over-long documents into training context windows: chunks of
+    at most ``max_tokens`` whitespace tokens (over the dedup-normalized
+    text, or — ``normalize=False`` — the whitespace-collapsed verbatim
+    text, the corpus-release mode where case/punctuation/redaction markers
+    must survive), consecutive chunks overlapping by ``stride`` tokens —
+    the standard sliding-window chunking every LLM pipeline runs between
+    cleaning and packing. ``pack_bins`` (functions/text.py) deliberately
+    lets a document straddle bin boundaries; this is the complementary
+    operator for documents longer than the context itself, where the
+    trainer needs N overlapping windows, not one straddle.
+
+    Semantics (engine-exact, mirrored in the DuckDB oracle): with
+    ``step = max_tokens - stride`` and n normalized tokens,
+    ``n_chunks = 1 + ceil(max(0, n - max_tokens) / step)`` — every token
+    appears in at least one chunk, chunk k starts at token ``k * step``,
+    and only the last chunk may be short. A document at or under
+    ``max_tokens`` yields exactly itself as chunk 0.
+
+    Scale shape: one narrow ``posexplode`` over a per-row start list —
+    no shuffle, no UDF; output size is corpus tokens x (1 + stride/step)
+    and chunks inherit the input partitioning for the downstream
+    (dedup/pack) stages.
+
+    Returns (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= stride < max_tokens:
+        raise ValueError(f"need 0 <= stride < max_tokens, got {stride}, {max_tokens}")
+    step = max_tokens - stride
+    if normalize:
+        toks = F.split(TX.normalize_text(text_col), " ")
+    else:
+        toks = F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        )
+    n = F.size(toks)
+    # extra >= 0 keeps the ceil division in truncating-== -floor territory,
+    # so Spark's floor(double) and DuckDB's integer // agree exactly
+    extra = F.greatest(F.lit(0), n - F.lit(max_tokens))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(step - 1)) / F.lit(step))
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda k: k * F.lit(step)
+    )
+    out = df.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start") + 1, max_tokens)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -63,6 +63,8 @@ def build_text_corpus(
     unimax_budget: int | None = None,
     unimax_epochs: int = 1,
     learn_bpe: int | None = None,
+    chunk_max: int | None = None,
+    chunk_stride: int = 0,
 ) -> DataFrame:
     """Raw documents (doc_id, text, lang, …) → release-ready corpus with
     (doc_id, lang, text_redacted, n_tokens, split, pack_bucket/bin/offset).
@@ -211,6 +213,32 @@ def build_text_corpus(
     else:
         mixed = deduped
 
+    # context-window chunking (operators/dedup.py:chunk_documents): docs
+    # longer than chunk_max split into overlapping windows BEFORE token
+    # counting and packing, so the pack units fit the training context.
+    # Chunking runs verbatim (normalize=False — case/punctuation and the
+    # [EMAIL]-style redaction markers must survive into the release), and
+    # the train/val/test split keys on doc_id, never chunk id: all windows
+    # of one document land in the SAME split, so overlapping chunk text
+    # can never leak across the split boundary.
+    if chunk_max is not None:
+        ck = D.chunk_documents(
+            mixed.select("doc_id", F.col("text_redacted").alias("_ct")),
+            "doc_id", "_ct",
+            max_tokens=chunk_max, stride=chunk_stride, normalize=False,
+        )
+        mixed = (
+            mixed.drop("text_redacted")
+            .join(ck, "doc_id")
+            .withColumnRenamed("chunk_text", "text_redacted")
+            .drop("n_chunk_tokens", "chunk_start")
+        )
+        pack_key = F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("chunk_idx")
+        )
+    else:
+        pack_key = F.col("doc_id").cast("string")
+
     n_tokens = F.size(F.split(TX.normalize_text("text_redacted"), " "))
     out = (
         mixed.withColumn("n_tokens", n_tokens.cast("long"))
@@ -218,7 +246,7 @@ def build_text_corpus(
         .withColumn(
             "_pk",
             TX.pack_bins(
-                F.col("n_tokens"), "doc_id",
+                F.col("n_tokens"), pack_key,
                 n_buckets=pack_buckets, capacity=pack_capacity,
             ),
         )
@@ -228,6 +256,7 @@ def build_text_corpus(
             F.col("_pk.bin").alias("pack_bin"),
             F.col("_pk.offset").alias("pack_offset"),
             *(["unimax_copies"] if unimax_budget is not None else []),
+            *(["chunk_idx"] if chunk_max is not None else []),
         )
     )
     if learn_bpe:
