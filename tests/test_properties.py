@@ -112,3 +112,82 @@ def test_surt_key_clusters_domains_and_folds_param_order(spark):
     assert com == keys[:len(com)]
     # parameter-order aliases collapse to one key
     assert keys.count("com,example)/q?x=1&y=2") == 2
+
+
+# ----------------------- RFC 3986 syntax normalization ---------------------
+# messy-URL strategy for the normalizer: mixed-case scheme/host, ports,
+# dot-segment families, percent escapes; '%' is allowed (decode coverage)
+# but the idempotence property below excludes it (pathological '%X%YZ'
+# byte soup can legitimately decode in two steps)
+_rfc_seg = st.sampled_from(
+    ["a", "b9", ".", "..", "...", ".hidden", "a.b", "x-y_z~", "%7E", "%2F",
+     "%41", "", "wEIrd"]
+)
+_rfc_url = st.builds(
+    lambda sch, hostcase, port, segs, tail: (
+        sch + hostcase + port + "".join("/" + s for s in segs) + tail
+    ),
+    st.sampled_from(["http://", "HTTP://", "https://", "HTTPS://"]),
+    st.sampled_from(["Ex.COM", "www.example.com", "A.B.example.ORG"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(_rfc_seg, min_size=0, max_size=6),
+    st.sampled_from(["", "?q=1&a=%41", "#f", "?x=%2F#y"]),
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_rfc_url, min_size=40, max_size=100, unique=True))
+def test_rfc3986_normalize_matches_python_twin(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", U.rfc3986_normalize("url").alias("n")).collect()
+    for r in rows:
+        assert r["n"] == U.py_rfc3986_normalize(r["url"]), r["url"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_rfc_url)
+def test_rfc3986_normalize_invariants(url):
+    n = U.py_rfc3986_normalize(url)
+    # scheme + host lowercased, default port gone, path present
+    assert n.startswith(("http://", "https://"))
+    host = n.split("://", 1)[1].split("/", 1)[0]
+    assert host == host.lower()
+    # only the scheme's OWN default port is stripped
+    if n.startswith("http://"):
+        assert not host.endswith(":80")
+    else:
+        assert not host.endswith(":443")
+    pathq = "/" + n.split("://", 1)[1].split("/", 1)[1] if "/" in n.split("://", 1)[1] else "/"
+    path = pathq.split("?", 1)[0].split("#", 1)[0]
+    assert path.startswith("/")
+    # no '%'-free input leaves a removable dot segment behind (depth <= 6
+    # fixtures stay inside the documented unroll bound)
+    if "%" not in url:
+        assert "/./" not in path and not path.endswith("/.")
+        assert U.py_rfc3986_normalize(n) == n  # idempotent
+
+
+def test_rfc3986_normalize_curated_cases(spark):
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/./b/../c?q=1#f",
+         "http://www.example.com/a/c?q=1#f"),
+        ("https://Ex.com", "https://ex.com/"),
+        ("https://ex.com:443/%7Euser/%61bc", "https://ex.com/~user/abc"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        ("http://ex.com/a/b/c/../../../d", "http://ex.com/d"),
+        ("http://ex.com/../a", "http://ex.com/a"),
+        ("http://ex.com/a/../../b", "http://ex.com/b"),
+        ("http://ex.com/%2Fkeep", "http://ex.com/%2Fkeep"),
+        ("http://ex.com/a/..", "http://ex.com/"),
+        ("http://ex.com/a/.", "http://ex.com/a/"),
+        ("http://ex.com/..", "http://ex.com/"),
+        ("http://ex.com/a//b/../c", "http://ex.com/a//c"),
+        ("http://ex.com/...x/../y", "http://ex.com/y"),
+        ("http://ex.com/?a=%41", "http://ex.com/?a=A"),
+        ("http://ex.com/a/b/c/../../../d/..", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    for r in df.select("url", "expected",
+                       U.rfc3986_normalize("url").alias("n")).collect():
+        assert r["n"] == r["expected"], (r["url"], r["n"])
+        assert U.py_rfc3986_normalize(r["url"]) == r["expected"]

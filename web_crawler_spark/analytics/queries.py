@@ -131,6 +131,55 @@ _URL_SQL = f"""
 # --------------------------------------------------------------------------
 # §2.2 filters / §2.7 URL kernels
 # --------------------------------------------------------------------------
+
+
+def _rfc3986_oracle_exprs() -> tuple[str, str]:
+    """DuckDB mirror of functions/urls.py:rfc3986_normalize, generated
+    from the SAME rule table (PCT_UNRESERVED / _SEG / DOTSEG_DEPTH) so the
+    two engines can never drift rule-by-rule. Returns (decoded_expr over
+    column ``messy``, dot-seg chain over column ``path0``)."""
+    from web_crawler_spark.functions.urls import (
+        DOTSEG_DEPTH, PCT_UNRESERVED, _SEG,
+    )
+
+    dec = "messy"
+    for pct, ch in PCT_UNRESERVED:
+        dec = f"replace({dec}, '{pct}', '{ch}')"
+    path = "path0"
+    for _ in range(DOTSEG_DEPTH):
+        path = f"regexp_replace({path}, '/\\./', '/', 'g')"
+    path = f"regexp_replace({path}, '/\\.$', '/')"
+    for _ in range(DOTSEG_DEPTH):
+        path = f"regexp_replace({path}, '/{_SEG}/\\.\\./', '/', 'g')"
+    path = f"regexp_replace({path}, '/{_SEG}/\\.\\.$', '/')"
+    path = f"regexp_replace({path}, '^(/\\.\\.)+/', '/')"
+    path = f"regexp_replace({path}, '^(/\\.\\.)+$', '/')"
+    return dec, path
+
+
+_RFC_DEC_SQL, _RFC_PATH_SQL = _rfc3986_oracle_exprs()
+
+# messy-URL fixture for the rfc arm: scheme case, default AND non-default
+# ports, dot-segment families (internal/leading/trailing/over-popping),
+# unreserved + reserved percent escapes, empty path, query escapes — every
+# rule of the battery fires somewhere in the modulus grid
+_RFC_MESSY_SQL = """
+  concat(
+    'HTTP', case when p_partkey % 2 = 0 then 'S' else '' end,
+    '://Ex', (p_partkey % 7)::VARCHAR, '.COM',
+    case when p_partkey % 4 = 0 then ':443'
+         when p_partkey % 4 = 1 then ':80'
+         when p_partkey % 4 = 2 then ':8080' else '' end,
+    case when p_partkey % 5 = 0 then '/a/b/../c/./d'
+         when p_partkey % 5 = 1 then '/%7Euser/%2Fkeep/%41bc'
+         when p_partkey % 5 = 2 then '/../x'
+         when p_partkey % 5 = 3 then ''
+         else '/a/b/c/../../../d/..' end,
+    case when p_partkey % 3 = 0 then '?q=%31&x=2' else '' end
+  )
+"""
+
+
 @query(
     "url_canonicalize",
     oracle=f"""
@@ -145,8 +194,36 @@ _URL_SQL = f"""
                     ELSE '' END,
                '#', 1) AS su
       FROM u
+    ),
+    rm AS (SELECT p_partkey, {_RFC_MESSY_SQL} AS messy FROM part),
+    rd AS (SELECT p_partkey, {_RFC_DEC_SQL} AS dec FROM rm),
+    rp AS (
+      SELECT p_partkey,
+             lower(regexp_extract(dec,
+               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS sch,
+             lower(regexp_extract(dec,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hp,
+             regexp_extract(dec,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)$', 1) AS rest
+      FROM rd
+    ),
+    rr AS (
+      SELECT p_partkey, sch,
+             CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+                  WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+                  ELSE hp END AS hst,
+             CASE WHEN regexp_extract(rest, '^([^?#]*)', 1) = '' THEN '/'
+                  ELSE regexp_extract(rest, '^([^?#]*)', 1) END AS path0,
+             substr(rest,
+                    length(regexp_extract(rest, '^([^?#]*)', 1)) + 1) AS tail
+      FROM rp
+    ),
+    rfc AS (
+      SELECT p_partkey,
+             sch || '://' || hst || {_RFC_PATH_SQL} || tail AS rfc
+      FROM rr
     )
-    SELECT p_partkey,
+    SELECT p_partkey, rfc,
            regexp_extract(url, '^(https?://[^?#]+)', 1) AS url_canon,
            lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
            regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
@@ -159,7 +236,7 @@ _URL_SQL = f"""
                 THEN '?' || array_to_string(list_sort(string_split(
                        substr(su, position('?' IN su) + 1), '&')), '&')
                 ELSE '' END AS surt
-    FROM u2
+    FROM u2 JOIN rfc USING (p_partkey)
     """,
 )
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +244,13 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL-seen dedup key, site-crawler.service.js:28-30) — plus the SURT
     sort-friendly frontier key (functions/urls.py:surt_key) over a
     planted multi-param/fragment variant so host reversal, query-param
-    sorting, and fragment dropping are all under the gate."""
+    sorting, and fragment dropping are all under the gate — plus the
+    RFC 3986 §6.2.2 syntax normalizer (functions/urls.py:
+    rfc3986_normalize) over a messy-URL fixture exercising scheme case,
+    default/non-default ports, every dot-segment family, and
+    unreserved vs reserved percent escapes; the oracle re-runs the SAME
+    generated rule battery in DuckDB (RE2), so Java-regex/RE2 drift on
+    any rule fails the hash."""
     part = _with_url(load(spark, sf_dir, "part"))
     k = F.col("p_partkey")
     u2 = F.concat(
@@ -176,8 +259,23 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 3 == 1, F.lit("?single=1#frag"))
         .otherwise(F.lit("")),
     )
+    messy = F.concat(
+        F.lit("HTTP"), F.when(k % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://Ex"), (k % 7).cast("string"), F.lit(".COM"),
+        F.when(k % 4 == 0, F.lit(":443"))
+        .when(k % 4 == 1, F.lit(":80"))
+        .when(k % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("/a/b/../c/./d"))
+        .when(k % 5 == 1, F.lit("/%7Euser/%2Fkeep/%41bc"))
+        .when(k % 5 == 2, F.lit("/../x"))
+        .when(k % 5 == 3, F.lit(""))
+        .otherwise(F.lit("/a/b/c/../../../d/..")),
+        F.when(k % 3 == 0, F.lit("?q=%31&x=2")).otherwise(F.lit("")),
+    )
     return part.select(
         "p_partkey",
+        U.rfc3986_normalize(messy).alias("rfc"),
         U.canonicalize("url").alias("url_canon"),
         U.host_of("url").alias("host"),
         U.normalize_host(U.host_of("url")).alias("host_norm"),

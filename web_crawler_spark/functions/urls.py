@@ -252,3 +252,100 @@ def surt_key(url: Column | str) -> Column:
         ),
     ).otherwise(F.lit(""))
     return F.concat(rev, F.lit(")"), path, sorted_q)
+
+
+# ----------------------- RFC 3986 syntax-based normalization ---------------
+# §6.2.2 of RFC 3986, the alias-collapse every production frontier
+# (Mercator, Heritrix, Nutch) runs BEFORE statistical rules like DUST:
+# percent-decoding of unreserved characters, case normalization of scheme
+# and host, default-port removal, dot-segment removal, and the empty-path
+# → '/' rule. Each collapses an alias family the seen-set would otherwise
+# count as distinct URLs. Pure column algebra (a constant battery of
+# literal replaces + anchored regexp rewrites — whole-stage codegen, no
+# UDF), mirrored rule-for-rule in the DuckDB oracle, so the normal form
+# is engine-exact.
+#
+# Documented bounds (both engines, identical): dot-segment removal is a
+# bounded rewrite (nesting depth ≤ 8 per rule — deeper chains of '..'
+# than 8 levels survive partially, never incorrectly reordered); empty
+# path segments ('//') are preserved as RFC allows; percent-escapes
+# outside the unreserved set are left exactly as received (no case-folding
+# of their hex digits). Scheme coverage: http/https (the crawl frontier's
+# world).
+
+# (escape, char) for every unreserved character, in both hex spellings the
+# wire can carry (first hex digit of unreserved ASCII is always 2-7, so
+# only the second digit has a letter-case variant)
+PCT_UNRESERVED: list[tuple[str, str]] = []
+for _ch in (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+):
+    _hx = format(ord(_ch), "02X")
+    for _v in sorted({f"%{_hx}", f"%{_hx[0]}{_hx[1].lower()}"}):
+        PCT_UNRESERVED.append((_v, _ch))
+del _ch, _hx, _v
+
+# a path segment that is neither '.' nor '..' (no lookahead — RE2-safe,
+# so the same pattern runs in Spark's Java regex and DuckDB's RE2)
+_SEG = r"(?:\.\.[^/]+|\.[^/.][^/]*|[^/.][^/]*)"
+DOTSEG_DEPTH = 8
+
+
+def rfc3986_normalize(url: Column | str) -> Column:
+    """Normalize an http(s) URL per RFC 3986 §6.2.2 (see module notes for
+    the exact rule battery and bounds). Query and fragment ride along
+    unchanged apart from unreserved percent-decoding."""
+    c = F.col(url) if isinstance(url, str) else url
+    for pct, ch in PCT_UNRESERVED:
+        c = F.replace(c, F.lit(pct), F.lit(ch))
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$", 1)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    raw_path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    tail = F.substr(rest, F.length(raw_path) + 1, F.length(rest))
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    for _ in range(DOTSEG_DEPTH):
+        path = F.regexp_replace(path, r"/\./", "/")
+    path = F.regexp_replace(path, r"/\.$", "/")
+    for _ in range(DOTSEG_DEPTH):
+        path = F.regexp_replace(path, f"/{_SEG}/\\.\\./", "/")
+    path = F.regexp_replace(path, f"/{_SEG}/\\.\\.$", "/")
+    path = F.regexp_replace(path, r"^(/\.\.)+/", "/")
+    path = F.regexp_replace(path, r"^(/\.\.)+$", "/")
+    return F.concat(scheme, F.lit("://"), host, path, tail)
+
+
+def py_rfc3986_normalize(url: str) -> str:
+    """Pure-Python twin of :func:`rfc3986_normalize` — the SAME rule
+    battery in the same order (hypothesis parity pins the Java-regex /
+    RE2 / Python-re semantics to one another)."""
+    c = url
+    for pct, ch in PCT_UNRESERVED:
+        c = c.replace(pct, ch)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$", c, re.S)
+    if not m:
+        return "://"
+    scheme, hostport, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    if scheme == "http":
+        hostport = re.sub(r":80$", "", hostport)
+    elif scheme == "https":
+        hostport = re.sub(r":443$", "", hostport)
+    pm = re.match(r"^([^?#]*)", rest)
+    raw_path, tail = pm.group(1), rest[len(pm.group(1)):]
+    path = raw_path if raw_path != "" else "/"
+    for _ in range(DOTSEG_DEPTH):
+        path = re.sub(r"/\./", "/", path)
+    path = re.sub(r"/\.$", "/", path)
+    for _ in range(DOTSEG_DEPTH):
+        path = re.sub(f"/{_SEG}/\\.\\./", "/", path)
+    path = re.sub(f"/{_SEG}/\\.\\.$", "/", path)
+    path = re.sub(r"^(/\.\.)+/", "/", path)
+    path = re.sub(r"^(/\.\.)+$", "/", path)
+    return f"{scheme}://{hostport}{path}{tail}"
