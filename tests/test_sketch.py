@@ -130,3 +130,41 @@ def test_hot_key_salts_flatten_skew(spark):
         .collect()
     ]
     assert max(sizes) <= 550  # budget 500 + 10% hash-split imbalance slack
+
+
+# --------------------------------------------------- exact quantiles -------
+def test_exact_quantiles_matches_sorted_list_reference(spark):
+    import math
+    import random
+
+    from web_crawler_spark.operators.sketch import exact_quantiles
+
+    random.seed(11)
+    rows = [("en" if i % 3 else "de", random.randint(1, 300)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "lang string, v int")
+    probs = [0.0, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["lang"], r["p"]): (r["value"], r["n"])
+        for r in exact_quantiles(df, "v", probs, by="lang").collect()
+    }
+    by: dict = {}
+    for lang, v in rows:
+        by.setdefault(lang, []).append(v)
+    for lang, vs in by.items():
+        vs.sort()
+        for p in probs:
+            exp = vs[math.floor(p * (len(vs) - 1))]
+            assert got[(lang, p)] == (exp, len(vs)), (lang, p)
+
+
+def test_exact_quantiles_ungrouped_and_degenerate(spark):
+    from web_crawler_spark.operators.sketch import exact_quantiles
+
+    one = spark.createDataFrame([(42,)], "v int")
+    got = {r["p"]: r["value"]
+           for r in exact_quantiles(one, "v", [0.0, 0.5, 1.0]).collect()}
+    assert got == {0.0: 42, 0.5: 42, 1.0: 42}
+    same = spark.createDataFrame([(7,)] * 50, "v int")
+    got2 = exact_quantiles(same, "v", [0.25, 0.75]).collect()
+    assert {r["value"] for r in got2} == {7}
+    assert all(r["n"] == 50 for r in got2)

@@ -1257,6 +1257,28 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return qb.unionByName(extras).unionByName(cb).unionByName(
         _corpus_funnel_rows(spark, sf_dir)
+    ).unionByName(_token_quantile_rows(spark, sf_dir))
+
+
+def _token_quantile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-datasheet distribution rows: EXACT per-language token-count
+    percentiles (p50/p90/p99) via operators/sketch.py:exact_quantiles —
+    value histogram + histogram-sized running count, never a global sort.
+    Shaped into the report's (report, band, n, pct) rows as
+    ('tokens_quantiles', '<lang>:p<P>', value, P)."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(TX.normalize_text("text"), " ")).alias("_ntok"),
+    )
+    q = SK.exact_quantiles(d, "_ntok", [0.5, 0.9, 0.99], by="lang")
+    return q.select(
+        F.lit("tokens_quantiles").alias("report"),
+        F.concat(
+            F.col("lang"), F.lit(":p"),
+            F.round(F.col("p") * 100).cast("int").cast("string"),
+        ).alias("band"),
+        F.col("value").cast("long").alias("n"),
+        (F.col("p") * 100).alias("pct"),
     )
 
 
@@ -9348,6 +9370,26 @@ _ORACLES["quality_report"] = (
     SELECT 'funnel', 'split_' || sp, count(*),
            round(100.0 * count(*) / (SELECT n_input FROM tot), 4)
     FROM spl GROUP BY sp
+    )
+    UNION ALL
+    -- tokens_quantiles: exact type-1 per-language token-count percentiles,
+    -- same histogram + running-count construction as exact_quantiles
+    -- (quantile p = element at 0-based index floor(p*(n-1)))
+    SELECT 'tokens_quantiles' AS report,
+           lang || ':p' || (round(p * 100))::INT::VARCHAR AS band,
+           v::BIGINT AS n, (p * 100)::DOUBLE AS pct
+    FROM (
+      SELECT lang, p, v
+      FROM (
+        SELECT lang, v, c,
+               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS nn
+        FROM (
+          SELECT lang, len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS v, count(*) AS c
+          FROM documents GROUP BY 1, 2
+        )
+      ), (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+      WHERE floor(p * (nn - 1)) >= cum - c AND floor(p * (nn - 1)) < cum
     )
 """
 )

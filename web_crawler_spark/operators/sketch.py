@@ -30,7 +30,7 @@ Cross-engine determinism (the registry oracles these bit-for-bit):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from web_crawler_spark.hashing import hash64_col
@@ -270,3 +270,55 @@ def hot_key_salts(
         F.lit(max_salt),
     )
     return est.select(col, n_salt.cast("int").alias("n_salt"))
+
+
+# --------------------------------------------------------------------------
+# exact distributed quantiles (no global sort)
+# --------------------------------------------------------------------------
+def exact_quantiles(
+    df: DataFrame,
+    col: str | Column,
+    probs: list[float],
+    by: str | None = None,
+) -> DataFrame:
+    """EXACT quantiles of an integer-valued column, optionally per group —
+    the corpus-datasheet statistics (token-length p50/p90/p99 per
+    language) computed without the 100 TB trap of a global sort.
+
+    Construction: value histogram first (one map-side-combinable groupBy;
+    reduce side is O(distinct values), and a token/length/score column has
+    a bounded value domain no matter how many rows feed it), then a
+    running-count window OVER THE HISTOGRAM (parallelism = groups,
+    window input = histogram rows, never corpus rows). Quantile rule is
+    type-1 / lower: quantile p = the element at 0-based index
+    floor(p * (n-1)) of the sorted multiset — the unique histogram bucket
+    with cum_before <= idx < cum, one row per (group, p), deterministic
+    and engine-exact (no interpolation doubles).
+
+    Spark's own ``approx_percentile`` is the built-in alternative; it is
+    neither exact nor cross-engine reproducible, which is what the
+    correctness gate (and a datasheet) needs.
+
+    Returns (by?, p, value, n).
+    """
+    keys = [by] if by else []
+    c = F.col(col) if isinstance(col, str) else col
+    hist = df.groupBy(*keys, c.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.partitionBy(*keys).orderBy("_v")
+    wall = Window.partitionBy(*keys)
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_n", F.sum("_c").over(wall))
+    )
+    pcol = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p")
+    idx = F.floor(F.col("p") * (F.col("_n") - 1))
+    return (
+        cum.select(*keys, "_v", "_c", "_cum", "_n", pcol)
+        .filter((idx >= F.col("_cum") - F.col("_c")) & (idx < F.col("_cum")))
+        .select(
+            *keys,
+            F.col("p"),
+            F.col("_v").alias("value"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )
