@@ -168,3 +168,39 @@ def test_exact_quantiles_ungrouped_and_degenerate(spark):
     got2 = exact_quantiles(same, "v", [0.25, 0.75]).collect()
     assert {r["value"] for r in got2} == {7}
     assert all(r["n"] == 50 for r in got2)
+
+
+def test_hll_per_group_estimates_and_merge(spark):
+    from web_crawler_spark.operators import sketch as SK
+
+    rows = [("h1", f"u{i}") for i in range(800)] + \
+           [("h2", f"u{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "host string, uid string")
+    est = {
+        r["host"]: r
+        for r in SK.hll_estimate(
+            SK.hll_registers(df, "uid", by="host")
+        ).collect()
+    }
+    # both groups sit in the small-range regime at 2^12 registers (n <<
+    # 2.5m), so accuracy comes from linear counting over zero_registers —
+    # exactly the correction the crawl_stats query applies
+    import math
+
+    for host, n_true in (("h1", 800), ("h2", 40)):
+        z = est[host]["zero_registers"]
+        lin = SK.HLL_M * math.log(SK.HLL_M / z)
+        assert abs(lin - n_true) / n_true < 0.05, (host, lin)
+    # groups are independent: h2's registers never inflate h1
+    solo = SK.hll_estimate(
+        SK.hll_registers(df.filter("host = 'h1'"), "uid")
+    ).collect()[0]
+    assert solo["est"] == est["h1"]["est"]
+    # per-group merge of two half-sketches == sketch of the union
+    a = SK.hll_registers(df.filter("uid < 'u4'"), "uid", by="host")
+    b = SK.hll_registers(df.filter("uid >= 'u4'"), "uid", by="host")
+    merged = {
+        r["host"]: r["est"]
+        for r in SK.hll_estimate(SK.hll_merge(a, b)).collect()
+    }
+    assert merged == {h: est[h]["est"] for h in est}

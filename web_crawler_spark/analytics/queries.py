@@ -1380,6 +1380,7 @@ def _crawl_stats_oracle() -> str:
     small-range-corrected) + CMS hot-key/salt arm. The sketch fragments come
     from operators/sketch.py so Spark and DuckDB share one derivation."""
     hll = SK.hll_estimate_sql("events", "user_id")
+    hllg = SK.hll_estimate_sql("events", "user_id", by="event_type")
     cms = SK.cms_estimate_sql("events", "user_id")
     corr = (
         "CASE WHEN est <= 2.5 * m AND zero_registers > 0"
@@ -1408,6 +1409,10 @@ def _crawl_stats_oracle() -> str:
            round(c.cms_est::DOUBLE / exact.n::DOUBLE, 4)
     FROM {cms} c JOIN exact USING (key), hll, tot
     WHERE c.cms_est::DOUBLE >= 1.15 * tot.total::DOUBLE / ({corr})
+    UNION ALL
+    SELECT 'hll_by', event_type, occupied, zero_registers, 0::BIGINT,
+           round({corr}, 4)
+    FROM ({hllg})
     """
 
 
@@ -1472,7 +1477,24 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
-    return method.unionByName(hll_raw).unionByName(hll_corr).unionByName(hot)
+    # per-group HLL: one independent sketch per event_type (the per-host
+    # distinct-URL dashboard shape — operators/sketch.py hll_registers(by=)),
+    # small-range correction applied per group like the global arm
+    estg = SK.hll_estimate(SK.hll_registers(e, "user_id", by="event_type"))
+    corrg = F.when(
+        (F.col("est") <= 2.5 * SK.HLL_M) & (F.col("zero_registers") > 0),
+        F.lit(float(SK.HLL_M))
+        * F.log(F.lit(float(SK.HLL_M)) / F.col("zero_registers").cast("double")),
+    ).otherwise(F.col("est"))
+    hll_by = estg.select(
+        F.lit("hll_by").alias("arm"), F.col("event_type").alias("key"),
+        F.col("occupied").alias("n1"), F.col("zero_registers").alias("n2"),
+        F.lit(0).cast("long").alias("n3"), F.round(corrg, 4).alias("v"),
+    )
+    return (
+        method.unionByName(hll_raw).unionByName(hll_corr)
+        .unionByName(hot).unionByName(hll_by)
+    )
 
 
 # --------------------------------------------------------------------------

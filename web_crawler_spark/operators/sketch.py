@@ -49,13 +49,22 @@ def hll_alpha(m: int = HLL_M) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str | Column, salt: str = "hll") -> DataFrame:
-    """Sketch a column into an HLL register table (register, rho).
+def hll_registers(
+    df: DataFrame,
+    col: str | Column,
+    salt: str = "hll",
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Sketch a column into an HLL register table (register, rho) —
+    optionally one independent sketch per ``by`` group (distinct URLs per
+    host, distinct users per event type: the per-key cardinalities a
+    frontier dashboard reads every wave; reduce side is O(groups * 2^p)).
 
-    One row per *occupied* register (<= 2^p rows total); absent registers
-    mean rho=0. The only shuffle is the 2^p-key groupBy, with map-side
-    partial max — at any input scale the reduce side is O(2^p).
+    One row per *occupied* register (<= 2^p rows per group); absent
+    registers mean rho=0. The only shuffle is the (group, 2^p)-key
+    groupBy, with map-side partial max.
     """
+    keys = [by] if isinstance(by, str) else list(by or [])
     c = F.col(col) if isinstance(col, str) else col
     h = hash64_col(F.lit(salt), c)
     # h is a 60-bit non-negative value in a signed long: >> is exact integer
@@ -66,20 +75,23 @@ def hll_registers(df: DataFrame, col: str | Column, salt: str = "hll") -> DataFr
     )
     return (
         df.select(
+            *keys,
             (h % F.lit(HLL_M)).cast("long").alias("register"),
             rho.cast("long").alias("rho"),
         )
-        .groupBy("register")
+        .groupBy(*keys, "register")
         .agg(F.max("rho").alias("rho"))
     )
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
-    """Union register tables into the sketch of the union of their inputs."""
+    """Union register tables into the sketch of the union of their inputs
+    (any group keys the sketches carry merge per group)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("register").agg(F.max("rho").alias("rho"))
+    keys = [c for c in out.columns if c not in ("register", "rho")]
+    return out.groupBy(*keys, "register").agg(F.max("rho").alias("rho"))
 
 
 def hll_estimate(registers: DataFrame) -> DataFrame:
@@ -94,7 +106,8 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     exposed for linear counting); the raw estimator is the portable core.
     """
     const = hll_alpha() * HLL_M * HLL_M * float(1 << _HLL_SC)
-    agg = registers.agg(
+    keys = [c for c in registers.columns if c not in ("register", "rho")]
+    agg = registers.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("occupied"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SC} - rho AS INT))"))
         .cast("long")
@@ -105,6 +118,7 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.col("sum_occ") + zeros * F.shiftleft(F.lit(1).cast("long"), _HLL_SC)
     ).cast("long")
     return agg.select(
+        *keys,
         F.lit(HLL_M).cast("long").alias("m"),
         F.col("occupied").cast("long").alias("occupied"),
         zeros.cast("long").alias("zero_registers"),
@@ -113,27 +127,32 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     )
 
 
-def hll_estimate_sql(input_sql: str, expr: str, salt: str = "hll") -> str:
+def hll_estimate_sql(
+    input_sql: str, expr: str, salt: str = "hll", by: str | None = None
+) -> str:
     """DuckDB oracle for hll_registers |> hll_estimate over ``expr`` drawn
-    from ``input_sql`` (a FROM-able fragment). Mirrors every step."""
+    from ``input_sql`` (a FROM-able fragment), optionally per ``by``
+    group. Mirrors every step."""
     from web_crawler_spark.hashing import hash64_sql
 
     h = hash64_sql(f"concat_ws('|', '{salt}', CAST({expr} AS VARCHAR))")
     const = repr(hll_alpha() * HLL_M * HLL_M * float(1 << _HLL_SC))
+    g = f"{by}, " if by else ""
+    gsel = f"{by}," if by else ""
     return f"""
     WITH hr AS (
-      SELECT register, max(rho) AS rho FROM (
-        SELECT ({h}) % {HLL_M} AS register,
+      SELECT {gsel} register, max(rho) AS rho FROM (
+        SELECT {gsel} ({h}) % {HLL_M} AS register,
                CASE WHEN ({h}) >> {HLL_P} = 0 THEN {_HLL_W + 1}
                     ELSE {_HLL_W + 1} - length(bin(({h}) >> {HLL_P}))
                END::BIGINT AS rho
         FROM {input_sql})
-      GROUP BY register),
+      GROUP BY {g}register),
     ag AS (
-      SELECT count(*)::BIGINT AS occupied,
+      SELECT {gsel} count(*)::BIGINT AS occupied,
              sum(1::BIGINT << (({_HLL_SC} - rho)::INTEGER))::BIGINT AS sum_occ
-      FROM hr)
-    SELECT {HLL_M}::BIGINT AS m, occupied,
+      FROM hr {"GROUP BY " + by if by else ""})
+    SELECT {gsel} {HLL_M}::BIGINT AS m, occupied,
            ({HLL_M} - occupied)::BIGINT AS zero_registers,
            (sum_occ + ({HLL_M} - occupied) * (1::BIGINT << {_HLL_SC}))::BIGINT
              AS sum_scaled,
