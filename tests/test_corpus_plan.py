@@ -448,3 +448,18 @@ def test_text_corpus_chunking_stage(spark):
                 if len(ta) == 16:
                     assert ta[-4:] == tb[:4]
     assert n_multi > 0, "fixture has no doc longer than chunk_max"
+
+
+def test_text_corpus_chunking_short_docs_pass_through_verbatim(spark):
+    docs = _docs(spark)
+    base = {r["doc_id"]: r for r in C.build_text_corpus(docs).collect()}
+    out = C.build_text_corpus(docs, chunk_max=10_000, chunk_stride=64)
+    rows = out.collect()
+    # nothing in the fixture exceeds 10k tokens: every doc is one chunk 0
+    # with BYTE-IDENTICAL release text and identical pack addressing to
+    # the unchunked build (the default path's numeric pack order held)
+    assert all(r["chunk_idx"] == 0 for r in rows)
+    for r in rows:
+        b = base[r["doc_id"]]
+        assert r["text_redacted"] == b["text_redacted"]
+        assert (r["split"], r["n_tokens"]) == (b["split"], b["n_tokens"])

@@ -360,3 +360,19 @@ def test_bucketed_seen_set_joins_without_reshuffling(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("t_seen_b", "t_cand_b", "t_seen_b2"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_attach_bucketed_refuses_existing_catalog_name(spark, tmp_path):
+    import pytest
+
+    from web_crawler_spark import lake as L
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("url"))
+    L.write_bucketed(df, "t_attach_guard", str(tmp_path / "b"), "url", 4)
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            L.attach_bucketed(
+                spark, "t_attach_guard", str(tmp_path / "b"), "url", 4
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_attach_guard")

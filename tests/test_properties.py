@@ -191,3 +191,37 @@ def test_rfc3986_normalize_curated_cases(spark):
                        U.rfc3986_normalize("url").alias("n")).collect():
         assert r["n"] == r["expected"], (r["url"], r["n"])
         assert U.py_rfc3986_normalize(r["url"]) == r["expected"]
+
+
+def test_rfc3986_normalize_whitespace_and_non_url_edges(spark):
+    cases = [
+        # WHATWG tab/CR/LF strip — all three engines agree after step 0
+        ("http://ex.com/a\nb", "http://ex.com/ab"),
+        ("http://ex\t.com:80/x\r\n", "http://ex.com/x"),
+        # non-scheme inputs pass through unchanged
+        ("mailto:x@y.example", "mailto:x@y.example"),
+        ("not a url", "not a url"),
+        ("", ""),
+        ("//protocol-relative/x", "//protocol-relative/x"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    for r in df.select("url", "expected",
+                       U.rfc3986_normalize("url").alias("n")).collect():
+        assert r["n"] == r["expected"], (r["url"], r["n"])
+        assert U.py_rfc3986_normalize(r["url"]) == r["expected"]
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(
+    st.one_of(
+        _rfc_url,
+        st.sampled_from(["mailto:a@b", "tel:+1-555", "x", "", "//rel/x",
+                         "http:/one-slash", "ftp://other.scheme/p"]),
+    ),
+    min_size=30, max_size=80, unique=True,
+))
+def test_rfc3986_normalize_twin_parity_beyond_http(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", U.rfc3986_normalize("url").alias("n")).collect()
+    for r in rows:
+        assert r["n"] == U.py_rfc3986_normalize(r["url"]), r["url"]

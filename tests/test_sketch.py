@@ -179,7 +179,7 @@ def test_hll_per_group_estimates_and_merge(spark):
     est = {
         r["host"]: r
         for r in SK.hll_estimate(
-            SK.hll_registers(df, "uid", by="host")
+            SK.hll_registers(df, "uid", by="host"), by="host"
         ).collect()
     }
     # both groups sit in the small-range regime at 2^12 registers (n <<
@@ -201,6 +201,21 @@ def test_hll_per_group_estimates_and_merge(spark):
     b = SK.hll_registers(df.filter("uid >= 'u4'"), "uid", by="host")
     merged = {
         r["host"]: r["est"]
-        for r in SK.hll_estimate(SK.hll_merge(a, b)).collect()
+        for r in SK.hll_estimate(
+            SK.hll_merge(a, b, by="host"), by="host"
+        ).collect()
     }
     assert merged == {h: est[h]["est"] for h in est}
+
+
+def test_hll_estimate_ignores_stray_columns_without_by(spark):
+    # a lineage column riding on the register table must NOT silently
+    # turn the global estimate into per-value partials
+    from web_crawler_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(300)], "uid string")
+    regs = SK.hll_registers(df, "uid").withColumn("stray", F.lit("x"))
+    out = SK.hll_estimate(regs).collect()
+    assert len(out) == 1
+    clean = SK.hll_estimate(SK.hll_registers(df, "uid")).collect()[0]
+    assert out[0]["est"] == clean["est"]

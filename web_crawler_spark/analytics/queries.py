@@ -142,7 +142,9 @@ def _rfc3986_oracle_exprs() -> tuple[str, str]:
         DOTSEG_DEPTH, PCT_UNRESERVED, _SEG,
     )
 
-    dec = "messy"
+    # step 0: the same WHATWG tab/CR/LF strip the kernel runs (the fixture
+    # never carries them, but the mirrored battery stays rule-for-rule)
+    dec = "regexp_replace(messy, '[\\t\\n\\r]', '', 'g')"
     for pct, ch in PCT_UNRESERVED:
         dec = f"replace({dec}, '{pct}', '{ch}')"
     path = "path0"
@@ -1480,16 +1482,15 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group HLL: one independent sketch per event_type (the per-host
     # distinct-URL dashboard shape — operators/sketch.py hll_registers(by=)),
     # small-range correction applied per group like the global arm
-    estg = SK.hll_estimate(SK.hll_registers(e, "user_id", by="event_type"))
-    corrg = F.when(
-        (F.col("est") <= 2.5 * SK.HLL_M) & (F.col("zero_registers") > 0),
-        F.lit(float(SK.HLL_M))
-        * F.log(F.lit(float(SK.HLL_M)) / F.col("zero_registers").cast("double")),
-    ).otherwise(F.col("est"))
+    estg = SK.hll_estimate(
+        SK.hll_registers(e, "user_id", by="event_type"), by="event_type"
+    )
+    # corr is an unbound Column over (est, zero_registers) — the same
+    # expression applies per group here as globally above
     hll_by = estg.select(
         F.lit("hll_by").alias("arm"), F.col("event_type").alias("key"),
         F.col("occupied").alias("n1"), F.col("zero_registers").alias("n2"),
-        F.lit(0).cast("long").alias("n3"), F.round(corrg, 4).alias("v"),
+        F.lit(0).cast("long").alias("n3"), F.round(corr, 4).alias("v"),
     )
     return (
         method.unionByName(hll_raw).unionByName(hll_corr)

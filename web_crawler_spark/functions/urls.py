@@ -294,8 +294,16 @@ DOTSEG_DEPTH = 8
 def rfc3986_normalize(url: Column | str) -> Column:
     """Normalize an http(s) URL per RFC 3986 §6.2.2 (see module notes for
     the exact rule battery and bounds). Query and fragment ride along
-    unchanged apart from unreserved percent-decoding."""
-    c = F.col(url) if isinstance(url, str) else url
+    unchanged apart from unreserved percent-decoding.
+
+    Step 0 strips ASCII tab/CR/LF anywhere in the string (the WHATWG URL
+    parser's rule; RFC 3986 URIs cannot carry them) — this also pins the
+    three regex engines together, since Java's ``$`` matches before a
+    trailing newline while RE2's does not. Inputs without a
+    ``<scheme>://`` prefix are returned UNCHANGED (a mailto:/data:/
+    garbage string is not this kernel's job to rewrite)."""
+    c0 = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c0, "[\t\n\r]", "")
     for pct, ch in PCT_UNRESERVED:
         c = F.replace(c, F.lit(pct), F.lit(ch))
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
@@ -319,19 +327,23 @@ def rfc3986_normalize(url: Column | str) -> Column:
     path = F.regexp_replace(path, f"/{_SEG}/\\.\\.$", "/")
     path = F.regexp_replace(path, r"^(/\.\.)+/", "/")
     path = F.regexp_replace(path, r"^(/\.\.)+$", "/")
-    return F.concat(scheme, F.lit("://"), host, path, tail)
+    return F.when(
+        c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+        F.concat(scheme, F.lit("://"), host, path, tail),
+    ).otherwise(c0)
 
 
 def py_rfc3986_normalize(url: str) -> str:
     """Pure-Python twin of :func:`rfc3986_normalize` — the SAME rule
     battery in the same order (hypothesis parity pins the Java-regex /
-    RE2 / Python-re semantics to one another)."""
-    c = url
+    RE2 / Python-re semantics to one another). Non-``scheme://`` inputs
+    come back unchanged, like the column kernel."""
+    c = re.sub(r"[\t\n\r]", "", url)
     for pct, ch in PCT_UNRESERVED:
         c = c.replace(pct, ch)
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$", c, re.S)
     if not m:
-        return "://"
+        return url
     scheme, hostport, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
     if scheme == "http":
         hostport = re.sub(r":80$", "", hostport)

@@ -538,15 +538,24 @@ def attach_bucketed(
     """Re-register a bucketed parquet directory in THIS session's catalog
     (the resume path — catalog entries are session-scoped, the files are
     not). Schema is inferred from the files unless ``schema_ddl`` pins it.
-    The declared bucket spec must match what :func:`write_bucketed` used,
-    or joins would co-locate on a lie; Spark validates bucket file names
-    against the spec at scan time."""
+
+    The declared ``(key, n_buckets)`` MUST match what
+    :func:`write_bucketed` used: Spark trusts the catalog's bucket spec
+    (it does not re-validate file contents), so a mismatched declaration
+    makes co-located joins silently drop matches — store the spec next to
+    the path (snapshot summary metadata is the natural place) and pass it
+    back verbatim. Refuses to touch an existing catalog entry rather than
+    dropping it (a same-named MANAGED table's data would go with it)."""
+    if spark.catalog.tableExists(name):
+        raise ValueError(
+            f"table {name!r} already exists in this session's catalog — "
+            "drop it explicitly before re-attaching"
+        )
     if schema_ddl is None:
         schema_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in spark.read.parquet(path).schema.fields
         )
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "

@@ -84,19 +84,25 @@ def hll_registers(
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
-    """Union register tables into the sketch of the union of their inputs
-    (any group keys the sketches carry merge per group)."""
+def hll_merge(
+    *sketches: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
+    """Union register tables into the sketch of the union of their inputs.
+    Pass the same ``by`` the sketches were built with — per-group register
+    tables merge per group; the default merges global sketches."""
+    keys = [by] if isinstance(by, str) else list(by or [])
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    keys = [c for c in out.columns if c not in ("register", "rho")]
     return out.groupBy(*keys, "register").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """Reduce a register table to one row of integer-exact components plus
-    the raw HLL estimate.
+def hll_estimate(
+    registers: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
+    """Reduce a register table to one row (per ``by`` group, if given —
+    pass the same ``by`` the registers were built with) of integer-exact
+    components plus the raw HLL estimate.
 
     Returns (m, occupied, zero_registers, sum_scaled, est) where
     ``sum_scaled = sum(2^(50-rho)) + zeros * 2^50`` (BIGINT, addition order
@@ -106,8 +112,10 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     exposed for linear counting); the raw estimator is the portable core.
     """
     const = hll_alpha() * HLL_M * HLL_M * float(1 << _HLL_SC)
-    keys = [c for c in registers.columns if c not in ("register", "rho")]
-    agg = registers.groupBy(*keys).agg(
+    # explicit, never inferred: a stray column on the register table must
+    # not silently turn a global estimate into per-value group estimates
+    keys = [by] if isinstance(by, str) else list(by or [])
+    agg = registers.select(*keys, "register", "rho").groupBy(*keys).agg(
         F.count(F.lit(1)).alias("occupied"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SC} - rho AS INT))"))
         .cast("long")

@@ -214,30 +214,46 @@ def build_text_corpus(
         mixed = deduped
 
     # context-window chunking (operators/dedup.py:chunk_documents): docs
-    # longer than chunk_max split into overlapping windows BEFORE token
-    # counting and packing, so the pack units fit the training context.
-    # Chunking runs verbatim (normalize=False — case/punctuation and the
-    # [EMAIL]-style redaction markers must survive into the release), and
-    # the train/val/test split keys on doc_id, never chunk id: all windows
-    # of one document land in the SAME split, so overlapping chunk text
-    # can never leak across the split boundary.
+    # longer than chunk_max VERBATIM-WHITESPACE tokens split into
+    # overlapping windows before token counting and packing. Only the
+    # over-long docs are rewritten (re-joining windows collapses their
+    # internal whitespace runs to single spaces — unavoidable and
+    # documented; case/punctuation and the [EMAIL]-style redaction
+    # markers survive); short docs pass through byte-identical with
+    # chunk_idx 0. n_tokens stays the engine-wide normalized measure, so
+    # a chunk's n_tokens can differ from its verbatim window size. The
+    # train/val/test split keys on doc_id, never chunk id: all windows of
+    # one document land in the SAME split, so overlapping chunk text can
+    # never leak across the split boundary.
     if chunk_max is not None:
+        n_verbatim = F.size(F.split(
+            F.trim(F.regexp_replace("text_redacted", r"\s+", " ")), " "
+        ))
+        short = mixed.filter(n_verbatim <= chunk_max).withColumn(
+            "chunk_idx", F.lit(0).cast("long")
+        )
+        long_docs = mixed.filter(n_verbatim > chunk_max)
         ck = D.chunk_documents(
-            mixed.select("doc_id", F.col("text_redacted").alias("_ct")),
+            long_docs.select("doc_id", F.col("text_redacted").alias("_ct")),
             "doc_id", "_ct",
             max_tokens=chunk_max, stride=chunk_stride, normalize=False,
         )
-        mixed = (
-            mixed.drop("text_redacted")
+        mixed = short.unionByName(
+            long_docs.drop("text_redacted")
             .join(ck, "doc_id")
             .withColumnRenamed("chunk_text", "text_redacted")
             .drop("n_chunk_tokens", "chunk_start")
         )
+        # deterministic total order is all packing needs; chunk_idx is
+        # zero-padded so a doc's windows pack in window order
         pack_key = F.concat_ws(
-            "#", F.col("doc_id").cast("string"), F.col("chunk_idx")
+            "#", F.col("doc_id").cast("string"),
+            F.format_string("%06d", F.col("chunk_idx").cast("int")),
         )
     else:
-        pack_key = F.col("doc_id").cast("string")
+        # unchanged pre-chunking path: pack_bins orders numerically on the
+        # raw doc_id, bit-identical with earlier releases
+        pack_key = F.col("doc_id")
 
     n_tokens = F.size(F.split(TX.normalize_text("text_redacted"), " "))
     out = (
