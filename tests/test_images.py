@@ -554,3 +554,41 @@ def test_header_audit_is_codegen_column_algebra(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan.replace("MapInPandas", "")
+
+
+def test_gif_header_dims_little_endian(spark):
+    import struct as _st
+
+    def gif(w, h, magic=b"GIF89a"):
+        return magic + _st.pack("<HH", w, h) + b"\x00" * 6
+
+    rows = [
+        (1, gif(320, 200), 320, 200, True),
+        (2, gif(1, 65535, b"GIF87a"), 1, 65535, True),
+        (3, gif(320, 200)[:9], None, None, False),   # truncated descriptor
+        (4, b"GIX89a" + _st.pack("<HH", 9, 9), None, None, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b, *_ in rows], "i int, bytes binary"
+    )
+    got = {r["i"]: r["g"] for r in
+           df.select("i", IM.gif_header("bytes").alias("g")).collect()}
+    for i, _, w, h, ok in rows:
+        assert got[i]["hdr_ok"] == ok, i
+        assert (got[i]["w"], got[i]["h"]) == (w, h), i
+
+
+def test_header_audit_gif_rows_validate_against_metadata(spark):
+    import struct as _st
+
+    data = b"GIF89a" + _st.pack("<HH", 64, 48) + b"\x00" * 6
+    df = spark.createDataFrame(
+        [("g1", data, 64, 48, "gif", "cap", 0),
+         ("g2", data, 64, 99, "gif", "cap", 0)],  # metadata lies on h
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string, phash long",
+    )
+    got = {r["image_id"]: r for r in IM.header_audit(df).collect()}
+    assert got["g1"]["sniffed"] == "gif" and got["g1"]["header_dims_ok"]
+    assert got["g1"]["hdr_w"] == 64 and got["g1"]["hdr_h"] == 48
+    assert not got["g2"]["header_dims_ok"]

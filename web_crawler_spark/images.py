@@ -953,6 +953,24 @@ def png_ihdr(bytes_col):
     )
 
 
+def gif_header(bytes_col):
+    """GIF87a/89a logical-screen descriptor (fixed layout: 6-byte magic,
+    then width and height as LITTLE-endian uint16 at offsets 7 and 9):
+    struct(hdr_ok, w, h). The only little-endian field in the audit —
+    composed from two byte reads, not a conv() of the hex slice."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    ok = (F.length(c) >= 10) & F.hex(F.substr(c, F.lit(1), F.lit(6))).isin(
+        "474946383761", "474946383961"
+    )
+    w = _u8(c, 7) + F.lit(256) * _u8(c, 8)
+    h = _u8(c, 9) + F.lit(256) * _u8(c, 10)
+    return F.struct(
+        ok.alias("hdr_ok"),
+        F.when(ok, w.cast("long")).alias("w"),
+        F.when(ok, h.cast("long")).alias("h"),
+    )
+
+
 def lossy_header(bytes_col):
     """Surrogate-codec header (LQNT magic + big-endian w, h at offsets
     5/9 — see encode_lossy): struct(hdr_ok, w, h)."""
@@ -974,16 +992,26 @@ def header_audit(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     zero decodes), so it runs at scan speed over the full archive.
 
     Adds: sniffed (magic format or NULL), hdr_w/hdr_h (header dims where
-    a known fixed layout exists: PNG IHDR, surrogate LQNT), hdr_bit_depth/
+    a known fixed layout exists: PNG IHDR, GIF logical screen, surrogate
+    LQNT), hdr_bit_depth/
     hdr_color_type (PNG only), header_dims_ok (parsed AND equal to the
     metadata columns; false for unparseable payloads — a row that cannot
     prove its dimensions never passes)."""
     c = F.col(bytes_col)
     ih = png_ihdr(c)
     lh = lossy_header(c)
-    hw = F.when(ih["ihdr_ok"], ih["w"]).otherwise(F.when(lh["hdr_ok"], lh["w"]))
-    hh = F.when(ih["ihdr_ok"], ih["h"]).otherwise(F.when(lh["hdr_ok"], lh["h"]))
-    parsed = ih["ihdr_ok"] | lh["hdr_ok"]
+    gh = gif_header(c)
+    hw = (
+        F.when(ih["ihdr_ok"], ih["w"])
+        .when(lh["hdr_ok"], lh["w"])
+        .when(gh["hdr_ok"], gh["w"])
+    )
+    hh = (
+        F.when(ih["ihdr_ok"], ih["h"])
+        .when(lh["hdr_ok"], lh["h"])
+        .when(gh["hdr_ok"], gh["h"])
+    )
+    parsed = ih["ihdr_ok"] | lh["hdr_ok"] | gh["hdr_ok"]
     dims_ok = F.when(
         parsed, (hw == F.col("w")) & (hh == F.col("h"))
     ).otherwise(F.lit(False))
