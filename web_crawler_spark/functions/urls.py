@@ -270,8 +270,16 @@ def surt_key(url: Column | str) -> Column:
 # than 8 levels survive partially, never incorrectly reordered); empty
 # path segments ('//') are preserved as RFC allows; percent-escapes
 # outside the unreserved set are left exactly as received (no case-folding
-# of their hex digits). Scheme coverage: http/https (the crawl frontier's
-# world).
+# of their hex digits); unreserved percent-decoding is applied as a
+# sequential literal-replace battery, so an escape whose bytes are only
+# FORMED by an earlier replacement in the same pass (e.g. '%%341' →
+# '%41' → 'A' byte soup) decodes too — a deviation from single-pass RFC
+# 3986 decoding that also makes the function non-idempotent for such
+# pathological inputs (the hypothesis idempotence property excludes '%'
+# for exactly this reason). All three engines (Spark battery, DuckDB
+# oracle battery, Python twin) share the behavior bit-for-bit, so the
+# normal form stays engine-exact. Scheme coverage: http/https (the crawl
+# frontier's world).
 
 # (escape, char) for every unreserved character, in both hex spellings the
 # wire can carry (first hex digit of unreserved ASCII is always 2-7, so

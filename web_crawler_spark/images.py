@@ -1012,8 +1012,13 @@ def header_audit(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .when(gh["hdr_ok"], gh["h"])
     )
     parsed = ih["ihdr_ok"] | lh["hdr_ok"] | gh["hdr_ok"]
+    # coalesce inside the when-branch: a parsed header compared against
+    # NULL catalog w/h metadata must yield a concrete False, not NULL —
+    # "a row that cannot prove its dimensions never passes" has to hold
+    # for negated filters (~header_dims_ok) and boolean aggregations too
     dims_ok = F.when(
-        parsed, (hw == F.col("w")) & (hh == F.col("h"))
+        parsed,
+        F.coalesce((hw == F.col("w")) & (hh == F.col("h")), F.lit(False)),
     ).otherwise(F.lit(False))
     return images.select(
         "*",

@@ -556,9 +556,16 @@ def attach_bucketed(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in spark.read.parquet(path).schema.fields
         )
+    # quote identifiers and escape the location literal the same way the
+    # inferred-schema branch already quotes field names — a key or table
+    # name needing backquotes, or a path containing a single quote, must
+    # produce valid DDL, not a broken (or wrong) statement
+    qname = "`" + name.replace("`", "``") + "`"
+    qkey = "`" + key.replace("`", "``") + "`"
+    qpath = path.replace("'", "\\'")
     spark.sql(
-        f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{path}'"
+        f"CREATE TABLE {qname} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({qkey}) SORTED BY ({qkey}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{qpath}'"
     )
-    return spark.table(name)
+    return spark.table(qname)

@@ -1617,12 +1617,14 @@ def chunk_documents(
     if not 0 <= stride < max_tokens:
         raise ValueError(f"need 0 <= stride < max_tokens, got {stride}, {max_tokens}")
     step = max_tokens - stride
+    # NULL text is coalesced to '' so the row yields one empty chunk 0
+    # instead of vanishing (size(NULL) would propagate NULL into the
+    # sequence and posexplode would emit zero rows for the document)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     if normalize:
-        toks = F.split(TX.normalize_text(text_col), " ")
+        toks = F.split(TX.normalize_text(txt), " ")
     else:
-        toks = F.split(
-            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
-        )
+        toks = F.split(F.trim(F.regexp_replace(txt, r"\s+", " ")), " ")
     n = F.size(toks)
     # extra >= 0 keeps the ceil division in truncating-== -floor territory,
     # so Spark's floor(double) and DuckDB's integer // agree exactly

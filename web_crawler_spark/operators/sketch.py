@@ -326,10 +326,18 @@ def exact_quantiles(
     neither exact nor cross-engine reproducible, which is what the
     correctness gate (and a datasheet) needs.
 
+    NULLs in the target column are excluded before the histogram is
+    built (quantiles of the non-null multiset, n counts non-null rows):
+    engines disagree on where NULL sorts in a window (Spark first,
+    DuckDB last), so letting NULL become a histogram bucket would
+    silently skew the running counts differently per engine. Mirror the
+    same ``WHERE col IS NOT NULL`` in any hand-written oracle.
+
     Returns (by?, p, value, n).
     """
     keys = [by] if by else []
     c = F.col(col) if isinstance(col, str) else col
+    df = df.filter(c.isNotNull())
     hist = df.groupBy(*keys, c.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
     wcum = Window.partitionBy(*keys).orderBy("_v")
     wall = Window.partitionBy(*keys)
