@@ -119,105 +119,19 @@ def test_haversine_against_known_value():
 # Independent naive checker: a second, from-scratch restatement of the
 # reference greedy dedup (enhanced-deduplication.service.js:7-42,100-164,
 # 169-246) sharing NO code with web_crawler_spark.operators.fuzzy — full
-# O(n^2) pair scan, full-matrix levenshtein, no fast paths. The production
-# kernel doubles as the pytest oracle elsewhere; this checker is the
-# genuine cross-implementation control for it.
+# O(n^2) pair scan, full-matrix levenshtein, no fast paths. It lives in
+# tools/naive_fuzzy.py so tools/pin_oracles.py can generate the
+# fuzzy_dedup_greedy / records_pipeline_e2e golden pins from it (the pins
+# are then a genuine cross-implementation oracle, not the engine grading
+# its own homework). The production kernel doubles as the pytest oracle
+# elsewhere; this checker is the genuine cross-implementation control.
 # ---------------------------------------------------------------------------
-def _naive_lev(a: str, b: str) -> int:
-    m, n = len(a), len(b)
-    d = [[0] * (n + 1) for _ in range(m + 1)]
-    for i in range(m + 1):
-        d[i][0] = i
-    for j in range(n + 1):
-        d[0][j] = j
-    for i in range(1, m + 1):
-        for j in range(1, n + 1):
-            d[i][j] = min(
-                d[i - 1][j] + 1,
-                d[i][j - 1] + 1,
-                d[i - 1][j - 1] + (0 if a[i - 1] == b[j - 1] else 1),
-            )
-    return d[m][n]
-
-
-def _naive_str_sim(a: str, b: str) -> float:
-    if a == b:
-        return 1.0
-    if not a or not b:
-        return 0.0
-    return 1.0 - _naive_lev(a, b) / max(len(a), len(b))
-
-
-def _naive_norm_addr(s: str) -> str:
-    import re as _re
-
-    s = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", "", s.lower()))
-    s = _re.sub(
-        r"\b(street|st|avenue|ave|road|rd|boulevard|blvd|drive|dr|lane|ln)\b",
-        "", s)
-    return s.strip()
-
-
-def _naive_haversine(lat1, lon1, lat2, lon2) -> float:
-    from math import asin, cos, radians, sin, sqrt
-
-    p1, p2 = radians(lat1), radians(lat2)
-    dp, dl = radians(lat2 - lat1), radians(lon2 - lon1)
-    h = sin(dp / 2) ** 2 + cos(p1) * cos(p2) * sin(dl / 2) ** 2
-    return 2 * 6371.0 * asin(sqrt(h))
-
-
-def _naive_has(r, k):
-    v = r.get(k)
-    return v is not None and str(v) != "" and v == v  # NaN-safe
-
-
-def _naive_similarity(a, b) -> float:
-    import re as _re
-
-    num = den = 0.0
-    if _naive_has(a, "locationAddress") and _naive_has(b, "locationAddress"):
-        num += 0.4 * _naive_str_sim(
-            _naive_norm_addr(str(a["locationAddress"])),
-            _naive_norm_addr(str(b["locationAddress"])),
-        )
-        den += 0.4
-    if all(_naive_has(r, k) for r in (a, b) for k in ("latitude", "longitude")):
-        km = _naive_haversine(
-            float(a["latitude"]), float(a["longitude"]),
-            float(b["latitude"]), float(b["longitude"]),
-        )
-        num += 0.3 * (1.0 if km < 0.1 else max(0.0, 1 - km / 5))
-        den += 0.3
-    if _naive_has(a, "locationName") and _naive_has(b, "locationName"):
-        num += 0.2 * _naive_str_sim(
-            str(a["locationName"]).lower(), str(b["locationName"]).lower()
-        )
-        den += 0.2
-    if _naive_has(a, "postcode") and _naive_has(b, "postcode"):
-        pa = _re.sub(r"[^\w]", "", str(a["postcode"]).upper())
-        pb = _re.sub(r"[^\w]", "", str(b["postcode"]).upper())
-        num += 0.1 * (1.0 if pa == pb else 0.0)
-        den += 0.1
-    return num / den if den else 0.0
-
-
-def _naive_greedy_clusters(rows, threshold=0.85):
-    """Returns the list of clusters as lists of row indices, greedy
-    first-unclaimed-base order (the reference loop)."""
-    claimed = [False] * len(rows)
-    clusters = []
-    for i, base in enumerate(rows):
-        if claimed[i]:
-            continue
-        claimed[i] = True
-        members = [i]
-        for j in range(i + 1, len(rows)):
-            if not claimed[j] and _naive_similarity(base, rows[j]) >= threshold:
-                claimed[j] = True
-                members.append(j)
-        clusters.append(members)
-    return clusters
+from tools.naive_fuzzy import (  # noqa: E402
+    naive_blocked_dedup,
+    naive_greedy_clusters as _naive_greedy_clusters,
+    naive_merge_cluster,
+    naive_similarity as _naive_similarity,
+)
 
 
 def _kernel_clusters(rows, threshold=0.85):
@@ -240,31 +154,65 @@ def test_naive_checker_agrees_on_fixture():
     assert _kernel_clusters(rows) == _naive_greedy_clusters(rows)
 
 
-def test_naive_checker_agrees_on_randomized_sets():
+def test_naive_merge_agrees_on_fixture():
+    # full-row agreement, not just membership: the naive merge policy
+    # (longest-wins scalars, ordered-set arrays, joined sourceUrl, max
+    # quality) must reproduce the production kernel bit-for-bit
+    for host in ("a.com", "b.com"):
+        rows = sorted(
+            (r for r in _fixture() if r["seed_host"] == host),
+            key=lambda r: r["sourceUrl"],
+        )
+        want = FZ.fuzzy_cluster_merge(rows, 0.85)
+        got = [
+            naive_merge_cluster([rows[k] for k in members])
+            for members in _naive_greedy_clusters(rows)
+        ]
+        assert got == want, host
+
+
+def _random_rows(seed: int):
     import random
 
     streets = ["Main Street", "Oak Avenue", "High Road", "Dock Lane"]
+    rng = random.Random(seed)
+    rows = []
+    for k in range(24):
+        base_lat = 40.0 + rng.randrange(4)
+        base_lon = -75.0 + rng.randrange(4)
+        name = f"{rng.choice(['Acme','Apex','Ajax'])} Office {rng.randrange(6)}"
+        addr = f"{rng.randrange(1, 99)} {rng.choice(streets)}"
+        r = _rec(
+            "h.com",
+            name if rng.random() < 0.8 else name[:-1],
+            addr,
+            round(base_lat + rng.random() * 2e-4, 6),
+            round(base_lon + rng.random() * 2e-4, 6),
+            str(19000 + rng.randrange(3)),
+            f"https://h.com/{seed}/{k}",
+            q=rng.randrange(100),
+        )
+        if rng.random() < 0.15:
+            r["locationAddress"] = None
+        if rng.random() < 0.15:
+            r["latitude"] = r["longitude"] = None
+        rows.append(r)
+    return rows
+
+
+def test_naive_checker_agrees_on_randomized_sets():
     for seed in range(12):
-        rng = random.Random(seed)
-        rows = []
-        for k in range(24):
-            base_lat = 40.0 + rng.randrange(4)
-            base_lon = -75.0 + rng.randrange(4)
-            name = f"{rng.choice(['Acme','Apex','Ajax'])} Office {rng.randrange(6)}"
-            addr = f"{rng.randrange(1, 99)} {rng.choice(streets)}"
-            r = _rec(
-                "h.com",
-                name if rng.random() < 0.8 else name[:-1],
-                addr,
-                round(base_lat + rng.random() * 2e-4, 6),
-                round(base_lon + rng.random() * 2e-4, 6),
-                str(19000 + rng.randrange(3)),
-                f"https://h.com/{seed}/{k}",
-                q=rng.randrange(100),
-            )
-            if rng.random() < 0.15:
-                r["locationAddress"] = None
-            if rng.random() < 0.15:
-                r["latitude"] = r["longitude"] = None
-            rows.append(r)
+        rows = _random_rows(seed)
         assert _kernel_clusters(rows) == _naive_greedy_clusters(rows), seed
+
+
+def test_naive_blocked_dedup_matches_production_merge():
+    # end-to-end: blocked + ordered + merged rows agree with the
+    # production pure-Python kernel on randomized inputs
+    for seed in range(6):
+        rows = _random_rows(seed)
+        got = naive_blocked_dedup(rows, order_cols=["sourceUrl"])
+        want = FZ.fuzzy_cluster_merge(
+            sorted(rows, key=lambda r: r["sourceUrl"]), 0.85
+        )
+        assert got == want, seed

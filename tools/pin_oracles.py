@@ -8,13 +8,26 @@ Provenance, per query (recorded in the generated module docstring):
   Python oracle (web_crawler_spark/oracle.py, a from-scratch restatement of
   site-crawler.service.js:129-196 that shares no code with the Spark wave
   loop). This is a genuine cross-implementation oracle.
-- ``fuzzy_dedup_greedy``, ``records_pipeline_e2e``, ``image_phash_dedup``,
-  ``image_features``, ``audio_features`` — golden pins of the engine's own
-  deterministic output at sf0.01 (the driver's correctness scale). These
-  catch plumbing/order/regression drift, not independent-semantics bugs;
+- ``fuzzy_dedup_greedy`` — generated from the INDEPENDENT naive O(n^2)
+  checker (tools/naive_fuzzy.py, a from-scratch second restatement of
+  enhanced-deduplication.service.js sharing no code with
+  operators/fuzzy.py). Only the input-record synthesis
+  (queries._fuzzy_greedy_input, plain deterministic column algebra) runs
+  through Spark; the dedup semantics under test are the naive checker's.
+- ``records_pipeline_e2e`` — per-stage composition: extraction + geocode
+  + canonical projection reuse the engine stages that other green queries
+  independently oracle (extract_kernels, geocode_cascade,
+  quality_score_records), the fuzzy stage runs the naive checker, and the
+  quality envelope + image/caption payload election are restated in pure
+  Python here. A shared-kernel bug in the fuzzy merge or the pipeline
+  glue now diverges the pin.
+- ``crawl_progress``, ``image_phash_dedup``, ``image_features``,
+  ``audio_features`` — golden pins of the engine's own deterministic
+  output at sf0.01 (the driver's correctness scale). These catch
+  plumbing/order/regression drift, not independent-semantics bugs;
   kernel-level independence is covered by the pytest oracles
-  (tests/test_fuzzy_dedup.py's naive O(n^2) checker, tests/test_images.py
-  PSNR/Hamming invariants, tests/test_crawl_identity.py).
+  (tests/test_images.py PSNR/Hamming invariants,
+  tests/test_crawl_identity.py).
 
 Usage: python tools/pin_oracles.py   (rewrites analytics/golden.py)
 """
@@ -29,10 +42,109 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.01"
 PINNED = [
     "crawl_progress",
-    "fuzzy_dedup_greedy",
-    "records_pipeline_e2e",
     "image_phash_dedup",
 ]
+
+# quality envelope restated for the records_pipeline_e2e composition
+# (functions/records.py semantics; weights from crawler.service.js)
+QUALITY_WEIGHTS = {
+    "locationName": 20, "locationAddress": 25, "latitude": 15,
+    "longitude": 15, "countryIso3": 10, "postcode": 5, "state": 5,
+    "streetOrCity": 5,
+}
+
+
+def _present(v) -> bool:
+    return v is not None and str(v) != "" and v == v
+
+
+def _quality(m: dict) -> tuple[int, str]:
+    score = sum(w for f, w in QUALITY_WEIGHTS.items() if _present(m.get(f)))
+    score = max(0, min(100, score))
+    level = ("Excellent" if score >= 90 else "Good" if score >= 70
+             else "Fair" if score >= 50 else "Poor")
+    return score, level
+
+
+def fuzzy_greedy_rows(spark) -> tuple[list[str], list[tuple]]:
+    """fuzzy_dedup_greedy pin from the naive checker: Spark synthesizes the
+    input records, tools/naive_fuzzy.py dedups them."""
+    from tools.naive_fuzzy import naive_blocked_dedup
+    from web_crawler_spark.analytics import queries as Q
+
+    recs = [r.asDict() for r in Q._fuzzy_greedy_input(spark, SF_DIR).collect()]
+    merged = naive_blocked_dedup(recs, order_cols=["sourceUrl"])
+    rows = sorted(
+        (
+            (m["seed_host"], m["locationName"], m["sourceUrl"],
+             m["mergedFrom"], m["qualityScore"])
+            for m in merged
+        ),
+    )
+    return ["seed_host", "locationName", "sourceUrl", "mergedFrom",
+            "qualityScore"], rows
+
+
+def records_e2e_rows(spark) -> tuple[list[str], list[tuple]]:
+    """records_pipeline_e2e pin: per-stage composition with the fuzzy
+    stage swapped for the naive checker and envelope + payload election
+    restated in Python. Final lat/lon rounding runs through Spark's
+    F.round so the pinned doubles carry the identical HALF_UP results."""
+    from pyspark.sql import functions as F
+
+    from tools.naive_fuzzy import naive_blocked_dedup
+    from web_crawler_spark.analytics import queries as Q
+    from web_crawler_spark.operators import extract as EX
+    from web_crawler_spark.plans.enrich import geocode_enrich, to_canonical_records
+
+    pages = Q._e2e_pages(spark)
+    canon = to_canonical_records(geocode_enrich(EX.extract_all(pages)))
+    keep = [
+        "seed_host", "locationName", "locationAddress", "latitude",
+        "longitude", "countryIso3", "postcode", "state", "streetOrCity",
+        "activityAtAsset", "phone", "email", "sourceUrl", "qualityScore",
+        "extractionMethod",
+    ]
+    recs = [r.asDict() for r in canon.select(*keep).collect()]
+    merged = naive_blocked_dedup(
+        recs, order_cols=["sourceUrl", "locationName", "extractionMethod"]
+    )
+    imgs = [r.asDict() for r in EX.extract_images(pages).collect()]
+    out = []
+    for m in merged:
+        score, level = _quality(m)
+        urls = set((m.get("sourceUrl") or "").split(", "))
+        name = m.get("locationName")
+        cands = [
+            (i["image_id"], i["caption"])
+            for i in imgs
+            if i["sourceUrl"] in urls and name is not None
+            and i["caption"].startswith(name + " — ")
+        ]
+        image_id, caption = min(cands) if cands else (None, None)
+        out.append(
+            (m["seed_host"], name, m.get("locationAddress"),
+             m.get("latitude"), m.get("longitude"), m.get("countryIso3"),
+             m.get("postcode"), score, level, m["mergedFrom"],
+             image_id, caption)
+        )
+    cols = ["seed_host", "locationName", "locationAddress", "latitude",
+            "longitude", "countryIso3", "postcode", "qualityScore",
+            "qualityLevel", "mergedFrom", "image_id", "caption"]
+    df = spark.createDataFrame(
+        out,
+        "seed_host string, locationName string, locationAddress string, "
+        "latitude double, longitude double, countryIso3 string, "
+        "postcode string, qualityScore int, qualityLevel string, "
+        "mergedFrom int, image_id string, caption string",
+    ).select(
+        "seed_host", "locationName", "locationAddress",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "countryIso3", "postcode", "qualityScore", "qualityLevel",
+        "mergedFrom", "image_id", "caption",
+    )
+    return cols, [tuple(r) for r in df.collect()]
 
 
 def sql_lit(v) -> str:
@@ -93,6 +205,14 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
         },
     )
+    cols, rows = fuzzy_greedy_rows(spark)
+    oracles["fuzzy_dedup_greedy"] = values_oracle(cols, rows)
+    print(f"fuzzy_dedup_greedy: {len(rows)} rows (from naive checker)")
+
+    cols, rows = records_e2e_rows(spark)
+    oracles["records_pipeline_e2e"] = values_oracle(cols, rows)
+    print(f"records_pipeline_e2e: {len(rows)} rows (naive-fuzzy composition)")
+
     qs = Q.queries()
     for name in PINNED:
         df = qs[name](spark, SF_DIR)
@@ -141,12 +261,18 @@ def main() -> None:
             '"""Pinned VALUES-literal DuckDB oracles (generated by '
             "tools/pin_oracles.py\n"
             "— regenerate there; do not hand-edit).\n\n"
-            "``crawl_bfs_frontier`` is generated from the independent\n"
-            "single-threaded Python oracle (web_crawler_spark/oracle.py);\n"
-            "the rest are golden pins of the engine's deterministic output\n"
-            "at sf0.01 (the driver's correctness scale) — they catch\n"
-            "plumbing/order regressions; kernel independence is covered by\n"
-            'the pytest oracles.\n"""\n\n'
+            "Provenance: ``crawl_bfs_frontier`` is generated from the\n"
+            "independent single-threaded Python oracle\n"
+            "(web_crawler_spark/oracle.py); ``fuzzy_dedup_greedy`` and\n"
+            "``records_pipeline_e2e`` are generated from the INDEPENDENT\n"
+            "naive O(n^2) greedy checker (tools/naive_fuzzy.py — a second\n"
+            "from-scratch restatement of the reference dedup sharing no\n"
+            "code with operators/fuzzy.py), so they are genuine\n"
+            "cross-implementation oracles; the rest are golden pins of the\n"
+            "engine's deterministic output at sf0.01 (the driver's\n"
+            "correctness scale) — those catch plumbing/order regressions;\n"
+            "their kernel independence is covered by the pytest oracles.\n"
+            '"""\n\n'
         )
         f.write("GOLDEN_ORACLES = {\n")
         for name, sql in oracles.items():

@@ -4972,20 +4972,11 @@ def q_geocode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.unionByName(cascade).unionByName(reverse)
 
 
-@query("fuzzy_dedup_greedy")
-def q_fuzzy_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/J4: the order-sensitive greedy cluster-merge
-    (enhanced-deduplication.service.js:7-42) over synthesized location
-    records with planted near-duplicates — every 5th customer gets a
-    typo'd twin that must merge (mergedFrom=2, longest-field wins,
-    max quality). Not SQL-expressible (greedy order dependence) → the
-    oracle is a pinned golden literal of this deterministic output
-    (tools/pin_oracles.py) — it catches plumbing/order regressions, not
-    independent-semantics bugs, since the Spark op and the test oracle
-    share the greedy kernel; true independence comes from the naive
-    O(n^2) checker in tests/test_fuzzy_dedup.py."""
-    from web_crawler_spark.operators import fuzzy as FZ
-
+def _fuzzy_greedy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input synthesis for `fuzzy_dedup_greedy`, shared with
+    tools/pin_oracles.py so the pin generator can feed the SAME records
+    through the independent naive O(n^2) checker instead of the engine's
+    own kernel."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
     base = c.select(
         F.concat(F.lit("seg-"), F.lower("c_mktsegment")).alias("seed_host"),
@@ -5020,23 +5011,35 @@ def q_fuzzy_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("sourceUrl"), F.lit("-twin")).alias("sourceUrl"),
         (F.col("qualityScore") + 10).cast("int").alias("qualityScore"),
     )
-    recs = base.unionByName(twins)
+    return base.unionByName(twins)
+
+
+@query("fuzzy_dedup_greedy")
+def q_fuzzy_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J4: the order-sensitive greedy cluster-merge
+    (enhanced-deduplication.service.js:7-42) over synthesized location
+    records with planted near-duplicates — every 5th customer gets a
+    typo'd twin that must merge (mergedFrom=2, longest-field wins,
+    max quality). Not SQL-expressible (greedy order dependence) → the
+    oracle is a pinned golden literal generated by the INDEPENDENT naive
+    O(n^2) checker (tools/naive_fuzzy.py via tools/pin_oracles.py), a
+    from-scratch second restatement of the reference greedy pass sharing
+    no code with operators/fuzzy.py — a genuine cross-implementation
+    oracle for the dedup semantics (input synthesis is shared via
+    _fuzzy_greedy_input; it is plain deterministic column algebra)."""
+    from web_crawler_spark.operators import fuzzy as FZ
+
+    recs = _fuzzy_greedy_input(spark, sf_dir)
     out = FZ.fuzzy_dedup(recs, "seed_host", order_cols=["sourceUrl"])
     return out.select(
         "seed_host", "locationName", "sourceUrl", "mergedFrom", "qualityScore"
     ).orderBy("seed_host", "sourceUrl")
 
 
-@query("records_pipeline_e2e")
-def q_records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1-M4 end-to-end: synthetic pages → 7-strategy extraction →
-    confidence floor → greedy fuzzy dedup per host → geocode enrichment →
-    canonical 14-field records + quality envelope + image/caption payload
-    join (crawler.service.js:283-416 whole-path analogue). Oracle: pinned
-    golden literal of this deterministic output (tools/pin_oracles.py);
-    per-stage values are independently oracled by the other queries and
-    the pytest golden counts."""
-    from web_crawler_spark.plans.enrich import records_pipeline
+def _e2e_pages(spark: SparkSession) -> DataFrame:
+    """Synthetic page fixture for `records_pipeline_e2e`, shared with
+    tools/pin_oracles.py (pin composes per-stage outputs with the fuzzy
+    stage swapped for the independent naive checker)."""
     from web_crawler_spark.synthetic.web import SyntheticWeb
 
     web = SyntheticWeb(n_hosts=3, pages_per_host=15, seed=13)
@@ -5045,9 +5048,26 @@ def q_records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in range(web.n_hosts)
         for p in range(web.n_pages(h))
     ]
-    pages = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "url string, seed_host string, body string, xhr_json string"
     )
+
+
+@query("records_pipeline_e2e")
+def q_records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M4 end-to-end: synthetic pages → 7-strategy extraction →
+    confidence floor → greedy fuzzy dedup per host → geocode enrichment →
+    canonical 14-field records + quality envelope + image/caption payload
+    join (crawler.service.js:283-416 whole-path analogue). Oracle: pinned
+    golden literal generated by tools/pin_oracles.py as a per-stage
+    composition in which the fuzzy stage runs the INDEPENDENT naive
+    O(n^2) checker (tools/naive_fuzzy.py) and the quality envelope +
+    payload election are restated in pure Python — only stages that are
+    independently oracled by other green queries (extraction, geocode,
+    canonical projection) are reused from the engine."""
+    from web_crawler_spark.plans.enrich import records_pipeline
+
+    pages = _e2e_pages(spark)
     out = records_pipeline(pages, fuzzy=True)
     return out.select(
         "seed_host", "locationName", "locationAddress",
