@@ -273,3 +273,54 @@ def test_prune_modes_agree(spark):
         flagged = {u for u, m in got["broadcast"] if m}
         for r in seen.collect():
             assert r["url"] in flagged
+
+
+def test_auto_mode_selects_by_declared_size(spark):
+    """mode='auto' (the default) must resolve from the DECLARED filter
+    geometry: a filter past the broadcast threshold takes the cogroup
+    path (plan shows the cogroup exchange — nothing collected to the
+    driver), a small one broadcasts, and both agree byte-for-byte."""
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.operators import seen_filter as SF
+
+    urls = spark.range(0, 500).select(
+        F.concat(F.lit("https://auto.example.com/p"), "id").alias("url")
+    )
+    seen = spark.range(0, 500).filter("id % 5 = 0").select(
+        F.concat(F.lit("https://auto.example.com/p"), "id").alias("url")
+    )
+    geom = dict(n_buckets=4, m_bits=1 << 17)  # 4 × 16 KiB = 64 KiB
+    bl = SF.build_bloom(seen, **geom)
+
+    # 64 KiB > 32 KiB threshold → auto must pick cogroup; the plan carries
+    # the cogroup operator, and the broadcast-path operator is absent
+    big = SF.prune(urls, bl, broadcast_bytes_max=32 << 10, **geom)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+
+    # 64 KiB <= 1 MiB threshold → auto picks broadcast (no cogroup shuffle)
+    small = SF.prune(urls, bl, broadcast_bytes_max=1 << 20, **geom)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan_small
+
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+
+    # same resolution rule on the cuckoo side: declared bytes =
+    # n_buckets × n_cells × n_slots × 2 = 4 × 1024 × 4 × 2 = 32 KiB
+    ckg = dict(n_buckets=4, n_cells=1 << 10, n_slots=4)
+    ck = SF.build_cuckoo(seen, **ckg)
+    big_ck = SF.prune_cuckoo(urls, ck, broadcast_bytes_max=16 << 10, **ckg)
+    assert "FlatMapCoGroupsInPandas" in (
+        big_ck._jdf.queryExecution().executedPlan().toString()
+    )
+    small_ck = SF.prune_cuckoo(urls, ck, broadcast_bytes_max=1 << 20, **ckg)
+    assert sorted(map(tuple, big_ck.collect())) == sorted(
+        map(tuple, small_ck.collect())
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        SF.prune(urls, bl, mode="bogus", **geom)

@@ -35,6 +35,25 @@ DEFAULT_BUCKETS = 64
 DEFAULT_M_BITS = 1 << 20  # 128 KiB per bucket
 DEFAULT_K = 6
 
+# auto-mode crossover: filters at or under this many bytes (derived from
+# the declared geometry, never from data) broadcast; bigger ones cogroup.
+# 256 MiB is comfortably inside one executor's memory at any sane config
+# while the 10^10-URL shape (~15 GB at 12 bits/key) lands far past it.
+BROADCAST_BYTES_MAX = 256 << 20
+
+
+def _pick_mode(mode: str, filter_bytes: int, broadcast_bytes_max: int) -> str:
+    """Resolve mode='auto' from the filter's declared byte size — the safe
+    mode is the automatic one: a filter too big to collect on the driver
+    selects the cogroup path without anyone having to read a docstring."""
+    if mode == "auto":
+        return "broadcast" if filter_bytes <= broadcast_bytes_max else "cogroup"
+    if mode not in ("broadcast", "cogroup"):
+        raise ValueError(
+            f"mode must be 'auto', 'broadcast' or 'cogroup', got {mode!r}"
+        )
+    return mode
+
 
 def _with_hashes(df: DataFrame, url_col: str, n_buckets: int) -> DataFrame:
     return (
@@ -112,11 +131,17 @@ def prune(
     n_buckets: int = DEFAULT_BUCKETS,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
-    mode: str = "broadcast",
+    mode: str = "auto",
+    broadcast_bytes_max: int = BROADCAST_BYTES_MAX,
 ) -> DataFrame:
     """Adds boolean ``maybe_seen``: False ⇒ definitely NOT in the seen set.
 
-    ``mode="broadcast"`` (default): the whole filter (n_buckets ×
+    ``mode="auto"`` (default) derives the filter's byte size from the
+    declared geometry (n_buckets × m_bits/8) and selects ``broadcast``
+    at or under ``broadcast_bytes_max``, ``cogroup`` above it — the
+    driver-OOM shape picks the safe path automatically.
+
+    ``mode="broadcast"``: the whole filter (n_buckets ×
     m_bits/8 bytes — 8 MiB at the defaults) ships to each executor ONCE
     as a Spark broadcast variable and the membership check is a local
     numpy lookup per Arrow batch. No join, no shuffle, and crucially no
@@ -132,6 +157,7 @@ def prune(
     bitmap crosses the boundary once per bucket. Parallelism = n_buckets
     — size n_buckets to the cluster at that scale.
     """
+    mode = _pick_mode(mode, n_buckets * (m_bits // 8), broadcast_bytes_max)
     hashed = _with_hashes(candidates, url_col, n_buckets)
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
@@ -441,15 +467,21 @@ def prune_cuckoo(
     n_buckets: int = DEFAULT_BUCKETS,
     n_cells: int = DEFAULT_CK_CELLS,
     n_slots: int = DEFAULT_CK_SLOTS,
-    mode: str = "broadcast",
+    mode: str = "auto",
+    broadcast_bytes_max: int = BROADCAST_BYTES_MAX,
 ) -> DataFrame:
     """Adds boolean ``maybe_seen``: False ⇒ definitely NOT in the seen set.
-    Same contract and modes as the bloom ``prune`` (the whole filter is a
-    broadcast variable by default — one copy per executor, never one per
-    row; ``mode="cogroup"`` shuffles candidates by bucket for filters too
-    big to broadcast); FPR ≈ 2·n_slots/2^16 ≈ 0.012%. A bucket with
-    multiple table rows is treated as the union of their entry sets
-    (hit in any table)."""
+    Same contract and modes as the bloom ``prune``: ``mode="auto"``
+    (default) resolves from the declared geometry (n_buckets × n_cells ×
+    n_slots × 2 bytes) against ``broadcast_bytes_max``; ``broadcast``
+    ships the whole filter once per executor, never one copy per row;
+    ``cogroup`` shuffles candidates by bucket for filters too big to
+    broadcast. FPR ≈ 2·n_slots/2^16 ≈ 0.012%. A bucket with multiple
+    table rows is treated as the union of their entry sets (hit in any
+    table)."""
+    mode = _pick_mode(
+        mode, n_buckets * n_cells * n_slots * 2, broadcast_bytes_max
+    )
     hashed = _with_hashes(candidates, url_col, n_buckets)
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
