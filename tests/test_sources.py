@@ -600,3 +600,58 @@ def test_wet_magic_inside_payload_never_yields_trusted_phantom(spark):
     assert clean["len_ok"] is True               # later records unharmed
     kept = [r for r in rows if r["len_ok"]]
     assert [r["target_uri"] for r in kept] == ["https://ok.example/"]
+
+
+def test_warc_gz_member_split_matches_plain_wet(spark, tmp_path):
+    """The raw-archive leg: gzip-member-per-record shards must parse to
+    the SAME rows as the decompressed scale path over the same records —
+    the gz layer cancels exactly. Multi-file, multi-member, including a
+    member whose body straddles the 1 MiB zlib feed chunk."""
+    import re
+
+    from web_crawler_spark.sources import warc as W
+
+    big_body = "x" * (3 << 20) + " tail"
+    big_rec = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://big.example/\r\n"
+        f"WARC-Date: 2024-01-15T00:00:03Z\r\nContent-Length: {len(big_body)}"
+        f"\r\n\r\n{big_body}\r\n\r\n"
+    )
+    recs = ["WARC/1.0\r\n" + r for r in
+            re.split(r"WARC/1\.0\r\n", _wet_chunk()) if r]
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    W.write_warc_gz(recs, str(gz_dir / "shard0.warc.gz"))
+    W.write_warc_gz([big_rec, recs[1]], str(gz_dir / "shard1.warc.gz"))
+
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    (wet_dir / "shard0.wet").write_text("".join(recs))
+    (wet_dir / "shard1.wet").write_text(big_rec + recs[1])
+
+    def key(r):
+        return (r["file"].rsplit("/", 1)[-1].split(".")[0], r["record_ord"],
+                r["warc_type"], r["target_uri"], r["warc_date"],
+                r["content_length"], r["body"], r["len_ok"])
+
+    got = sorted(key(r) for r in W.read_warc_gz(spark, str(gz_dir)).collect())
+    want = sorted(key(r) for r in W.read_wet(spark, str(wet_dir)).collect())
+    assert got == want
+    assert len(got) == 5
+    big = [r for r in got if r[3] == "https://big.example/"]
+    assert len(big) == 1 and big[0][7] and len(big[0][6]) == len(big_body)
+
+
+def test_warc_gz_truncated_member_raises(spark, tmp_path):
+    import gzip
+
+    from web_crawler_spark.sources import warc as W
+
+    blob = gzip.compress(_wet_chunk().encode(), mtime=0)
+    (tmp_path / "bad.warc.gz").write_bytes(blob[:-4])
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="truncated gzip member"):
+        W.read_warc_gz(spark, str(tmp_path)).collect()

@@ -7994,6 +7994,107 @@ _WARC_HTTP_ORACLE = f"""
 """
 
 
+_WARC_GZ_ORACLE = """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             o_orderkey % 8 AS shard,
+             concat('order ', o_orderkey, ' status ', o_orderstatus,
+                    ' placed ', o_orderdate::VARCHAR) AS page_text,
+             row_number() OVER (PARTITION BY o_orderkey % 8
+                                ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey % 50 = 0),
+    recs AS (
+      SELECT shard, pos * 3 AS record_ord, 'warcinfo' AS warc_type,
+             CAST(NULL AS VARCHAR) AS target_uri,
+             '2024-01-15T00:00:00Z' AS warc_date,
+             9 AS content_length, 'wet-stats' AS body, TRUE AS len_ok
+      FROM src
+      UNION ALL
+      SELECT shard, pos * 3 + 1, 'conversion',
+             concat('https://w', k, '.example.com/a'),
+             '2024-01-15T00:00:01Z', length(page_text),
+             page_text, TRUE
+      FROM src
+      UNION ALL
+      SELECT shard, pos * 3 + 2, 'conversion',
+             concat('https://w', k, '.example.com/b'),
+             '2024-01-15T00:00:02Z', length(page_text),
+             concat('copy: ', page_text), FALSE
+      FROM src)
+    SELECT concat('shard', shard) AS shard,
+           record_ord::BIGINT AS record_ord, warc_type, target_uri,
+           warc_date, content_length::BIGINT AS content_length,
+           md5(body) AS body_md5, len_ok
+    FROM recs
+"""
+
+
+@query("warc_gz_ingest", oracle=_WARC_GZ_ORACLE)
+def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw Common-Crawl archive leg end-to-end
+    (sources/warc.py:read_warc_gz): 8 synthesized .warc.gz shards, each a
+    gzip-MEMBER-per-record concatenation (ISO 28500 record-at-time
+    compression), scanned via binaryFile → streaming per-member gunzip in
+    an Arrow-batched mapInPandas (each record decodes to its own string;
+    the whole-file decompressed form never exists) → the wet_record
+    column kernel, with the per-order framing-violation record proving
+    Content-Length validation survives the compressed path. The fixture
+    write is a driver-side sink (like the other sink-roundtrip arms);
+    the read path is the distributed surface under test. The oracle is
+    CLOSED-FORM — it constructs the expected records directly from the
+    orders table and never re-parses, so gz splitting, gunzip, framing,
+    and field extraction are all independently checked."""
+    import tempfile
+    from collections import defaultdict
+
+    from web_crawler_spark.sources import warc as W
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    k = F.col("o_orderkey")
+    page_text = F.concat(
+        F.lit("order "), k.cast("string"),
+        F.lit(" status "), F.col("o_orderstatus"),
+        F.lit(" placed "), F.col("o_orderdate").cast("string"),
+    )
+    rows = o.select(
+        F.pmod(k, F.lit(8)).alias("shard"), k.alias("k"),
+        page_text.alias("pt"),
+    ).collect()
+    by_shard: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append((r["k"], r["pt"]))
+    crlf = "\r\n"
+    d = tempfile.mkdtemp(prefix="wcs_warcgz_")
+    for shard, items in by_shard.items():
+        recs = []
+        for kk, pt in sorted(items):
+            recs.append(
+                f"WARC/1.0{crlf}WARC-Type: warcinfo{crlf}"
+                f"WARC-Date: 2024-01-15T00:00:00Z{crlf}"
+                f"Content-Length: 9{crlf}{crlf}wet-stats{crlf}{crlf}"
+            )
+            recs.append(
+                f"WARC/1.0{crlf}WARC-Type: conversion{crlf}"
+                f"WARC-Target-URI: https://w{kk}.example.com/a{crlf}"
+                f"WARC-Date: 2024-01-15T00:00:01Z{crlf}"
+                f"Content-Length: {len(pt)}{crlf}{crlf}{pt}{crlf}{crlf}"
+            )
+            # planted framing violation: 6 bytes longer than declared
+            recs.append(
+                f"WARC/1.0{crlf}WARC-Type: conversion{crlf}"
+                f"WARC-Target-URI: https://w{kk}.example.com/b{crlf}"
+                f"WARC-Date: 2024-01-15T00:00:02Z{crlf}"
+                f"Content-Length: {len(pt)}{crlf}{crlf}copy: {pt}{crlf}{crlf}"
+            )
+        W.write_warc_gz(recs, f"{d}/shard{shard}.warc.gz")
+    out = W.read_warc_gz(spark, d)
+    return out.select(
+        F.regexp_extract("file", r"(shard\d+)\.warc\.gz", 1).alias("shard"),
+        "record_ord", "warc_type", "target_uri", "warc_date",
+        "content_length", F.md5("body").alias("body_md5"), "len_ok",
+    )
+
+
 def _warc_http_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_warc_responses over synthesized full-WARC shards: one HTTP
     ``response`` record (status/media-type routing surface, parameters

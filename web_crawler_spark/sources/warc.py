@@ -15,12 +15,20 @@ Format (ISO 28500): a shard is concatenated records, each
 
 Two layers, split so each runs where it belongs:
 
-- ``read_wet`` — the SCALE path: ``spark.read.text`` with
-  ``lineSep='WARC/1.0\\r\\n'`` streams one record per row straight off
-  the (decompressed) shard files — no whole-file strings, no explode,
-  records parallelize across executors at file-split granularity. (Raw
-  .warc.gz is gzip-PER-RECORD; decompression rides a binaryFiles /
-  datasource seam, after which the records hit this same column kernel.)
+- ``read_wet`` — the SCALE path for decompressed shards:
+  ``spark.read.text`` with ``lineSep='WARC/1.0\\r\\n'`` streams one
+  record per row straight off the files — no whole-file strings, no
+  explode, records parallelize across executors at file-split
+  granularity.
+- ``read_warc_gz`` — the raw-archive path: Common Crawl ships
+  .warc.gz/.wet.gz as gzip-PER-RECORD member concatenations (the WARC
+  spec's record-at-time compression), so a shard is scanned with the
+  binaryFile source (one blob per file — parallelism is across shard
+  files, which is how the archive is laid out: ~1 GB × tens of
+  thousands of shards) and each member is gunzipped INDEPENDENTLY in a
+  streaming Arrow-batched pass — one decoded string per record, never a
+  whole-file decompressed string — then hits the same ``wet_record``
+  column kernel.
 - ``parse_wet_records`` — the engine-portable column kernel: split a
   shard string on the record delimiter, posexplode, and parse each
   record with ``wet_record`` (pure regexp/substring column algebra —
@@ -113,6 +121,113 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             *[F.col(f"_p.{f.split(' ')[0]}") for f in _FIELDS.split(", ")],
         )
     )
+
+
+def gzip_members(blob) -> "Iterator[bytes]":
+    """Split a gzip-member concatenation (the .warc.gz layout: one member
+    per WARC record) and yield each member's decompressed bytes.
+
+    Linear in the blob: input is fed to zlib in bounded chunks through a
+    memoryview (no quadratic re-slicing), and each member's output is
+    joined only when that member completes — members never concatenate
+    into one whole-file string. A blob that ends mid-member raises
+    (truncation surfaces loudly, not as a silently short shard).
+    """
+    import zlib
+
+    mv = memoryview(blob)
+    n = len(mv)
+    if n == 0:
+        return
+    chunk_size = 1 << 20
+    pos = 0
+    d = zlib.decompressobj(wbits=31)
+    parts: list[bytes] = []
+    fed_any = False
+    while True:
+        if not d.eof:
+            if pos >= n:
+                if fed_any:
+                    raise ValueError(
+                        "truncated gzip member at end of .warc.gz blob"
+                    )
+                return
+            chunk = mv[pos:pos + chunk_size]
+            pos += len(chunk)
+            parts.append(d.decompress(chunk))
+            fed_any = True
+        while d.eof:
+            leftover = d.unused_data
+            yield b"".join(parts)
+            parts = []
+            d = zlib.decompressobj(wbits=31)
+            fed_any = False
+            if leftover:
+                parts.append(d.decompress(leftover))
+                fed_any = True
+            elif pos >= n:
+                return
+
+
+def read_warc_gz(
+    spark: SparkSession, path: str, encoding: str = "utf-8"
+) -> DataFrame:
+    """Raw .warc.gz/.wet.gz shards → one row per record, same output shape
+    as :func:`read_wet`: (file, record_ord, warc_type, target_uri,
+    warc_date, content_length, body, len_ok).
+
+    binaryFile scan (one compressed blob per shard file; parallelism =
+    shard files, the archive's natural layout) → streaming per-member
+    gunzip in an Arrow-batched ``mapInPandas`` (each record decodes to
+    its own string; the whole-file DEcompressed form never exists) → the
+    existing ``wet_record`` column kernel. record_ord is the member's
+    position in its shard. Bodies decode with ``errors='replace'`` —
+    binary payloads (image records in full WARC) belong on the
+    bytes-preserving lane, not this text kernel.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias("file"), "content")
+    )
+
+    import pandas as pd
+
+    magic = RECORD_DELIM.encode(encoding)
+
+    def gunzip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cols = ["file", "record_ord", "_rec"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for file, blob in zip(pdf["file"], pdf["content"]):
+                for ord_, member in enumerate(gzip_members(blob)):
+                    if member.startswith(magic):
+                        member = member[len(magic):]
+                    out.append(
+                        (file, ord_, member.decode(encoding, errors="replace"))
+                    )
+                    if len(out) >= 256:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    rows = raw.mapInPandas(gunzip, schema="file string, record_ord long, _rec string")
+    return rows.withColumn("_p", wet_record(F.col("_rec"))).select(
+        "file", "record_ord",
+        *[F.col(f"_p.{f.split(' ')[0]}") for f in _FIELDS.split(", ")],
+    )
+
+
+def write_warc_gz(records: "list[str]", path: str) -> None:
+    """Serialize records (full text including the ``WARC/1.0`` magic) as a
+    gzip-member-per-record shard — the fixture/writer twin of
+    :func:`read_warc_gz`. Deterministic bytes: mtime pinned to 0."""
+    import gzip
+
+    with open(path, "wb") as f:
+        for rec in records:
+            f.write(gzip.compress(rec.encode("utf-8"), mtime=0))
 
 
 def http_response(body: Column) -> Column:
