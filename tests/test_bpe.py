@@ -94,3 +94,50 @@ def test_bpe_learn_exhausts_gracefully(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "i long, text string")
     m = B.bpe_learn(docs, n_merges=5)
     assert m == [(1, "a", "b", 2)]
+
+
+def test_local_strategy_bit_identical_to_distributed(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    dist = B.bpe_learn(df, "text", n_merges=12, strategy="distributed")
+    loc = B.bpe_learn(df, "text", n_merges=12, strategy="local")
+    auto = B.bpe_learn(df, "text", n_merges=12)  # small vocab → local
+    assert loc == dist
+    assert auto == dist
+
+
+def test_local_trainer_thousand_merges_single_collect(spark):
+    """The scale contract: a 1,000-merge train is ONE corpus fold + zero
+    per-merge Spark jobs (bpe_learn_local runs in-memory), completes in
+    seconds, and stays bit-identical to the textbook reference."""
+    import time
+
+    texts = [
+        f"doc {i} the quick brown fox jumps over the lazy dog "
+        f"pack my box with five dozen liquor jugs {i % 97} "
+        f"sphinx of black quartz judge my vow {i % 13}"
+        for i in range(400)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    t0 = time.time()
+    merges = B.bpe_learn(df, "text", n_merges=1000, strategy="local")
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"local 1000-merge train took {elapsed:.1f}s"
+    # merge ranks are dense from 1 and the table is exhausted or full
+    assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
+    assert 50 < len(merges) <= 1000
+    # bit-identity with the textbook reference on the same corpus
+    want = _py_bpe(texts, len(merges))
+    assert merges == want
+    # counts are non-increasing only per no guarantee — but every count >= 1
+    assert all(m[3] >= 1 for m in merges)
+    # application with the learned table still segments losslessly
+    toks = (
+        spark.createDataFrame([(texts[0],)], "text string")
+        .select(F.concat_ws("", B.bpe_apply("text", merges[:40])).alias("j"))
+        .collect()[0]["j"]
+    )
+    import re
+
+    norm = re.sub(r"\s+", " ",
+                  re.sub(r"[^a-z0-9\s]", " ", texts[0].lower())).strip()
+    assert toks == norm.replace(" ", "")

@@ -66,23 +66,150 @@ def _wrapped_pairs(enc: Column) -> Column:
     )
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy single-pass application of merge (a, b) to one symbol
+    sequence — left to right, never rescanning replaced output (``aaa``
+    under (a, a) → ``[aa, a]``), exactly the literal-replace semantics
+    of the distributed loop."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _wrapped(a: str, b: str) -> str:
+    return f"{SEP}{a}{SEP}{SEP}{b}{SEP}"
+
+
+def bpe_learn_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact sequential BPE over an in-memory word-frequency table — the
+    single-node trainer every production tokenizer runs AFTER the
+    distributed corpus→(word, count) fold (the corpus aggregate is the
+    100 TB part; the vocab table it produces is single-machine-sized).
+
+    Bit-identical to the distributed loop by construction: the argmax key
+    is (count DESC, wrapped-pair-string ASC) — the same tie-break — and
+    merge application mirrors the literal-replace overlap semantics via
+    :func:`_merge_word`. Incremental pair-count maintenance with a
+    lazy-invalidation heap: each merge costs O(affected words × word
+    length + log #pairs), so a 50k-merge vocabulary is minutes, not 50k
+    Spark jobs."""
+    import heapq
+    from collections import defaultdict
+
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in word_counts:
+        if w:
+            words.append(list(w))
+            counts.append(int(c))
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        c = counts[wi]
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            pair_counts[p] += c
+            pair_words[p].add(wi)
+
+    heap: list[tuple[int, str, tuple[str, str]]] = [
+        (-c, _wrapped(*p), p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, pw, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc and -negc > 0:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (a, b), cnt = best
+        merges.append((r, a, b, cnt))
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.get((a, b), ())):
+            syms = words[wi]
+            has = any(
+                syms[j] == a and syms[j + 1] == b for j in range(len(syms) - 1)
+            )
+            if not has:  # stale index entry
+                pair_words[(a, b)].discard(wi)
+                continue
+            c = counts[wi]
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                pair_counts[p] -= c
+                touched.add(p)
+            new = _merge_word(syms, a, b)
+            words[wi] = new
+            for j in range(len(new) - 1):
+                p = (new[j], new[j + 1])
+                pair_counts[p] += c
+                pair_words[p].add(wi)
+                touched.add(p)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, _wrapped(*p), p))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
+# word tables at or under this row count collect to the driver for the
+# exact local trainer; bigger ones run the per-merge distributed loop
+LOCAL_VOCAB_MAX = 2_000_000
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    strategy: str = "auto",
+    local_vocab_max: int = LOCAL_VOCAB_MAX,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge table ``[(rank, left, right, pair_count), ...]`` — ties broken
     by the wrapped pair string (bytewise), so the table is deterministic
-    under any partitioning and bit-identical across engines.
+    under any partitioning and bit-identical across engines AND across
+    strategies.
 
-    Plan shape per round: one map-side-combinable SUM over the
-    vocabulary's adjacent-pair explosion (vocab-sized, not corpus-sized)
-    + a 1-row argmax collect; the winning merge returns to the plan as a
-    literal ``replace`` stacked onto the encoding column. The word table
-    is persisted for the duration of the loop and unpersisted before
-    returning (scoped lifecycle — nothing corpus-scale is ever cached).
+    ``strategy``:
+
+    - ``'auto'`` (default): ONE distributed corpus→(word, count) fold,
+      then — when the vocab table is at or under ``local_vocab_max``
+      rows — the exact in-memory trainer (:func:`bpe_learn_local`)
+      finishes every merge in zero further Spark jobs. This is the
+      production tokenizer-training shape (the corpus pass is the
+      100 TB part; the vocabulary is single-machine-sized), and it makes
+      a 50k-merge vocabulary O(1) jobs instead of 50k driver round
+      trips. Vocabularies too big for the driver fall back to the
+      distributed loop.
+    - ``'local'`` / ``'distributed'``: force the respective path.
+
+    Distributed plan shape per round: one map-side-combinable SUM over
+    the vocabulary's adjacent-pair explosion (vocab-sized, not
+    corpus-sized) + a 1-row argmax collect; the winning merge returns to
+    the plan as a literal ``replace`` stacked onto the encoding column.
+    The word table is persisted for the duration of the loop and
+    unpersisted before returning (scoped lifecycle — nothing
+    corpus-scale is ever cached).
     """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     words = (
         df.select(
             F.explode(F.split(TX.normalize_text(text_col), " ")).alias("_w")
@@ -90,10 +217,18 @@ def bpe_learn(
         .filter(F.col("_w") != "")
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .select(encode_symbols("_w").alias("_e"), "_cnt")
+        .select(F.col("_w"), encode_symbols("_w").alias("_e"), "_cnt")
         .persist()
     )
     try:
+        if strategy != "distributed":
+            n_vocab = words.count()
+            if strategy == "local" or n_vocab <= local_vocab_max:
+                wc = [
+                    (r["_w"], int(r["_cnt"]))
+                    for r in words.select("_w", "_cnt").collect()
+                ]
+                return bpe_learn_local(wc, n_merges)
         merges: list[tuple[int, str, str, int]] = []
         enc: Column = F.col("_e")
         for r in range(1, n_merges + 1):
