@@ -123,22 +123,74 @@ def test_connected_min_reliable_checkpoint(spark):
     edges = [(i, i + 1) for i in range(1, 40)] + [(100, 101)]
     pairs = spark.createDataFrame(edges, "a long, b long")
 
+    import glob
+    import os
+
     sc = spark.sparkContext
     had_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
     if not had_dir:
         with pytest.raises(RuntimeError, match="setCheckpointDir"):
             D.connected_min(pairs, checkpoint="reliable")
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="wcs_ckpt_"))
+    ckdir = sc._jsc.sc().getCheckpointDir().get()
+    ckdir = ckdir.removeprefix("file:")
     local = {r["node"]: r["component"] for r in D.connected_min(pairs).collect()}
-    reliable = {
-        r["node"]: r["component"]
-        for r in D.connected_min(pairs, checkpoint="reliable").collect()
-    }
+    out = D.connected_min(pairs, checkpoint="reliable")
+
+    # the checkpoint is the operator's reason to exist: every iteration's
+    # labels must actually LAND as durable rdd-* part files...
+    rdd_parts = glob.glob(os.path.join(ckdir, "**", "rdd-*", "part-*"),
+                          recursive=True)
+    assert rdd_parts, f"no checkpoint part files under {ckdir}"
+
+    # ...and the returned frame's lineage must be CUT to a scan of the
+    # checkpointed data — no joins/aggregates left to replay from the
+    # original edges (that replay chain is exactly what an executor loss
+    # must NOT need)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "LogicalRDD" in plan, plan
+
+    reliable = {r["node"]: r["component"] for r in out.collect()}
     assert reliable == local
     assert reliable[40] == 1 and reliable[101] == 100
 
+    # simulate the mid-job storage loss localCheckpoint could not survive:
+    # drop every cached/local block, then recompute from the durable files
+    spark.catalog.clearCache()
+    assert {r["node"]: r["component"] for r in out.collect()} == local
+
     with pytest.raises(ValueError):
         D.connected_min(pairs, checkpoint="bogus")
+
+
+def test_elect_captions_reliable_checkpoint_passthrough(spark):
+    """The elect_captions caller must forward checkpoint='reliable' to
+    connected_min (the flag existing on the operator is useless if the
+    production callers cannot reach it)."""
+    import tempfile
+
+    from web_crawler_spark import images as IM
+
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="wcs_ckpt_"))
+    pairs = spark.createDataFrame(
+        [("i1", "short"), ("i2", "a longer caption"), ("i3", "zzz"),
+         ("i4", "solo")],
+        "image_id string, caption string",
+    )
+    dups = spark.createDataFrame(
+        [("i1", "i2"), ("i2", "i3")], "a string, b string"
+    )
+    for ck in ("local", "reliable"):
+        got = {
+            r["image_id"]: (r["cluster_id"], r["elected_caption"])
+            for r in IM.elect_captions(pairs, dups, checkpoint=ck).collect()
+        }
+        assert got["i1"] == ("i1", "a longer caption")
+        assert got["i2"] == ("i1", "a longer caption")
+        assert got["i3"] == ("i1", "a longer caption")
+        assert got["i4"] == ("i4", "solo")
 
 
 def test_embedding_neardup_and_cosine(spark):

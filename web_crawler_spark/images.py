@@ -828,6 +828,7 @@ def elect_captions(
     dup_pairs: DataFrame,
     id_col: str = "image_id",
     caption_col: str = "caption",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """One canonical caption per image near-dup cluster (the LAION-style
     collapse step AFTER the hash vote): near-dup pairs rarely share a
@@ -851,11 +852,15 @@ def elect_captions(
     """
     from web_crawler_spark.operators.dedup import connected_min
 
+    # ``checkpoint`` passes straight to connected_min: 'reliable' writes
+    # each propagation round to the SparkContext checkpoint dir — the
+    # setting a multi-hour 100 TB collapse wants (see connected_min docs)
     comp = connected_min(
         dup_pairs.select(
             F.col(dup_pairs.columns[0]).alias("a"),
             F.col(dup_pairs.columns[1]).alias("b"),
-        )
+        ),
+        checkpoint=checkpoint,
     )
     # no forced broadcast: the component table is dup-graph-sized, which
     # is usually small but NOT bounded (a 30%-dup corpus makes it corpus
