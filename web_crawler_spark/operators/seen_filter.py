@@ -37,9 +37,18 @@ DEFAULT_K = 6
 
 # auto-mode crossover: filters at or under this many bytes (derived from
 # the declared geometry, never from data) broadcast; bigger ones cogroup.
-# 256 MiB is comfortably inside one executor's memory at any sane config
-# while the 10^10-URL shape (~15 GB at 12 bits/key) lands far past it.
-BROADCAST_BYTES_MAX = 256 << 20
+# Measured (tools/bench_seen_filter.py, 2M-candidate probe, local[8]):
+# the cogroup path is FLAT in filter size (0.8-1.5 s from 2 MiB to
+# 512 MiB) while broadcast degrades superlinearly past ~64 MiB (bloom
+# 512 MiB: 16.8 s vs 1.5 s) — and local mode flatters broadcast (the
+# "broadcast" is an intra-process copy; a real cluster adds per-executor
+# network fan-out and driver memory pressure), so the cluster crossover
+# is earlier still. 64 MiB keeps broadcast for the filters it actually
+# wins (small filters probed by small per-wave candidate batches, where
+# the executor-local numpy lookup avoids reshuffling the candidates)
+# and routes everything bigger — including the 10^10-URL shape (~15 GB
+# at 12 bits/key) — through the shuffle that stays flat.
+BROADCAST_BYTES_MAX = 64 << 20
 
 
 def _pick_mode(mode: str, filter_bytes: int, broadcast_bytes_max: int) -> str:
