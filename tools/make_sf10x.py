@@ -61,17 +61,33 @@ def main() -> None:
             c = base
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
-            if t == "documents":
+            if t == "documents" and i > 0:
+                # rewrite high-frequency tokens per copy so shingle sets
+                # REALLY diverge: a prefix alone leaves Jaccard ≈ 0.99 and
+                # every doc gains 9 planted near-dups — the dedup queries
+                # would then measure pair-density growth (quadratic by
+                # construction), not corpus scaling
                 c = c.withColumn(
                     "text",
-                    F.concat(F.lit(f"copy{i} variant "), F.col("text")),
+                    F.concat(
+                        F.lit(f"copy{i} variant "),
+                        F.regexp_replace(
+                            F.regexp_replace("text", r"\bthe\b", f"the{i}"),
+                            r"\ba\b", f"a{i}",
+                        ),
+                    ),
                 ).withColumn("n_chars", F.length("text"))
-            if t == "embeddings":
+            if t == "embeddings" and i > 0:
+                # deterministic per-copy decorrelation strong enough to
+                # leave the cosine near-dup radius (0.95): same rationale
                 c = c.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
-                        lambda x: (x + F.lit(i * 1e-3)).cast("float"),
+                        lambda x, j: (
+                            x + F.cos(j.cast("double") * 2.39996 + F.lit(float(i)))
+                            * F.lit(0.3)
+                        ).cast("float"),
                     ),
                 )
             copies.append(c)

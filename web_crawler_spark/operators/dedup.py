@@ -1363,7 +1363,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     codebook: DataFrame | None = None,
     seed_strategy: str = "hash",
 ) -> DataFrame:
@@ -1391,6 +1391,16 @@ def semantic_dedup_pairs(
     """
     from web_crawler_spark.operators import similarity as SIM
 
+    if codebook is None and n_centroids is None:
+        # the paper's regime — cluster size ~ constant — is the no-O(n^2)
+        # contract: derive n_centroids from the corpus (avg list ~ 64
+        # rows) exactly as embedding_neardup_pairs derives n_bits. A
+        # FIXED centroid count at growing n is the scale trap: lists grow
+        # as n/k and the within-list self-join goes quadratic.
+        import math as _m
+
+        n = df.count()
+        n_centroids = max(8, min(1 << 16, _m.ceil(n / 64.0)))
     cb = (
         codebook
         if codebook is not None
@@ -1435,7 +1445,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     codebook: DataFrame | None = None,
     seed_strategy: str = "hash",
 ) -> DataFrame:
