@@ -655,3 +655,49 @@ def test_warc_gz_truncated_member_raises(spark, tmp_path):
 
     with pytest.raises(PythonException, match="truncated gzip member"):
         W.read_warc_gz(spark, str(tmp_path)).collect()
+
+
+def test_warc_gz_http_response_lane_composition(spark, tmp_path):
+    """Full-WARC response records through the gz leg: read_warc_gz rows +
+    http_response on the body column must yield the same status/media
+    type/payload the plain-text parse produces — i.e. the raw-archive
+    path composes with the HTTP layer and the media-type router."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.sources import warc as W
+
+    body = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        "Server: synthetic\r\n\r\n<html><body>hi</body></html>"
+    )
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://r.example/\r\n"
+        f"WARC-Date: 2024-01-15T00:00:05Z\r\nContent-Length: {len(body)}"
+        f"\r\n\r\n{body}\r\n\r\n"
+    )
+    conv = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://c.example/\r\n"
+        "WARC-Date: 2024-01-15T00:00:06Z\r\nContent-Length: 4\r\n\r\n"
+        "text\r\n\r\n"
+    )
+    W.write_warc_gz([rec, conv], str(tmp_path / "s.warc.gz"))
+    parsed = W.read_warc_gz(spark, str(tmp_path))
+    h = W.http_response(F.col("body"))
+    out = W.route_media_type(
+        parsed.select(
+            "*",
+            h["http_status"].alias("http_status"),
+            h["http_content_type"].alias("http_content_type"),
+            h["payload"].alias("payload"),
+        )
+    )
+    rows = {r["target_uri"]: r for r in out.collect()}
+    rr = rows["https://r.example/"]
+    assert rr["http_status"] == 200
+    assert rr["http_content_type"] == "text/html"
+    assert rr["payload"] == "<html><body>hi</body></html>"
+    assert rr["lane"] == "html" and rr["len_ok"]
+    cc = rows["https://c.example/"]
+    assert cc["http_status"] is None and cc["lane"] == "text"
