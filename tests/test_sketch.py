@@ -219,3 +219,22 @@ def test_hll_estimate_ignores_stray_columns_without_by(spark):
     assert len(out) == 1
     clean = SK.hll_estimate(SK.hll_registers(df, "uid")).collect()[0]
     assert out[0]["est"] == clean["est"]
+
+
+def test_exact_quantiles_excludes_nulls(spark):
+    """NULLs must be excluded before the histogram (engines disagree on
+    NULL window sort position — Spark first, DuckDB last — so a NULL
+    bucket would skew running counts differently per engine): quantiles
+    and n are those of the non-null multiset exactly."""
+    from web_crawler_spark.operators.sketch import exact_quantiles
+
+    rows = [(None if i % 4 == 0 else (i % 7) + 1,) for i in range(100)]
+    df = spark.createDataFrame(rows, "v int")
+    vals = sorted(v for (v,) in rows if v is not None)
+    got = {r["p"]: (r["value"], r["n"])
+           for r in exact_quantiles(df, "v", [0.0, 0.5, 1.0]).collect()}
+    import math
+
+    for p in (0.0, 0.5, 1.0):
+        exp = vals[math.floor(p * (len(vals) - 1))]
+        assert got[p] == (exp, len(vals)), p
