@@ -376,3 +376,40 @@ def test_attach_bucketed_refuses_existing_catalog_name(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_attach_guard")
+
+
+def test_attach_bucketed_quotes_identifiers_and_path(spark, tmp_path):
+    """DDL hygiene: a LOCATION path containing a single quote must land as
+    an escaped literal (valid DDL, correct reads), and a table name the
+    catalog cannot hold must surface as the catalog's clean error — never
+    a broken-DDL ParseException from unquoted interpolation. (This
+    session catalog restricts names to [A-Za-z0-9_], so a weirder name
+    cannot exist at all; the quoting keeps the failure mode sane.)"""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        ParseException,
+    )
+
+    from web_crawler_spark import lake as L
+
+    d = tmp_path / "o'brien"
+    d.mkdir()
+    df = spark.range(0, 100).select(
+        F.col("id").alias("url"), (F.col("id") % 7).alias("v")
+    )
+    L.write_bucketed(df, "wcs_quote_src", str(d / "t"), "url", 4)
+    try:
+        att = L.attach_bucketed(spark, "wcs_quote_att", str(d / "t"), "url", 4)
+        assert att.count() == 100
+        assert att.filter(F.col("v") == 3).count() == df.filter("v = 3").count()
+        with pytest.raises(AnalysisException):
+            L.attach_bucketed(spark, "wcs-bad-name", str(d / "t"), "url", 4)
+        with pytest.raises((AnalysisException, ParseException)) as ei:
+            L.attach_bucketed(spark, "wcs_bad2; DROP TABLE x", str(d / "t"),
+                              "url", 4)
+        assert "INVALID" in str(ei.value) or "valid name" in str(ei.value)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wcs_quote_att")
+        spark.sql("DROP TABLE IF EXISTS wcs_quote_src")

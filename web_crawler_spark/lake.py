@@ -546,7 +546,14 @@ def attach_bucketed(
     the path (snapshot summary metadata is the natural place) and pass it
     back verbatim. Refuses to touch an existing catalog entry rather than
     dropping it (a same-named MANAGED table's data would go with it)."""
-    if spark.catalog.tableExists(name):
+    # quote identifiers and escape the location literal the same way the
+    # inferred-schema branch already quotes field names — a key or table
+    # name needing backquotes, or a path containing a single quote, must
+    # produce valid DDL, not a broken (or wrong) statement
+    qname = "`" + name.replace("`", "``") + "`"
+    qkey = "`" + key.replace("`", "``") + "`"
+    qpath = path.replace("'", "\\'")
+    if spark.catalog.tableExists(qname):
         raise ValueError(
             f"table {name!r} already exists in this session's catalog — "
             "drop it explicitly before re-attaching"
@@ -556,13 +563,6 @@ def attach_bucketed(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in spark.read.parquet(path).schema.fields
         )
-    # quote identifiers and escape the location literal the same way the
-    # inferred-schema branch already quotes field names — a key or table
-    # name needing backquotes, or a path containing a single quote, must
-    # produce valid DDL, not a broken (or wrong) statement
-    qname = "`" + name.replace("`", "``") + "`"
-    qkey = "`" + key.replace("`", "``") + "`"
-    qpath = path.replace("'", "\\'")
     spark.sql(
         f"CREATE TABLE {qname} ({schema_ddl}) USING PARQUET "
         f"CLUSTERED BY ({qkey}) SORTED BY ({qkey}) INTO {n_buckets} BUCKETS "
