@@ -4976,10 +4976,14 @@ def _fuzzy_greedy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Input synthesis for `fuzzy_dedup_greedy`, shared with
     tools/pin_oracles.py so the pin generator can feed the SAME records
     through the independent naive O(n^2) checker instead of the engine's
-    own kernel."""
+    own kernel. Every derived column is key-arithmetic (never an
+    SF-varying data column like c_mktsegment), so the fixture — and
+    therefore the VALUES pin — is identical at every scale factor (the
+    driver generates each SF independently; only key-derived columns are
+    stable across them)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
     base = c.select(
-        F.concat(F.lit("seg-"), F.lower("c_mktsegment")).alias("seed_host"),
+        F.concat(F.lit("seg-"), F.pmod(F.col("c_custkey"), F.lit(5)).cast("string")).alias("seed_host"),
         F.concat(F.lit("Office "), "c_name").alias("locationName"),
         F.concat(
             (F.lit(1) + F.col("c_custkey") % 999), F.lit(" Oak Avenue Suite "),
