@@ -701,3 +701,54 @@ def test_warc_gz_http_response_lane_composition(spark, tmp_path):
     assert rr["lane"] == "html" and rr["len_ok"]
     cc = rows["https://c.example/"]
     assert cc["http_status"] is None and cc["lane"] == "text"
+
+
+def test_warc_gz_binary_bodies_feed_image_pipeline(spark, tmp_path):
+    """The graft-cell archive lane end-to-end: an image/* response record
+    in a .warc.gz shard must come back BYTE-EXACT (a text decode would
+    corrupt it), pass the zero-decode header audit against its own
+    declared dims, and decode to the original pixels. Also covers the
+    framing-violation branch (short body → len_ok False, bytes kept)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark import images as IM
+    from web_crawler_spark.sources import warc as W
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    png = IM.encode_png(px)
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://img.example/a.png\r\n"
+        "WARC-Date: 2024-01-15T00:00:07Z\r\n"
+        f"Content-Length: {len(png)}\r\n\r\n"
+    )
+    rec_img = hdr.encode("ascii") + png + b"\r\n\r\n"
+    bad = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://img.example/trunc.png\r\n"
+        f"WARC-Date: 2024-01-15T00:00:08Z\r\nContent-Length: {len(png)}"
+        "\r\n\r\n"
+    ).encode("ascii") + png[: len(png) // 2] + b"\r\n\r\n"
+    W.write_warc_gz([rec_img, bad], str(tmp_path / "img.warc.gz"))
+
+    rows = {
+        r["target_uri"]: r
+        for r in W.read_warc_gz_binary(spark, str(tmp_path)).collect()
+    }
+    good = rows["https://img.example/a.png"]
+    assert good["len_ok"] and bytes(good["body"]) == png
+    trunc = rows["https://img.example/trunc.png"]
+    assert not trunc["len_ok"]
+    assert bytes(trunc["body"]) == png[: len(png) // 2]
+
+    # compose with the zero-decode audit + the decoder: the archive bytes
+    # are pipeline-ready without ever passing through a text codec
+    cat = spark.createDataFrame(
+        [("a", bytes(good["body"]), 16, 24, "png", "cap")],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string",
+    )
+    audit = IM.header_audit(cat).collect()[0]
+    assert audit["sniffed"] == "png" and audit["header_dims_ok"]
+    assert np.array_equal(IM.decode_png(bytes(good["body"])), px)

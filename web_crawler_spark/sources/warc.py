@@ -219,15 +219,99 @@ def read_warc_gz(
     )
 
 
-def write_warc_gz(records: "list[str]", path: str) -> None:
-    """Serialize records (full text including the ``WARC/1.0`` magic) as a
+def read_warc_gz_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Raw .warc.gz for the MEDIA lanes: bodies stay BYTES end-to-end
+    (an image/* response decoded through a text codec is corrupted — the
+    graft cell's payload column is ``binary``). Same member-gunzip scan
+    as :func:`read_warc_gz`; each member splits at the first CRLFCRLF
+    into an ASCII header block (parsed to the usual WARC fields by
+    column regexps) and a raw body:
+
+    - header declares a parseable Content-Length and the member carries
+      at least that many body bytes → ``body`` = exactly those bytes,
+      ``len_ok`` = whether the remainder is only the record separator
+      (trailing CRLFs);
+    - otherwise → the whole remainder minus the trailing separator,
+      ``len_ok`` = false (framing violations surface as data, bytes
+      preserved for the audit lane).
+
+    Returns (file, record_ord, warc_type, target_uri, warc_date,
+    content_length, body BINARY, len_ok). Compose with
+    ``images.header_audit`` / ``decode_image`` for the pair pipeline.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias("file"), "content")
+    )
+
+    import re
+
+    import pandas as pd
+
+    magic = RECORD_DELIM.encode("ascii")
+    clen_re = re.compile(rb"Content-Length: (\d+)")
+
+    def gunzip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cols = ["file", "record_ord", "_hdr", "body", "len_ok"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for file, blob in zip(pdf["file"], pdf["content"]):
+                for ord_, member in enumerate(gzip_members(blob)):
+                    if member.startswith(magic):
+                        member = member[len(magic):]
+                    sep = member.find(b"\r\n\r\n")
+                    if sep < 0:
+                        hdr, rest = member, b""
+                    else:
+                        hdr, rest = member[:sep], member[sep + 4:]
+                    m = clen_re.search(hdr)
+                    clen = int(m.group(1)) if m else None
+                    if clen is not None and len(rest) >= clen:
+                        body = rest[:clen]
+                        tail = rest[clen:]
+                        ok = tail in (b"", b"\r\n", b"\r\n\r\n")
+                    else:
+                        body = rest.rstrip(b"\r\n") if rest else rest
+                        ok = False
+                    out.append(
+                        (file, ord_, hdr.decode("utf-8", errors="replace"),
+                         body, ok)
+                    )
+                    if len(out) >= 256:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    rows = raw.mapInPandas(
+        gunzip,
+        schema="file string, record_ord long, _hdr string, "
+               "body binary, len_ok boolean",
+    )
+    h = lambda name: F.regexp_extract("_hdr", name + r": ([^\r\n]+)", 1)  # noqa: E731
+    return rows.select(
+        "file", "record_ord",
+        F.nullif(h("WARC-Type"), F.lit("")).alias("warc_type"),
+        F.nullif(h("WARC-Target-URI"), F.lit("")).alias("target_uri"),
+        F.nullif(h("WARC-Date"), F.lit("")).alias("warc_date"),
+        F.nullif(h("Content-Length"), F.lit("")).cast("long").alias("content_length"),
+        "body", "len_ok",
+    )
+
+
+def write_warc_gz(records: "list[str | bytes]", path: str) -> None:
+    """Serialize records (full record including the ``WARC/1.0`` magic;
+    str for text records, bytes for binary-body records) as a
     gzip-member-per-record shard — the fixture/writer twin of
-    :func:`read_warc_gz`. Deterministic bytes: mtime pinned to 0."""
+    :func:`read_warc_gz` / :func:`read_warc_gz_binary`. Deterministic
+    bytes: mtime pinned to 0."""
     import gzip
 
     with open(path, "wb") as f:
         for rec in records:
-            f.write(gzip.compress(rec.encode("utf-8"), mtime=0))
+            data = rec.encode("utf-8") if isinstance(rec, str) else rec
+            f.write(gzip.compress(data, mtime=0))
 
 
 def http_response(body: Column) -> Column:
