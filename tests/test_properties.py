@@ -225,3 +225,43 @@ def test_rfc3986_normalize_twin_parity_beyond_http(spark, urls):
     rows = df.select("url", U.rfc3986_normalize("url").alias("n")).collect()
     for r in rows:
         assert r["n"] == U.py_rfc3986_normalize(r["url"]), r["url"]
+
+
+# --------------------------------------------------- .warc.gz member split --
+@given(
+    st.lists(st.binary(min_size=0, max_size=4000), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=9),
+)
+@settings(max_examples=40, deadline=None)
+def test_gzip_members_roundtrip_any_member_sizes(members, level):
+    """gzip_members must recover EXACTLY the member payloads from any
+    concatenation — arbitrary sizes (including empty members), any
+    compression level, members straddling the internal feed chunks."""
+    import gzip
+
+    from web_crawler_spark.sources.warc import gzip_members
+
+    blob = b"".join(
+        gzip.compress(m, compresslevel=level, mtime=0) for m in members
+    )
+    assert list(gzip_members(blob)) == members
+
+
+@given(st.lists(st.binary(min_size=1, max_size=2000), min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_gzip_members_truncation_always_raises(members):
+    import gzip
+
+    import pytest
+
+    from web_crawler_spark.sources.warc import gzip_members
+
+    import zlib
+
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    # cutting inside the final member must raise (ours for a clean
+    # truncation, zlib's for a corrupted stream) — never yield a
+    # silently short or partially-decoded member list
+    cut = blob[: len(blob) - 5]
+    with pytest.raises((ValueError, zlib.error)):
+        list(gzip_members(cut))

@@ -222,8 +222,9 @@ def bpe_learn(
     )
     try:
         if strategy != "distributed":
-            n_vocab = words.count()
-            if strategy == "local" or n_vocab <= local_vocab_max:
+            # forced-local skips the sizing job entirely; auto pays one
+            # count against the already-persisted vocab table
+            if strategy == "local" or words.count() <= local_vocab_max:
                 wc = [
                     (r["_w"], int(r["_cnt"]))
                     for r in words.select("_w", "_cnt").collect()
