@@ -592,3 +592,101 @@ def test_header_audit_gif_rows_validate_against_metadata(spark):
     assert got["g1"]["sniffed"] == "gif" and got["g1"]["header_dims_ok"]
     assert got["g1"]["hdr_w"] == 64 and got["g1"]["hdr_h"] == 48
     assert not got["g2"]["header_dims_ok"]
+
+
+# ------------------------------------------------- full-filter PNG decode --
+def _png_bytes(px: "np.ndarray", ctype: int, row_filters: list) -> bytes:
+    """Hand-build a PNG with a CHOSEN filter per scanline (the encode-side
+    inverse of each spec predictor), so the decoder's filter coverage is
+    tested against independently constructed streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    bpp = ch
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = flat[y]
+        f = row_filters[y % len(row_filters)]
+        out = np.zeros(w * ch, dtype=np.int16)
+        for x in range(w * ch):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def test_decode_png_all_filters_rgb():
+    import numpy as np
+
+    from web_crawler_spark.images import decode_png
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _png_bytes(px, 2, filters)
+        got = decode_png(data)
+        assert np.array_equal(got, px), filters
+
+
+def test_decode_png_color_types():
+    import numpy as np
+
+    from web_crawler_spark.images import decode_png
+
+    rng = np.random.default_rng(4)
+    # grayscale → replicated channels
+    g = rng.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+    got = decode_png(_png_bytes(g, 0, [0, 4]))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # gray+alpha → alpha dropped, gray replicated
+    ga = rng.integers(0, 256, (6, 5, 2), dtype=np.uint8)
+    got = decode_png(_png_bytes(ga, 4, [2, 3]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    # RGBA → alpha dropped
+    rgba = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    got = decode_png(_png_bytes(rgba, 6, [1, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_decode_png_rejects_out_of_scope_streams():
+    import numpy as np
+    import pytest
+
+    from web_crawler_spark.images import decode_png
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _png_bytes(px, 2, [0])
+    # palette color type → the real-codec seam, loud
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 9] = 3  # IHDR color type byte
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(b"JUNK" + good[4:])

@@ -65,43 +65,84 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode the subset of PNG that encode_png emits (+ sub/up filters)."""
+    """Spec-conformant decode of non-interlaced 8-bit PNGs: ALL five
+    scanline filters (none/sub/up/average/Paeth, RFC 2083 §6) and the
+    color types a crawl actually meets — grayscale (0), RGB (2),
+    gray+alpha (4), RGBA (6). Output is always (h, w, 3) uint8: gray
+    replicates to three channels, alpha is dropped (the pair pipeline's
+    catalog schema is RGB; compositing policy belongs to the caller).
+    Palette (3), 16-bit, and interlaced streams still raise — they are
+    rare in the crawl and belong to the real-codec seam."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w, h, idat = 8, 0, 0, b""
+    pos, w, h, idat, ch = 8, 0, 0, b"", 3
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 2:
-                raise NotImplementedError("only RGB8 supported")
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8:
+                raise NotImplementedError("only bit depth 8 supported")
+            if inter != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {ctype}")
+            ch = channels
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + ln
     raw = zlib.decompress(idat)
-    stride = w * 3
-    out = np.zeros((h, w, 3), dtype=np.uint8)
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
     for y in range(h):
         f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8)
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        )
         if f == 0:
             cur = line.copy()
         elif f == 2:  # up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif f == 1:  # sub
+        elif f == 1:  # sub — sequential in x (left neighbor is the
+            # reconstructed byte), per-byte scan
             cur = line.copy()
-            for x in range(3, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - 3])) & 0xFF
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 3:  # average: floor((left + up) / 2)
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
         else:
-            raise NotImplementedError(f"PNG filter {f}")
-        out[y] = cur.reshape(w, 3)
+            raise ValueError(f"invalid PNG filter {f}")
+        out[y] = cur
         prev = cur
-    return out
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ch == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
 
 
 # --------------------------------------------------- lossy path (stubbed) --
