@@ -7998,6 +7998,79 @@ _WARC_HTTP_ORACLE = f"""
 """
 
 
+_CAPTION_Q_ORACLE = f"""
+    WITH caps AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN substr(text, 1, 80)
+               WHEN 1 THEN concat('Visit http://spam', doc_id,
+                                  '.example.com for more')
+               WHEN 2 THEN 'ok'
+               WHEN 3 THEN concat(repeat('#', 30), ' !!!')
+               WHEN 4 THEN concat(substr(text, 1, 40), ' stock photo')
+               ELSE ''
+             END AS caption
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, caption,
+             length(caption) AS n_chars,
+             CASE WHEN length(trim(caption)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(caption), '\\s+')) END
+               AS n_toks,
+             length(regexp_replace(caption, '[^A-Za-z0-9\\s]', '', 'g')) * 2
+               >= length(caption) AS alpha_ok,
+             regexp_matches(caption, '(https?://|www\\.)') AS has_url,
+             CASE WHEN (CASE WHEN len({_TOKS_SQL.format(col='caption')}) > 0
+                         THEN len(list_filter({_TOKS_SQL.format(col='caption')},
+                                x -> list_contains({_STOPS_SQL}, x)))::DOUBLE
+                              / len({_TOKS_SQL.format(col='caption')})
+                         ELSE 0.0 END) >= 0.05
+                   AND length(regexp_replace(caption, '[^A-Za-z0-9\\s]', '',
+                                             'g'))::DOUBLE
+                       / greatest(length(caption), 1) >= 0.9
+             THEN 'en' ELSE 'unknown' END AS cap_lang
+      FROM caps
+    )
+    SELECT doc_id, n_chars::BIGINT AS cap_n_chars,
+           n_toks::BIGINT AS cap_n_tokens, alpha_ok AS cap_alpha_ok,
+           has_url AS cap_has_url, cap_lang,
+           (n_chars BETWEEN 10 AND 512) AND (n_toks BETWEEN 3 AND 77)
+             AND alpha_ok AND NOT has_url AS cap_keep
+    FROM m
+"""
+
+
+@query("caption_quality", oracle=_CAPTION_Q_ORACLE)
+def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style caption curation gate (images.py:caption_quality) over
+    synthesized captions with planted junk — a URL caption, a too-short
+    one, a symbol-soup one, and an empty one per 6-doc cycle — proving
+    the length window, integer alpha cross-multiplication, URL predicate,
+    ride-along lang-ID, and the conjunction all mirror engine-exactly."""
+    from web_crawler_spark import images as IM
+
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    caption = (
+        F.when(k % 6 == 0, F.substring("text", 1, 80))
+        .when(k % 6 == 1, F.concat(F.lit("Visit http://spam"),
+                                   k.cast("string"),
+                                   F.lit(".example.com for more")))
+        .when(k % 6 == 2, F.lit("ok"))
+        .when(k % 6 == 3, F.concat(F.repeat(F.lit("#"), 30), F.lit(" !!!")))
+        .when(k % 6 == 4, F.concat(F.substring("text", 1, 40),
+                                   F.lit(" stock photo")))
+        .otherwise(F.lit(""))
+    )
+    pairs = d.select("doc_id", caption.alias("caption"))
+    out = IM.caption_quality(pairs)
+    return out.select(
+        "doc_id", "cap_n_chars", "cap_n_tokens", "cap_alpha_ok",
+        "cap_has_url", "cap_lang", "cap_keep",
+    )
+
+
 _WARC_GZ_ORACLE = """
     WITH src AS (
       SELECT o_orderkey AS k,

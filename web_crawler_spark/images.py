@@ -864,6 +864,58 @@ def read_webdataset(spark, path: str) -> DataFrame:
 
 
 # ----------------------------------------- caption election per cluster -----
+def caption_quality(
+    pairs: DataFrame, caption_col: str = "caption"
+) -> DataFrame:
+    """LAION-style caption curation gate — the text half of pair curation
+    (Schuhmann et al. 2021 release filters, integerized where a ratio
+    would drift between engines): before any model-based scoring, drop
+    pairs whose caption cannot possibly supervise an image.
+
+    Adds columns (pure codegen column algebra, zero shuffle, mirrored
+    verbatim in the DuckDB oracle):
+
+    - ``cap_n_chars`` / ``cap_n_tokens`` — length and whitespace token
+      count (the LAION floor is 5 chars; this gate uses 10 and a
+      3..77-token window, 77 = the CLIP text-encoder context);
+    - ``cap_alpha_ok`` — at least half the characters are
+      alphanumeric/space (2·alnum ≥ chars, integer cross-multiplied);
+    - ``cap_has_url`` — http(s)/www in the caption (boilerplate alt-text
+      like "visit www.site.com" supervises nothing);
+    - ``cap_lang`` — the engine's lang-ID heuristic on the caption,
+      riding along for per-language corpus mixing (NOT part of the keep
+      rule: multilingual pair corpora keep non-English);
+    - ``cap_keep`` — the conjunction.
+
+    A model alignment score (CLIP similarity) slots in downstream AS
+    DATA, exactly like ``model_score_gate`` — this gate is the cheap
+    scan-speed prefilter that spares the model the junk.
+    """
+    from web_crawler_spark.functions import text as TX
+
+    c = F.col(caption_col)
+    n_chars = F.length(c)
+    n_toks = TX.token_count(c)
+    alpha_ok = (
+        F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", "")) * 2 >= n_chars
+    )
+    has_url = c.rlike(r"(https?://|www\.)")
+    keep = (
+        (n_chars >= 10) & (n_chars <= 512)
+        & (n_toks >= 3) & (n_toks <= 77)
+        & alpha_ok & ~has_url
+    )
+    return pairs.select(
+        "*",
+        n_chars.cast("long").alias("cap_n_chars"),
+        n_toks.cast("long").alias("cap_n_tokens"),
+        alpha_ok.alias("cap_alpha_ok"),
+        has_url.alias("cap_has_url"),
+        TX.lang_id(c).alias("cap_lang"),
+        keep.alias("cap_keep"),
+    )
+
+
 def elect_captions(
     pairs: DataFrame,
     dup_pairs: DataFrame,
