@@ -867,10 +867,14 @@ def read_webdataset(spark, path: str) -> DataFrame:
 def caption_quality(
     pairs: DataFrame, caption_col: str = "caption"
 ) -> DataFrame:
-    """LAION-style caption curation gate — the text half of pair curation
-    (Schuhmann et al. 2021 release filters, integerized where a ratio
-    would drift between engines): before any model-based scoring, drop
-    pairs whose caption cannot possibly supervise an image.
+    """Caption METRICS companion to :func:`curate_pairs`: where
+    curate_pairs is the release gate (keep / first-failing-reason
+    cascade), this op annotates WITHOUT deciding — the columns a corpus
+    datasheet, a per-language mixing stage (UniMax/temperature over
+    ``cap_lang``), or a quality-stratified sampler consume. Rules are
+    the LAION release filters (Schuhmann et al. 2021), integerized where
+    a ratio would drift between engines, with the windows curate_pairs
+    does not carry (the 77-token CLIP text context, the alpha floor).
 
     Adds columns (pure codegen column algebra, zero shuffle, mirrored
     verbatim in the DuckDB oracle):
@@ -888,8 +892,11 @@ def caption_quality(
     - ``cap_keep`` — the conjunction.
 
     A model alignment score (CLIP similarity) slots in downstream AS
-    DATA, exactly like ``model_score_gate`` — this gate is the cheap
-    scan-speed prefilter that spares the model the junk.
+    DATA, exactly like ``model_score_gate``. ``cap_keep`` approximates
+    curate_pairs' caption-side verdict for pipelines that want metrics
+    and decision from one pass; the release pipeline's authoritative
+    gate (which also names its reject reason and covers the image side)
+    remains curate_pairs.
     """
     from web_crawler_spark.functions import text as TX
 
