@@ -463,3 +463,45 @@ def test_text_corpus_chunking_short_docs_pass_through_verbatim(spark):
         b = base[r["doc_id"]]
         assert r["text_redacted"] == b["text_redacted"]
         assert (r["split"], r["n_tokens"]) == (b["split"], b["n_tokens"])
+
+
+def test_pair_corpus_language_mixing(spark):
+    """lang_mix_budget: caption lang-ID strata + temperature sampling
+    inside the pair build — head language flattened toward the budget,
+    deterministic across reruns, provenance columns present."""
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.plans.corpus import build_pair_corpus
+
+    rows = []
+    for i in range(300):
+        en = i % 4 != 0  # 225 english-ish, 75 junk-lang
+        cap = (
+            f"the house and the tree are near the water {i}"
+            if en else f"zzz{i} qqq xxx"
+        )
+        # spread phash bits (sequential ints are pairwise hamming-close
+        # and would all collapse as near-dups)
+        ph = (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+        rows.append((f"img{i:04d}", None, 64, 64, "png", cap, ph))
+    pairs = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    out = build_pair_corpus(pairs, lang_mix_budget=120).cache()
+    try:
+        assert {"cap_lang", "temp_copies"} <= set(out.columns)
+        by = {r["cap_lang"]: r["n"] for r in
+              out.groupBy("cap_lang").agg(F.count("*").alias("n")).collect()}
+        # both strata survive and the head stratum is flattened: its
+        # share of survivors is well under its input share
+        assert set(by) == {"en", "unknown"}
+        assert by["en"] < 225
+        assert by["unknown"] >= 1
+        # deterministic rerun
+        again = build_pair_corpus(pairs, lang_mix_budget=120)
+        assert sorted(r["image_id"] for r in out.select("image_id").collect()) \
+            == sorted(r["image_id"] for r in again.select("image_id").collect())
+    finally:
+        out.unpersist()

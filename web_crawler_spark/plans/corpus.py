@@ -299,13 +299,19 @@ def build_pair_corpus(
     shard_bytes: int = 4 * 1024 * 1024,
     n_writers: int = 8,
     elect_caption: bool = False,
+    lang_mix_budget: int | None = None,
+    lang_mix_alpha: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """Image+caption pairs (input_hint schema) → training-ready release.
 
     Metadata gates first (images.curate_pairs — rejected rows never
     decode), then the optional caption language gate (``caption_lang``:
     keep pairs whose caption language-IDs to the target, the LAION-2B-en
-    split move), then the optional model-score gate (``model_scores``
+    split move) — or, for multilingual releases, ``lang_mix_budget``:
+    caption lang-ID becomes the mixing stratum and temperature sampling
+    (n^alpha, dedup.temperature_sample) flattens head-language skew to
+    the budget, appending ``cap_lang`` + ``temp_copies`` as loader-side
+    replay provenance — then the optional model-score gate (``model_scores``
     table of NSFW/aesthetic/watermark scores as data —
     images.model_score_gate; unscored pairs drop), then exact caption
     dedup (the LAION-style collapse of the boilerplate captions
@@ -337,6 +343,23 @@ def build_pair_corpus(
         from web_crawler_spark.functions.text import lang_id
 
         kept = kept.filter(lang_id(F.col("caption")) == caption_lang)
+    elif lang_mix_budget is not None:
+        # the multilingual alternative to the hard language gate: caption
+        # lang-ID (images.caption_quality's cap_lang) becomes the mixing
+        # stratum and temperature sampling (n^alpha) flattens the
+        # head-language skew to the budget — deterministic copy counts,
+        # O(#languages) driver metadata, zero corpus joins
+        from web_crawler_spark.images import caption_quality
+        from web_crawler_spark.operators.dedup import temperature_sample
+
+        annotated = caption_quality(kept)
+        kept = temperature_sample(
+            annotated, stratum="cap_lang", key="image_id",
+            budget=lang_mix_budget, alpha=lang_mix_alpha, salt="pairmix",
+        ).drop(
+            "cap_n_chars", "cap_n_tokens", "cap_alpha_ok", "cap_has_url",
+            "temp_bucket", "temp_alloc",
+        )
     if model_scores is not None:
         from web_crawler_spark.images import model_score_gate
 
