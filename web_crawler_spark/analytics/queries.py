@@ -8098,10 +8098,22 @@ _WARC_GZ_ORACLE = """
              '2024-01-15T00:00:02Z', length(page_text),
              concat('copy: ', page_text), FALSE
       FROM src)
-    SELECT concat('shard', shard) AS shard,
+    SELECT 'text' AS lane, concat('shard', shard) AS shard,
            record_ord::BIGINT AS record_ord, warc_type, target_uri,
            warc_date, content_length::BIGINT AS content_length,
            md5(body) AS body_md5, len_ok
+    FROM recs
+    UNION ALL
+    -- the binary-body reader over the SAME shards: bodies are
+    -- Content-Length-sliced BYTES; md5 over the ASCII payload is
+    -- engine-identical, and the planted violation record keeps its
+    -- declared-length prefix (first content_length bytes of the
+    -- 'copy: '-prefixed body) with len_ok=false
+    SELECT 'bin', concat('shard', shard), record_ord::BIGINT, warc_type,
+           target_uri, warc_date, content_length::BIGINT,
+           md5(CASE WHEN len_ok THEN body
+                    ELSE substr(body, 1, content_length) END),
+           len_ok
     FROM recs
 """
 
@@ -8117,10 +8129,14 @@ def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     column kernel, with the per-order framing-violation record proving
     Content-Length validation survives the compressed path. The fixture
     write is a driver-side sink (like the other sink-roundtrip arms);
-    the read path is the distributed surface under test. The oracle is
-    CLOSED-FORM — it constructs the expected records directly from the
-    orders table and never re-parses, so gz splitting, gunzip, framing,
-    and field extraction are all independently checked."""
+    the read path is the distributed surface under test. Two lanes over
+    the SAME shards: ``text`` = read_warc_gz (decoded-string bodies),
+    ``bin`` = read_warc_gz_binary (Content-Length-sliced BYTE bodies —
+    the planted violation record surfaces its declared-length prefix
+    with len_ok=false). The oracle is CLOSED-FORM — it constructs the
+    expected records directly from the orders table and never
+    re-parses, so gz splitting, gunzip, framing, byte slicing, and
+    field extraction are all independently checked."""
     import tempfile
     from collections import defaultdict
 
@@ -8164,12 +8180,18 @@ def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"Content-Length: {len(pt)}{crlf}{crlf}copy: {pt}{crlf}{crlf}"
             )
         W.write_warc_gz(recs, f"{d}/shard{shard}.warc.gz")
-    out = W.read_warc_gz(spark, d)
-    return out.select(
-        F.regexp_extract("file", r"(shard\d+)\.warc\.gz", 1).alias("shard"),
+    shard_col = F.regexp_extract("file", r"(shard\d+)\.warc\.gz", 1)
+    text = W.read_warc_gz(spark, d).select(
+        F.lit("text").alias("lane"), shard_col.alias("shard"),
         "record_ord", "warc_type", "target_uri", "warc_date",
         "content_length", F.md5("body").alias("body_md5"), "len_ok",
     )
+    binary = W.read_warc_gz_binary(spark, d).select(
+        F.lit("bin").alias("lane"), shard_col.alias("shard"),
+        "record_ord", "warc_type", "target_uri", "warc_date",
+        "content_length", F.md5("body").alias("body_md5"), "len_ok",
+    )
+    return text.unionByName(binary)
 
 
 def _warc_http_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
