@@ -111,26 +111,38 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line.copy()
         elif f == 2:  # up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif f == 1:  # sub — sequential in x (left neighbor is the
-            # reconstructed byte), per-byte scan
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
-        elif f == 3:  # average: floor((left + up) / 2)
-            cur = line.copy()
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth predictor
-            cur = line.copy()
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+        elif f == 1:
+            # sub: recon[i] = Σ line[0..i] per channel lane (mod-256
+            # addition is associative) — a vectorized prefix sum, no
+            # per-byte scan
+            cur = (
+                line.reshape(w, bpp).astype(np.uint64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):
+            # average / Paeth are sequential in x (the predictor reads the
+            # reconstructed LEFT byte), so no prefix trick applies; a plain
+            # Python-int loop over bytes()/list beats both numpy scalar
+            # indexing (~2×) and per-pixel lane vectorization (~10× — the
+            # 3-wide array ops are all overhead) at this dependency shape
+            lb = bytes(line)
+            pl = prev.tolist()
+            cl = [0] * stride
+            if f == 3:  # average: floor((left + up) / 2)
+                for x in range(stride):
+                    left = cl[x - bpp] if x >= bpp else 0
+                    cl[x] = (lb[x] + ((left + pl[x]) >> 1)) & 0xFF
+            else:  # Paeth predictor
+                for x in range(stride):
+                    a = cl[x - bpp] if x >= bpp else 0
+                    b = pl[x]
+                    c = pl[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    cl[x] = (lb[x] + pred) & 0xFF
+            cur = np.array(cl, dtype=np.uint8)
         else:
             raise ValueError(f"invalid PNG filter {f}")
         out[y] = cur
