@@ -752,3 +752,22 @@ def test_warc_gz_binary_bodies_feed_image_pipeline(spark, tmp_path):
     audit = IM.header_audit(cat).collect()[0]
     assert audit["sniffed"] == "png" and audit["header_dims_ok"]
     assert np.array_equal(IM.decode_png(bytes(good["body"])), px)
+
+
+def test_warc_gz_binary_preserves_trailing_crlf_payload_bytes(spark, tmp_path):
+    """A record with NO parseable Content-Length whose payload ends in
+    CR/LF bytes: the fallback strips AT MOST the record separator, never
+    payload bytes (an earlier rstrip(b'\\r\\n') would eat them)."""
+    from web_crawler_spark.sources import warc as W
+
+    payload = b"line one\nline two\r\n"  # payload legitimately ends CRLF
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://t.example/x\r\n"
+        b"WARC-Date: 2024-01-15T00:00:09Z\r\n\r\n"  # no Content-Length
+        + payload + b"\r\n\r\n"
+    )
+    W.write_warc_gz([rec], str(tmp_path / "t.warc.gz"))
+    r = W.read_warc_gz_binary(spark, str(tmp_path)).collect()[0]
+    assert not r["len_ok"] and r["content_length"] is None
+    assert bytes(r["body"]) == payload

@@ -13,7 +13,8 @@ Caveat recorded with the numbers: in local mode "broadcast" is an
 intra-process copy, so the measured crossover UNDERSTATES broadcast cost
 vs a real cluster (per-executor network fan-out + driver memory
 pressure); the cluster crossover arrives earlier, which is why the
-shipped default (256 MiB) is well under the largest size measured here.
+shipped default (64 MiB, seen_filter.BROADCAST_BYTES_MAX — tuned FROM
+this benchmark) sits at the measured knee rather than past it.
 
 Usage: python tools/bench_seen_filter.py [--rows 2000000] [--cores 8]
 Prints one JSON line per (sketch, size, mode) cell plus a summary table.

@@ -5,10 +5,12 @@ table is (image_id, bytes, w, h, fmt, caption, phash). This module makes
 the Spark-side plumbing real — schema, Arrow batching, mapInPandas UDF
 shape, partitioning — with a self-contained deterministic codec:
 
-- PNG: a real, spec-conformant encoder/decoder (zlib + numpy, filter 0 /
-  Paeth-free) — lossless round-trip, bit-exact across runs. No external
-  image library is present in this environment, so this minimal codec IS
-  the production seam; swapping in Pillow/libvips changes one function.
+- PNG: a real, spec-conformant encoder/decoder (zlib + numpy; the
+  encoder emits filter 0, the decoder reconstructs ALL five scanline
+  filters and the gray/gray-alpha/RGB/RGBA color types) — lossless
+  round-trip, bit-exact across runs. No external image library is
+  present in this environment, so this codec IS the production seam;
+  swapping in Pillow/libvips changes one function.
 - JPEG: genuine DCT quantization is stubbed (no codec lib available). The
   lossy path is modeled by a clearly-marked deterministic surrogate —
   uniform pixel quantization at "quality" q — which preserves the property
@@ -912,7 +914,11 @@ def caption_quality(
     """
     from web_crawler_spark.functions import text as TX
 
-    c = F.col(caption_col)
+    # NULL captions behave as empty: every metric concrete (0 / False /
+    # 'unknown'), never NULL — the header_audit rule ("a row that cannot
+    # prove X never passes") holds for negated filters and boolean
+    # aggregations over these columns too
+    c = F.coalesce(F.col(caption_col), F.lit(""))
     n_chars = F.length(c)
     n_toks = TX.token_count(c)
     alpha_ok = (

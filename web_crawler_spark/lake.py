@@ -548,11 +548,15 @@ def attach_bucketed(
     dropping it (a same-named MANAGED table's data would go with it)."""
     # quote identifiers and escape the location literal the same way the
     # inferred-schema branch already quotes field names — a key or table
-    # name needing backquotes, or a path containing a single quote, must
-    # produce valid DDL, not a broken (or wrong) statement
-    qname = "`" + name.replace("`", "``") + "`"
+    # name needing backquotes, or a path containing a quote or backslash,
+    # must produce valid DDL, not a broken (or wrong) statement. Dots
+    # split multi-part identifiers (db.table) BEFORE quoting so qualified
+    # names keep resolving to their database.
+    qname = ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
     qkey = "`" + key.replace("`", "``") + "`"
-    qpath = path.replace("'", "\\'")
+    qpath = path.replace("\\", "\\\\").replace("'", "\\'")
     if spark.catalog.tableExists(qname):
         raise ValueError(
             f"table {name!r} already exists in this session's catalog — "

@@ -1397,6 +1397,9 @@ def semantic_dedup_pairs(
         # rows) exactly as embedding_neardup_pairs derives n_bits. A
         # FIXED centroid count at growing n is the scale trap: lists grow
         # as n/k and the within-list self-join goes quadratic.
+        # NOTE: this sizing runs one eager count() over df at call time
+        # (one extra upstream pass when df is unpersisted lineage) — pass
+        # n_centroids or a trained codebook explicitly to stay fully lazy.
         import math as _m
 
         n = df.count()

@@ -358,7 +358,7 @@ def build_pair_corpus(
             budget=lang_mix_budget, alpha=lang_mix_alpha, salt="pairmix",
         ).drop(
             "cap_n_chars", "cap_n_tokens", "cap_alpha_ok", "cap_has_url",
-            "temp_bucket", "temp_alloc",
+            "cap_keep", "temp_bucket", "temp_alloc",
         )
     if model_scores is not None:
         from web_crawler_spark.images import model_score_gate

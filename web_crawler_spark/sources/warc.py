@@ -169,6 +169,41 @@ def gzip_members(blob) -> "Iterator[bytes]":
                 return
 
 
+def _scan_gz_members(
+    spark: SparkSession, path: str, row_builder, schema: str
+) -> DataFrame:
+    """Shared .warc.gz member scan: binaryFile blobs → per-member gunzip →
+    ``row_builder(file, ord, member_bytes_sans_magic) -> tuple`` rows in
+    256-row Arrow batches. Both gz readers ride this one scaffold so the
+    batching/magic/truncation policy cannot silently diverge between the
+    text and binary lanes."""
+    import pandas as pd
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias("file"), "content")
+    )
+    magic = RECORD_DELIM.encode("ascii")
+    cols = [c.strip().split(" ")[0] for c in schema.split(",")]
+
+    def gunzip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: list[tuple] = []
+            for file, blob in zip(pdf["file"], pdf["content"]):
+                for ord_, member in enumerate(gzip_members(blob)):
+                    if member.startswith(magic):
+                        member = member[len(magic):]
+                    out.append(row_builder(file, ord_, member))
+                    if len(out) >= 256:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return raw.mapInPandas(gunzip, schema=schema)
+
+
 def read_warc_gz(
     spark: SparkSession, path: str, encoding: str = "utf-8"
 ) -> DataFrame:
@@ -182,37 +217,16 @@ def read_warc_gz(
     its own string; the whole-file DEcompressed form never exists) → the
     existing ``wet_record`` column kernel. record_ord is the member's
     position in its shard. Bodies decode with ``errors='replace'`` —
-    binary payloads (image records in full WARC) belong on the
-    bytes-preserving lane, not this text kernel.
+    binary payloads (image records in full WARC) belong on
+    :func:`read_warc_gz_binary`, not this text kernel.
     """
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select(F.col("path").alias("file"), "content")
+
+    def build(file, ord_, member):
+        return (file, ord_, member.decode(encoding, errors="replace"))
+
+    rows = _scan_gz_members(
+        spark, path, build, "file string, record_ord long, _rec string"
     )
-
-    import pandas as pd
-
-    magic = RECORD_DELIM.encode(encoding)
-
-    def gunzip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        cols = ["file", "record_ord", "_rec"]
-        for pdf in batches:
-            out: list[tuple] = []
-            for file, blob in zip(pdf["file"], pdf["content"]):
-                for ord_, member in enumerate(gzip_members(blob)):
-                    if member.startswith(magic):
-                        member = member[len(magic):]
-                    out.append(
-                        (file, ord_, member.decode(encoding, errors="replace"))
-                    )
-                    if len(out) >= 256:
-                        yield pd.DataFrame(out, columns=cols)
-                        out = []
-            if out:
-                yield pd.DataFrame(out, columns=cols)
-
-    rows = raw.mapInPandas(gunzip, schema="file string, record_ord long, _rec string")
     return rows.withColumn("_p", wet_record(F.col("_rec"))).select(
         "file", "record_ord",
         *[F.col(f"_p.{f.split(' ')[0]}") for f in _FIELDS.split(", ")],
@@ -231,63 +245,42 @@ def read_warc_gz_binary(spark: SparkSession, path: str) -> DataFrame:
       at least that many body bytes → ``body`` = exactly those bytes,
       ``len_ok`` = whether the remainder is only the record separator
       (trailing CRLFs);
-    - otherwise → the whole remainder minus the trailing separator,
-      ``len_ok`` = false (framing violations surface as data, bytes
-      preserved for the audit lane).
+    - otherwise → the whole remainder minus at most one trailing
+      record separator (CRLFCRLF), ``len_ok`` = false (framing
+      violations surface as data, bytes preserved VERBATIM for the
+      audit lane — never a CR/LF strip that could eat payload bytes).
 
     Returns (file, record_ord, warc_type, target_uri, warc_date,
     content_length, body BINARY, len_ok). Compose with
     ``images.header_audit`` / ``decode_image`` for the pair pipeline.
     """
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select(F.col("path").alias("file"), "content")
-    )
-
     import re
 
-    import pandas as pd
-
-    magic = RECORD_DELIM.encode("ascii")
     clen_re = re.compile(rb"Content-Length: (\d+)")
 
-    def gunzip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        cols = ["file", "record_ord", "_hdr", "body", "len_ok"]
-        for pdf in batches:
-            out: list[tuple] = []
-            for file, blob in zip(pdf["file"], pdf["content"]):
-                for ord_, member in enumerate(gzip_members(blob)):
-                    if member.startswith(magic):
-                        member = member[len(magic):]
-                    sep = member.find(b"\r\n\r\n")
-                    if sep < 0:
-                        hdr, rest = member, b""
-                    else:
-                        hdr, rest = member[:sep], member[sep + 4:]
-                    m = clen_re.search(hdr)
-                    clen = int(m.group(1)) if m else None
-                    if clen is not None and len(rest) >= clen:
-                        body = rest[:clen]
-                        tail = rest[clen:]
-                        ok = tail in (b"", b"\r\n", b"\r\n\r\n")
-                    else:
-                        body = rest.rstrip(b"\r\n") if rest else rest
-                        ok = False
-                    out.append(
-                        (file, ord_, hdr.decode("utf-8", errors="replace"),
-                         body, ok)
-                    )
-                    if len(out) >= 256:
-                        yield pd.DataFrame(out, columns=cols)
-                        out = []
-            if out:
-                yield pd.DataFrame(out, columns=cols)
+    def build(file, ord_, member):
+        sep = member.find(b"\r\n\r\n")
+        if sep < 0:
+            hdr, rest = member, b""
+        else:
+            hdr, rest = member[:sep], member[sep + 4:]
+        m = clen_re.search(hdr)
+        clen = int(m.group(1)) if m else None
+        if clen is not None and len(rest) >= clen:
+            body = rest[:clen]
+            tail = rest[clen:]
+            ok = tail in (b"", b"\r\n", b"\r\n\r\n")
+        else:
+            # strip AT MOST the record separator — never payload bytes
+            # that legitimately end in CR/LF
+            body = rest.removesuffix(b"\r\n\r\n")
+            ok = False
+        return (file, ord_, hdr.decode("utf-8", errors="replace"), body, ok)
 
-    rows = raw.mapInPandas(
-        gunzip,
-        schema="file string, record_ord long, _hdr string, "
-               "body binary, len_ok boolean",
+    rows = _scan_gz_members(
+        spark, path, build,
+        "file string, record_ord long, _hdr string, "
+        "body binary, len_ok boolean",
     )
     h = lambda name: F.regexp_extract("_hdr", name + r": ([^\r\n]+)", 1)  # noqa: E731
     return rows.select(
