@@ -771,3 +771,30 @@ def test_warc_gz_binary_preserves_trailing_crlf_payload_bytes(spark, tmp_path):
     r = W.read_warc_gz_binary(spark, str(tmp_path)).collect()[0]
     assert not r["len_ok"] and r["content_length"] is None
     assert bytes(r["body"]) == payload
+
+
+def test_http_response_binary_kernel(spark):
+    """Binary-safe HTTP parse: latin-1 offset view locates the header
+    block, the entity slices out of the ORIGINAL binary column byte-exact
+    (including non-UTF8 bytes a text decode would mangle); non-HTTP and
+    empty bodies come back all-NULL."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.sources import warc as W
+
+    png = b"\x89PNG\r\n\x1a\nFAKE\x00\xff\x01binary\r\npayload\xfe"
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+           b"Server: s\r\n\r\n" + png)
+    df = spark.createDataFrame(
+        [(msg,), (b"not http at all",), (b"",)], "body binary"
+    )
+    h = W.http_response_binary(F.col("body"))
+    rows = df.select(
+        h["http_status"].alias("st"),
+        h["http_content_type"].alias("ct"),
+        h["payload"].alias("p"),
+    ).collect()
+    assert rows[0]["st"] == 200 and rows[0]["ct"] == "image/png"
+    assert bytes(rows[0]["p"]) == png
+    assert rows[1]["st"] is None and rows[1]["p"] is None
+    assert rows[2]["st"] is None

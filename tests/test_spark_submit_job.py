@@ -84,3 +84,42 @@ def test_spark_submit_corpus_job(tmp_path):
     assert pairs["wds_shards"] >= 1 and pairs["wds_bytes"] > 0
     tars = [f for f in os.listdir(tmp_path / "wds") if f.endswith(".tar")]
     assert len(tars) == pairs["wds_shards"]
+
+
+def test_spark_submit_ingest_warc_job(tmp_path):
+    """The archive-replay job end-to-end under spark-submit: synthesized
+    .warc.gz shards → binary-lane bytes + markup captions → pair lake
+    with lineage + metrics; pairs decode and captions match the page
+    markup contract."""
+    if not os.path.exists(SPARK_SUBMIT):
+        import pytest
+
+        pytest.skip("spark-submit not available")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "package_pyfiles.py")],
+        check=True,
+    )
+    arc, out = str(tmp_path / "arc"), str(tmp_path / "pairs")
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", os.path.join(ROOT, "dist", "wcs.zip"),
+        os.path.join(ROOT, "jobs", "ingest_warc_job.py"),
+        "--archive", arc, "--out", out, "--synthesize", "3", "--pages", "6",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=400,
+                         check=True)
+    m = json.loads(res.stdout.strip().splitlines()[-1])
+    assert m["pairs"] > 0 and m["records"] > m["pairs"]
+    assert m["hosts"] == 3
+
+    # snapshot metadata: lineage per host + the job's summary metrics
+    import glob
+
+    snaps = sorted(glob.glob(os.path.join(out, "metadata", "snap-*.json")))
+    assert snaps
+    snap = json.load(open(snaps[-1]))
+    assert snap["summary"]["n_pairs"] == m["pairs"]
+    assert len(snap["partition_lineage"]) == 3
+    assert sum(snap["partition_lineage"].values()) == m["pairs"]

@@ -335,6 +335,39 @@ def http_response(body: Column) -> Column:
     )
 
 
+def http_response_binary(body: Column, max_header: int = 2048) -> Column:
+    """Binary-safe twin of :func:`http_response` for the MEDIA lanes: the
+    HTTP/1.x message arrives as BYTES (an image entity must never pass a
+    text codec), so the header block is located through an ISO-8859-1
+    view of the first ``max_header`` bytes — latin-1 maps bytes to code
+    points 1:1, so string offsets ARE byte offsets and the decode can
+    never fail — and the entity is sliced out of the original binary
+    column. Pure column algebra (decode/locate/substr), no Python.
+
+    Returns struct(http_status int, http_content_type string,
+    payload binary). Non-HTTP bodies come back all-NULL, like the text
+    twin. A header block longer than ``max_header`` bytes parses as
+    non-HTTP (raise the bound for exotic servers).
+    """
+    view = F.decode(F.substr(body, F.lit(1), F.lit(max_header)), "ISO-8859-1")
+    is_http = view.rlike(r"^HTTP/1\.[01] \d{3}")
+    sep = F.locate("\r\n\r\n", view)  # 1-based; 0 = not found
+    hd = F.substring_index(view, "\r\n\r\n", 1)
+    status = F.regexp_extract(hd, r"^HTTP/1\.[01] (\d{3})", 1).cast("int")
+    ctype = F.nullif(
+        F.regexp_extract(hd, r"\r\nContent-Type: ([^\r\n;]+)", 1), F.lit("")
+    )
+    ok = is_http & (sep > 0)
+    payload = F.substr(
+        body, sep + F.lit(4), F.length(body)
+    )
+    return F.struct(
+        F.when(ok, status).alias("http_status"),
+        F.when(ok, ctype).alias("http_content_type"),
+        F.when(ok, payload).alias("payload"),
+    )
+
+
 def parse_warc_responses(
     df: DataFrame, col: str = "warc", keep: list[str] | None = None
 ) -> DataFrame:
