@@ -798,3 +798,30 @@ def test_http_response_binary_kernel(spark):
     assert bytes(rows[0]["p"]) == png
     assert rows[1]["st"] is None and rows[1]["p"] is None
     assert rows[2]["st"] is None
+
+
+def test_wat_outlinks_parse_and_malformed_rows(spark):
+    """wat_outlinks: canonical-path extraction, records with no links or
+    malformed JSON yield zero rows (never a misparse or a crash)."""
+    from web_crawler_spark.sources import warc as W
+
+    good = (
+        '{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": '
+        '{"HTML-Metadata": {"Links": [{"path": "A@/href", '
+        '"url": "https://a.example/x"}, {"path": "IMG@/src", '
+        '"url": "/img/1.png"}]}}}}}'
+    )
+    nolinks = '{"Envelope": {"Payload-Metadata": {}}}'
+    df = spark.createDataFrame(
+        [("https://p1/", good), ("https://p2/", nolinks),
+         ("https://p3/", "{not json"), ("https://p4/", None)],
+        "target_uri string, body string",
+    )
+    rows = sorted(
+        (r["src"], r["link_ord"], r["link_path"], r["url"])
+        for r in W.wat_outlinks(df).collect()
+    )
+    assert rows == [
+        ("https://p1/", 0, "A@/href", "https://a.example/x"),
+        ("https://p1/", 1, "IMG@/src", "/img/1.png"),
+    ]

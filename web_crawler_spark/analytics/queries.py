@@ -8071,6 +8071,79 @@ def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAT_ORACLE = """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             concat('https://w', o_orderkey % 40, '.example.com/p',
+                    o_orderkey) AS page
+      FROM orders WHERE o_orderkey % 25 = 0),
+    links AS (
+      SELECT k, page, i AS link_ord,
+             CASE i WHEN 0 THEN concat('https://w', (k + 1) % 40,
+                                       '.example.com/p', k + 1)
+                    WHEN 1 THEN concat('/rel/p', k % 97)
+                    ELSE concat('https://cdn', k % 5,
+                                '.example.net/a', k) END AS url,
+             CASE i WHEN 0 THEN 'A@/href' WHEN 1 THEN 'A@/href'
+                    ELSE 'IMG@/src' END AS link_path
+      FROM src CROSS JOIN (SELECT unnest(range(3)) AS i))
+    SELECT page AS src, link_ord::BIGINT AS link_ord, link_path, url,
+           count(*) OVER (PARTITION BY page)::BIGINT AS n_outlinks
+    FROM links
+"""
+
+
+@query("wat_link_graph", oracle=_WAT_ORACLE)
+def q_wat_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata ingestion (sources/warc.py:wat_outlinks): the third
+    Common Crawl format — JSON metadata envelopes → the outlink edge
+    list that bootstraps the host link graph (PageRank/HITS/OPIC priors)
+    without fetching a page. The Spark side renders REAL WAT-style JSON
+    bodies (the canonical Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata → Links[] path) and parses
+    them back with the fixed-path from_json subset schema + posexplode;
+    the oracle constructs the expected edges closed-form and never
+    touches JSON — the whole parse path is independently checked."""
+    from web_crawler_spark.sources import warc as W
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    k = F.col("o_orderkey")
+    page = F.concat(
+        F.lit("https://w"), (k % 40).cast("string"),
+        F.lit(".example.com/p"), k.cast("string"),
+    )
+
+    def link(i: int) -> Column:
+        if i == 0:
+            u = F.concat(F.lit("https://w"), ((k + 1) % 40).cast("string"),
+                         F.lit(".example.com/p"), (k + 1).cast("string"))
+            path = "A@/href"
+        elif i == 1:
+            u = F.concat(F.lit("/rel/p"), (k % 97).cast("string"))
+            path = "A@/href"
+        else:
+            u = F.concat(F.lit("https://cdn"), (k % 5).cast("string"),
+                         F.lit(".example.net/a"), k.cast("string"))
+            path = "IMG@/src"
+        return F.concat(
+            F.lit('{"path": "' + path + '", "url": "'), u, F.lit('"}')
+        )
+
+    body = F.concat(
+        F.lit('{"Envelope": {"Payload-Metadata": '
+              '{"HTTP-Response-Metadata": {"HTML-Metadata": {"Links": ['),
+        link(0), F.lit(", "), link(1), F.lit(", "), link(2),
+        F.lit(']}}}}}'),
+    )
+    wat = o.select(page.alias("target_uri"), body.alias("body"))
+    edges = W.wat_outlinks(wat)
+    w = Window.partitionBy("src")
+    return edges.select(
+        "src", "link_ord", "link_path", "url",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_outlinks"),
+    )
+
+
 _WARC_GZ_ORACLE = """
     WITH src AS (
       SELECT o_orderkey AS k,

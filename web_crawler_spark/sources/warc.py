@@ -335,6 +335,41 @@ def http_response(body: Column) -> Column:
     )
 
 
+def wat_outlinks(
+    df: DataFrame, body_col: str = "body", uri_col: str = "target_uri"
+) -> DataFrame:
+    """WAT metadata records → the outlink edge list (src, link_ord, url).
+
+    WAT is the third Common Crawl format (WARC envelope, JSON body): the
+    canonical outlink path is ``Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata → Links[] → {path, url}``.
+    This is how a link graph (host PageRank / HITS / OPIC priors in
+    operators/frontier.py) bootstraps from the PUBLIC archive without
+    fetching a page: one ``from_json`` against the fixed-path subset
+    schema + one explode — column algebra, no whole-body Python, records
+    with no links (or malformed JSON) simply yield no rows.
+    """
+    schema = (
+        "struct<`Envelope` struct<`Payload-Metadata` struct<"
+        "`HTTP-Response-Metadata` struct<`HTML-Metadata` struct<"
+        "`Links` array<struct<`path` string, `url` string>>>>>>>"
+    )
+    links = (
+        F.from_json(F.col(body_col), schema)
+        ["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+        ["HTML-Metadata"]["Links"]
+    )
+    return df.select(
+        F.col(uri_col).alias("src"),
+        F.posexplode(links).alias("link_ord", "_l"),
+    ).select(
+        "src",
+        F.col("link_ord").cast("long").alias("link_ord"),
+        F.col("_l.path").alias("link_path"),
+        F.col("_l.url").alias("url"),
+    )
+
+
 def http_response_binary(body: Column, max_header: int = 2048) -> Column:
     """Binary-safe twin of :func:`http_response` for the MEDIA lanes: the
     HTTP/1.x message arrives as BYTES (an image entity must never pass a
