@@ -551,3 +551,68 @@ def test_opic_state_resume_bitwise_equals_straight_run(spark):
     }
     assert out[500]["hist_int"] == 0  # banked nothing before this round
     assert out[500]["cash_int"] > 0   # funded by 1's forwarded cash
+
+
+def test_wat_edges_feed_host_pagerank(spark):
+    """Composition: WAT outlink extraction → host-level edge list →
+    integer-fixed-point PageRank. The public-archive bootstrap path for
+    the frontier's authority prior, end-to-end: absolute links resolve
+    to their host, relative links resolve against the source page's
+    host, and the hub host every page links to outranks the leaves."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators import frontier as FR
+    from web_crawler_spark.sources import warc as W
+
+    def wat(page, links):
+        body = (
+            '{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": '
+            '{"HTML-Metadata": {"Links": ['
+            + ", ".join(f'{{"path": "A@/href", "url": "{u}"}}' for u in links)
+            + "]}}}}}"
+        )
+        return (page, body)
+
+    rows = [
+        wat("https://a.example/1", ["https://hub.example/x", "/local"]),
+        wat("https://b.example/1", ["https://hub.example/y"]),
+        wat("https://c.example/1", ["https://hub.example/z",
+                                    "https://a.example/2"]),
+        wat("https://hub.example/1", ["https://a.example/3"]),
+    ]
+    df = spark.createDataFrame(rows, "target_uri string, body string")
+    edges = W.wat_outlinks(df)
+    host_of = lambda c: F.regexp_extract(c, r"https?://([^/]+)", 1)  # noqa: E731
+    src_host = host_of(F.col("src"))
+    dst_host = F.when(
+        F.col("url").startswith("/"), src_host
+    ).otherwise(host_of(F.col("url")))
+    hedges = (
+        edges.select(src_host.alias("src"), dst_host.alias("dst"))
+        .filter(F.col("dst") != "")
+        .filter(F.col("src") != F.col("dst"))  # /local self-edge drops
+        .distinct()
+    )
+    # host_pagerank's contract is numeric node ids — hash the host dim
+    # to ids and map back (what a production caller does with its host
+    # dimension table)
+    ids = (
+        hedges.select(F.col("src").alias("host"))
+        .union(hedges.select("dst"))
+        .distinct()
+        .select("host", F.xxhash64("host").alias("nid"))
+    )
+    idedges = (
+        hedges.join(ids.withColumnRenamed("host", "src")
+                    .withColumnRenamed("nid", "snid"), "src")
+        .join(ids.withColumnRenamed("host", "dst")
+              .withColumnRenamed("nid", "dnid"), "dst")
+        .select(F.col("snid").alias("src"), F.col("dnid").alias("dst"))
+    )
+    ranks = FR.host_pagerank(idedges)
+    pr = {
+        r["host"]: r["rank_int"]
+        for r in ranks.join(ids, ranks.node == ids.nid).collect()
+    }
+    assert pr["hub.example"] == max(pr.values())
+    assert pr["hub.example"] > pr["b.example"]
