@@ -825,3 +825,46 @@ def test_wat_outlinks_parse_and_malformed_rows(spark):
         ("https://p1/", 0, "A@/href", "https://a.example/x"),
         ("https://p1/", 1, "IMG@/src", "/img/1.png"),
     ]
+
+
+def test_cdx_parse_and_fetch_plan(spark):
+    """CDXJ parsing (JSON tail may contain spaces; malformed JSON yields
+    NULL fields, never a misparse) and the digest-election fetch plan:
+    one capture per digest, earliest ts wins, per-shard offsets ordered,
+    duplicate bytes accounted."""
+    from web_crawler_spark.sources import cdx as CX
+
+    lines = [
+        # two captures, same digest (revisit) — later ts must lose
+        'com,ex)/a 20240101000000 {"url": "https://ex.com/a", '
+        '"mime": "text/html", "status": "200", "digest": "dA", '
+        '"length": "100", "offset": "0", "filename": "s0.warc.gz"}',
+        'com,ex)/a2 20240102000000 {"url": "https://ex.com/a copy", '
+        '"mime": "text/html", "status": "200", "digest": "dA", '
+        '"length": "120", "offset": "900", "filename": "s1.warc.gz"}',
+        # distinct digest, same shard as the winner, later offset
+        'com,ex)/b 20240101000000 {"url": "https://ex.com/b", '
+        '"mime": "text/html", "status": "200", "digest": "dB", '
+        '"length": "50", "offset": "700", "filename": "s0.warc.gz"}',
+        # 404 capture: never planned
+        'com,ex)/c 20240101000000 {"url": "https://ex.com/c", '
+        '"mime": "text/html", "status": "404", "digest": "dC", '
+        '"length": "10", "offset": "100", "filename": "s0.warc.gz"}',
+        # malformed JSON: fields NULL, filtered out by status gate
+        "com,ex)/d 20240101000000 {broken",
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "line string")
+    caps = CX.parse_cdx(df)
+    rows = {r["urlkey"]: r for r in caps.collect()}
+    assert rows["com,ex)/a2"]["url"] == "https://ex.com/a copy"
+    assert rows["com,ex)/a"]["offset"] == 0 and rows["com,ex)/a"]["length"] == 100
+    assert rows["com,ex)/d"]["url"] is None and rows["com,ex)/d"]["status"] is None
+
+    plan = {r["digest"]: r for r in CX.fetch_plan(caps).collect()}
+    assert set(plan) == {"dA", "dB"}
+    a = plan["dA"]
+    assert a["url"] == "https://ex.com/a" and a["n_dups"] == 2
+    assert a["dup_bytes_saved"] == 120  # the losing revisit's bytes
+    # both electees share shard s0: sequence follows offset order
+    assert a["filename"] == "s0.warc.gz" and a["shard_seq"] == 1
+    assert plan["dB"]["shard_seq"] == 2

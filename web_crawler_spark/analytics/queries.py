@@ -8071,6 +8071,74 @@ def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDX_ORACLE = """
+    WITH caps AS (
+      SELECT o_orderkey AS k,
+             concat('https://w', o_orderkey % 40, '.example.com/p',
+                    o_orderkey) AS url,
+             lpad(((o_orderkey * 7) % 100)::VARCHAR, 2, '0') AS sec,
+             CASE WHEN o_orderkey % 100 = 0 THEN 404 ELSE 200 END AS status,
+             concat('d', o_orderkey // 40) AS digest,
+             (500 + o_orderkey % 300)::BIGINT AS length,
+             (o_orderkey * 1000)::BIGINT AS "offset",
+             concat('shard', o_orderkey % 4, '.warc.gz') AS filename
+      FROM orders WHERE o_orderkey % 20 = 0),
+    t AS (
+      SELECT *, concat('202401150000', sec) AS ts
+      FROM caps WHERE status = 200),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY ts, url, filename, "offset") AS rn,
+             count(*) OVER (PARTITION BY digest) AS n_dups,
+             (sum(length) OVER (PARTITION BY digest) - length) AS saved
+      FROM t)
+    SELECT filename, "offset", length, url, ts, digest,
+           row_number() OVER (PARTITION BY filename ORDER BY "offset")::BIGINT
+             AS shard_seq,
+           n_dups::BIGINT AS n_dups, saved::BIGINT AS dup_bytes_saved
+    FROM r WHERE rn = 1
+"""
+
+
+@query("cdx_fetch_plan", oracle=_CDX_ORACLE)
+def q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index planning (sources/cdx.py) — the fourth Common
+    Crawl artifact: the Spark side renders real CDXJ LINES (urlkey +
+    timestamp + JSON with url/mime/status/digest/length/offset/filename),
+    parses them back through parse_cdx (substring_index keys +
+    get_json_object fields), and runs fetch_plan — 2xx filter, one
+    elected capture per content digest (earliest ts), per-shard
+    offset-ordered sequence numbers, and the duplicate-bytes-avoided
+    metric. The oracle constructs the capture fields closed-form (never
+    parses a line), so the CDXJ parse is independently checked; the
+    election/rollup windows mirror in SQL."""
+    from web_crawler_spark.sources import cdx as CX
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("https://w"), (k % 40).cast("string"),
+                   F.lit(".example.com/p"), k.cast("string"))
+    ts = F.concat(F.lit("202401150000"),
+                  F.lpad(((k * 7) % 100).cast("string"), 2, "0"))
+    status = F.when(k % 100 == 0, F.lit(404)).otherwise(F.lit(200))
+    js = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "'), status.cast("string"),
+        F.lit('", "digest": "d'), F.floor(k / 40).cast("long").cast("string"),
+        F.lit('", "length": "'), (F.lit(500) + k % 300).cast("string"),
+        F.lit('", "offset": "'), (k * 1000).cast("string"),
+        F.lit('", "filename": "shard'), (k % 4).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    urlkey = F.concat(F.lit("com,example,w"), (k % 40).cast("string"),
+                      F.lit(")/p"), k.cast("string"))
+    lines = o.select(
+        F.concat(urlkey, F.lit(" "), ts, F.lit(" "), js).alias("line")
+    )
+    return CX.fetch_plan(CX.parse_cdx(lines))
+
+
 _WAT_ORACLE = """
     WITH src AS (
       SELECT o_orderkey AS k,
