@@ -868,3 +868,65 @@ def test_cdx_parse_and_fetch_plan(spark):
     # both electees share shard s0: sequence follows offset order
     assert a["filename"] == "s0.warc.gz" and a["shard_seq"] == 1
     assert plan["dB"]["shard_seq"] == 2
+
+
+def test_cdx_plan_drives_selective_member_reads(spark, tmp_path):
+    """End-to-end archive economics: CDXJ index → fetch_plan →
+    read_members_at fetches EXACTLY the planned byte ranges (no shard
+    scan), each range gunzips to its record byte-exact, and a corrupted
+    range raises instead of passing silently."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.sources import cdx as CX
+    from web_crawler_spark.sources import warc as W
+
+    def rec(path, body):
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://ex.com/{path}\r\n"
+            f"WARC-Date: 2024-01-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+        )
+
+    recs = [rec(f"p{i}", f"body number {i} " * (i + 1)) for i in range(6)]
+    spans = W.write_warc_gz(recs, str(tmp_path / "s0.warc.gz"))
+    assert len(spans) == 6 and spans[0][0] == 0
+
+    # index: captures for members 1 and 4 (plus a revisit of 1 that the
+    # election must collapse)
+    def line(i, ts, url):
+        off, ln = spans[i]
+        js = _json.dumps({
+            "url": url, "mime": "text/plain", "status": "200",
+            "digest": f"dg{i}", "length": str(ln), "offset": str(off),
+            "filename": "s0.warc.gz",
+        })
+        return f"com,ex)/p{i} {ts} {js}"
+
+    lines = [
+        line(1, "20240101000000", "https://ex.com/p1"),
+        line(1, "20240102000000", "https://ex.com/p1-revisit"),
+        line(4, "20240101000000", "https://ex.com/p4"),
+    ]
+    plan = CX.fetch_plan(
+        CX.parse_cdx(spark.createDataFrame([(x,) for x in lines], "line string"))
+    )
+    got = {
+        r["url"]: bytes(r["record"])
+        for r in W.read_members_at(spark, plan, str(tmp_path)).collect()
+    }
+    assert set(got) == {"https://ex.com/p1", "https://ex.com/p4"}
+    assert got["https://ex.com/p1"] == recs[1].encode()
+    assert got["https://ex.com/p4"] == recs[4].encode()
+
+    # a wrong length (range splitting a member) raises loudly
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    bad = plan.withColumn(
+        "length", F.col("length") - 5
+    )
+    with pytest.raises(PythonException, match="truncated|expected exactly"):
+        W.read_members_at(spark, bad, str(tmp_path)).collect()

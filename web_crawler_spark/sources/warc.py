@@ -293,18 +293,84 @@ def read_warc_gz_binary(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_warc_gz(records: "list[str | bytes]", path: str) -> None:
+def write_warc_gz(
+    records: "list[str | bytes]", path: str
+) -> list[tuple[int, int]]:
     """Serialize records (full record including the ``WARC/1.0`` magic;
     str for text records, bytes for binary-body records) as a
     gzip-member-per-record shard — the fixture/writer twin of
     :func:`read_warc_gz` / :func:`read_warc_gz_binary`. Deterministic
-    bytes: mtime pinned to 0."""
+    bytes: mtime pinned to 0. Returns each member's ``(offset, length)``
+    — the CDX fields an indexer records for :func:`read_members_at`."""
     import gzip
 
+    spans: list[tuple[int, int]] = []
     with open(path, "wb") as f:
         for rec in records:
             data = rec.encode("utf-8") if isinstance(rec, str) else rec
-            f.write(gzip.compress(data, mtime=0))
+            member = gzip.compress(data, mtime=0)
+            spans.append((f.tell(), len(member)))
+            f.write(member)
+    return spans
+
+
+def read_members_at(
+    spark: SparkSession, plan: DataFrame, base_dir: str
+) -> DataFrame:
+    """The CDX-driven SELECTIVE replay: fetch exactly the planned gzip
+    members — one seek + ranged read per ``(filename, offset, length)``
+    row of a :func:`~web_crawler_spark.sources.cdx.fetch_plan` — and
+    gunzip each independently. The archive is never scanned; cost is
+    proportional to the PLAN, which is how a 100 TB corpus replays a
+    0.1% slice.
+
+    Plan rows group by filename (one open file handle per shard task)
+    and read in offset order (sequential within the shard). Local /
+    NFS / fuse paths seek directly; an object-store deployment swaps the
+    ``open``/``seek`` pair for ranged GETs at this exact seam.
+
+    Returns the plan's (filename, offset, url, digest) + ``record``
+    (the decompressed member BYTES, magic included — feed
+    ``wet_record``/:func:`http_response_binary` downstream). A range
+    that does not decompress to a complete member raises (a wrong
+    offset/length must never pass silently).
+    """
+    import os
+
+    import pandas as pd
+
+    def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")
+        path = os.path.join(base_dir, str(pdf["filename"].iloc[0]))
+        rows = []
+        with open(path, "rb") as f:
+            for _, r in pdf.iterrows():
+                f.seek(int(r["offset"]))
+                blob = f.read(int(r["length"]))
+                members = list(gzip_members(blob))
+                if len(members) != 1:
+                    raise ValueError(
+                        f"range ({r['filename']}, {r['offset']}, "
+                        f"{r['length']}) holds {len(members)} members, "
+                        "expected exactly 1"
+                    )
+                rows.append(
+                    (r["filename"], int(r["offset"]), r["url"],
+                     r["digest"], members[0])
+                )
+        return pd.DataFrame(
+            rows, columns=["filename", "offset", "url", "digest", "record"]
+        )
+
+    return (
+        plan.select("filename", "offset", "length", "url", "digest")
+        .groupBy("filename")
+        .applyInPandas(
+            lambda _k, pdf: fetch(pdf),
+            schema="filename string, offset long, url string, "
+                   "digest string, record binary",
+        )
+    )
 
 
 def http_response(body: Column) -> Column:
